@@ -1,0 +1,431 @@
+"""Earley chart parser, ambiguity ranking, and match resolution.
+
+Semantics parity: /root/reference/yargy/parser.py —
+  - chart/column/state model with per-column hash dedup and a
+    waiting-states index keyed by awaited rule   parser.py:25-173
+  - predict (with gazetteer first-token pruning), scan (predicate +
+    reading constrain), complete                 parser.py:305-348
+  - match/findall/extract/find entry points      parser.py:257-303
+  - leftmost-derivation tree preference          tree/constructors.py:52-134
+  - span-level dedup + max-coverage DP           parser.py:217-229, span.py
+  - relation validation gate                     parser.py:202-207
+
+Relational reading (SURVEY.md §2.7): scan is a selection; predict with
+the gazetteer index is partition pruning; complete joining completed
+states against waiting parents is a hash join keyed (rule, start col);
+column dedup is a distinct aggregate; tree sort + span DP is sort+top-k.
+
+A state budget (``cap``) guards combinatorial blowups — the
+CappedParser pattern from docs/cookbook.ipynb cells 5-7, default-on in
+the Spark extraction operator so one poison turn cannot stall an
+executor.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+from .grammar import (GrammarRule, RuleBase, is_grammar_rule,
+                      is_predicate)
+from .spans import pick_max_coverage
+from .tokenize import MorphTokenSpec, Tok, TokenSpec
+from .agree import TokenAgreementGraph
+
+
+class ParseBudgetExceeded(Exception):
+    """Raised when the chart state count passes the configured cap."""
+
+
+class Context:
+    """Activation context: tokenizer (with morph) + tagger
+    (parser.py:232-237)."""
+
+    def __init__(self, tokenizer, tagger=None):
+        self.tokenizer = tokenizer
+        self.tagger = tagger
+
+
+class Tagger:
+    tags = ()
+
+    def __call__(self, tokens):
+        raise NotImplementedError
+
+    def check_tag(self, tag):
+        return tag in self.tags
+
+
+class PassTagger(Tagger):
+    def __call__(self, tokens):
+        return tokens
+
+
+# ===================================================================
+# Parse forest nodes
+# ===================================================================
+
+class TreeNode:
+    __slots__ = ('rule', 'production', 'rank', 'children')
+
+    def __init__(self, rule, production, rank, children):
+        self.rule = rule
+        self.production = production
+        self.rank = rank
+        self.children = children
+
+    def grown(self, child) -> 'TreeNode':
+        return TreeNode(self.rule, self.production, self.rank,
+                        self.children + [child])
+
+    @property
+    def head_token(self):
+        """The production's head token (relations propagate through
+        heads — tree/constructors.py:98-100)."""
+        idx = self.production.main
+        if idx >= len(self.children):
+            idx = 0
+        return self.children[idx].head_token
+
+    @property
+    def interpretator(self):
+        return self.rule.interpretator
+
+    @property
+    def relation(self):
+        return self.rule.relation
+
+
+class TreeLeaf(TreeNode):
+    __slots__ = ('predicate', 'token')
+
+    def __init__(self, predicate, token):
+        self.predicate = predicate
+        self.token = token
+        self.children = []
+
+    interpretator = None
+    relation = None
+
+    @property
+    def head_token(self):
+        return self.token
+
+
+def node_before(a: TreeNode, b: TreeNode) -> bool:
+    """Leftmost-derivation preference between two parses of the same
+    rule (tree/constructors.py:114-134): lower alternation rank wins,
+    ties recurse into children."""
+    if a is b:
+        return False
+    if a.rank != b.rank:
+        return a.rank < b.rank
+    for ca, cb in zip(a.children, b.children):
+        if isinstance(ca, TreeLeaf) or ca is cb:
+            continue
+        if ca.rank != cb.rank:
+            return ca.rank < cb.rank
+        if node_before(ca, cb):
+            return True
+        if node_before(cb, ca):
+            return False
+    return False
+
+
+class ParseTree:
+    def __init__(self, root: TreeNode, range_: Tuple[int, int]):
+        self.root = root
+        self.range = range_
+
+    def __lt__(self, other: 'ParseTree') -> bool:
+        # earlier start, then longer span, then derivation rank
+        # (tree/constructors.py:52-62)
+        if self.range == other.range:
+            return node_before(self.root, other.root)
+        a0, a1 = self.range
+        b0, b1 = other.range
+        if a0 == b0:
+            return a1 > b1
+        return a0 < b0
+
+    def walk(self):
+        stack = [self.root]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    # --- transformations (tree/transformators.py) --------------------
+    def pruned(self) -> Optional['ParseTree']:
+        """Drop ε-derived empty nodes (PropogateEmptyTransformator)."""
+        root = _prune(self.root)
+        if root is None:
+            return None
+        return ParseTree(root, self.range)
+
+    def collect_relations(self) -> TokenAgreementGraph:
+        graph = TokenAgreementGraph()
+        for node in self.walk():
+            if node.relation is not None:
+                graph.add(node.relation, node.head_token)
+        return graph
+
+    def constrained(self, graph: TokenAgreementGraph) -> 'ParseTree':
+        for node in self.walk():
+            if isinstance(node, TreeLeaf):
+                node.token = graph.constrain(node.token)
+        return self
+
+    def interpret(self):
+        if self.root.interpretator is None:
+            raise ValueError('no .interpretation(...) for root rule')
+        return _interpret(_keep_interp_nodes(self.root))
+
+
+def _prune(node: TreeNode) -> Optional[TreeNode]:
+    if isinstance(node, TreeLeaf):
+        return node
+    children = [c for c in (_prune(c) for c in node.children)
+                if c is not None]
+    if not children:
+        return None
+    return TreeNode(node.rule, node.production, node.rank, children)
+
+
+def _keep_interp_nodes(node: TreeNode) -> TreeNode:
+    """Flatten away non-annotated inner nodes so only leaves and
+    interpretator nodes remain (KeepInterpretationNodesTransformator)."""
+    def significant(item):
+        for child in item.children:
+            if isinstance(child, TreeLeaf) or child.interpretator:
+                yield child
+            else:
+                yield from significant(child)
+
+    children = [_keep_interp_nodes(c) if not isinstance(c, TreeLeaf)
+                else c
+                for c in significant(node)]
+    return TreeNode(node.rule, node.production, node.rank, children)
+
+
+def _interpret(node: TreeNode):
+    from .gazetteer import GazProd
+    items = []
+    for child in node.children:
+        if isinstance(child, TreeLeaf):
+            items.append(child.token)
+        else:
+            items.append(_interpret(child))
+    key = node.production.value if isinstance(node.production, GazProd) \
+        else None
+    return node.interpretator(items, key)
+
+
+# ===================================================================
+# Chart
+# ===================================================================
+
+class _State:
+    __slots__ = ('rule', 'production', 'dot', 'start', 'stop', 'node')
+
+    def __init__(self, rule, production, dot, start, stop, node):
+        self.rule = rule
+        self.production = production
+        self.dot = dot
+        self.start = start      # _Col
+        self.stop = stop        # _Col
+        self.node = node
+
+    @property
+    def done(self) -> bool:
+        return self.dot >= len(self.production.terms)
+
+    @property
+    def ahead(self):
+        return self.production.terms[self.dot]
+
+    def key(self):
+        return (id(self.rule), id(self.production), self.dot,
+                self.start.index, self.stop.index,
+                tuple(id(c) for c in self.node.children))
+
+
+class _Col:
+    __slots__ = ('index', 'token', 'states', 'seen', 'waiting')
+
+    def __init__(self, index: int, token: Optional[Tok]):
+        self.index = index
+        self.token = token
+        self.states: List[_State] = []
+        self.seen = set()
+        self.waiting = {}   # id(awaited rule) -> [states]
+
+    def push(self, state: _State) -> bool:
+        key = state.key()
+        if key in self.seen:
+            return False
+        self.seen.add(key)
+        self.states.append(state)
+        if not state.done:
+            ahead = state.ahead
+            if is_grammar_rule(ahead):
+                self.waiting.setdefault(id(ahead), []).append(state)
+        return True
+
+
+class Match:
+    """Final extraction result: tokens + span (+ lazy ``fact``)
+    (parser.py:176-191)."""
+
+    def __init__(self, tree: ParseTree):
+        self.tree = tree
+        self.tokens = [n.token for n in tree.walk()
+                       if isinstance(n, TreeLeaf)]
+        self.span = (self.tokens[0].start, self.tokens[-1].stop)
+
+    @property
+    def rule(self):
+        return self.tree.root.rule
+
+    @property
+    def fact(self):
+        return self.tree.interpret().normalized
+
+
+def _finish_match(tree: ParseTree) -> Optional[Match]:
+    """ε-prune, validate agreement, constrain readings
+    (parser.py:202-207)."""
+    tree = tree.pruned()
+    if tree is None:
+        return None
+    graph = tree.collect_relations()
+    if not graph.validate():
+        return None
+    return Match(tree.constrained(graph))
+
+
+class Parser:
+    """Compile a DSL rule and parse texts (parser.py:241-348)."""
+
+    def __init__(self, rule: RuleBase, tokenizer=None, tagger=None,
+                 cap: Optional[int] = None):
+        if tokenizer is None:
+            tokenizer = MorphTokenSpec()
+        self.tokenizer = tokenizer
+        self.tagger = tagger or PassTagger()
+        self.cap = cap
+
+        context = Context(tokenizer, self.tagger)
+        rule = rule.activate(context)
+        rule = rule.normalized
+        self.rule = rule.as_bnf.start
+
+    # --- chart construction -----------------------------------------
+    def _chart(self, text: str, everywhere: bool) -> List[_Col]:
+        tokens = list(self.tagger(self.tokenizer(text)))
+        cols = [_Col(0, None)]
+        for i, tok in enumerate(tokens, 1):
+            cols.append(_Col(i, tok))
+
+        budget = self.cap
+        n_states = 0
+
+        def push(col, state):
+            nonlocal n_states
+            if col.push(state):
+                n_states += 1
+                if budget is not None and n_states > budget:
+                    raise ParseBudgetExceeded(n_states)
+
+        size = len(cols)
+        for ci in range(size):
+            col = cols[ci]
+            nxt = cols[ci + 1] if ci + 1 < size else None
+            if ci == 0 or everywhere:
+                self._predict(col, nxt, self.rule, push)
+            for state in col.states:           # states grows while iterating
+                if state.done:
+                    # completion: join against parents waiting on this
+                    # rule at the state's start column
+                    for parent in state.start.waiting.get(
+                            id(state.rule), ()):
+                        push(col, _State(
+                            parent.rule, parent.production,
+                            parent.dot + 1, parent.start, col,
+                            parent.node.grown(state.node)))
+                else:
+                    ahead = state.ahead
+                    if is_grammar_rule(ahead):
+                        self._predict(col, nxt, ahead, push)
+                    elif nxt is not None:
+                        self._scan(nxt, ahead, state, push)
+        return cols
+
+    def _predict(self, col, nxt, rule, push):
+        productions = (rule.predict(nxt.token) if nxt is not None
+                       else rule.productions)
+        for rank, production in enumerate(productions):
+            node = TreeNode(rule, production, rank, [])
+            push(col, _State(rule, production, 0, col, col, node))
+
+    def _scan(self, nxt, predicate, state, push):
+        token = nxt.token
+        if predicate(token):
+            leaf = TreeLeaf(predicate, predicate.constrain(token))
+            push(nxt, _State(state.rule, state.production, state.dot + 1,
+                             state.start, nxt, state.node.grown(leaf)))
+
+    def _completed_trees(self, cols, whole: bool) -> Iterator[ParseTree]:
+        target = cols[-1:] if whole else cols
+        last = len(cols) - 1
+        for col in target:
+            for state in col.states:
+                if state.done and state.rule is self.rule:
+                    if whole and (state.start.index != 0
+                                  or state.stop.index != last):
+                        continue
+                    yield ParseTree(state.node,
+                                    (state.start.index, state.stop.index))
+
+    # --- public entry points ------------------------------------------
+    def match(self, text: str) -> Optional[Match]:
+        """Whole-text parse; best-ranked tree whose relations validate
+        (parser.py:298-303)."""
+        cols = self._chart(text, everywhere=False)
+        trees = sorted(self._completed_trees(cols, whole=True))
+        for tree in trees:
+            result = _finish_match(tree)
+            if result is not None:
+                return result
+        return None
+
+    def findall(self, text: str) -> Iterator[Match]:
+        """All non-overlapping matches, max-coverage resolved
+        (parser.py:288-292, 217-229)."""
+        cols = self._chart(text, everywhere=True)
+        trees = sorted(self._completed_trees(cols, whole=False))
+        spans = []
+        by_span = {}
+        for tree in trees:
+            span = tree.range
+            if span in by_span:
+                continue
+            result = _finish_match(tree)
+            if result is not None:
+                spans.append(span)
+                by_span[span] = result
+        for span in pick_max_coverage(spans):
+            yield by_span[span]
+
+    def find(self, text: str) -> Optional[Match]:
+        for m in self.findall(text):
+            return m
+        return None
+
+    def extract(self, text: str) -> Iterator[Match]:
+        """Every completed parse incl. overlaps (debug mode,
+        parser.py:283-286)."""
+        cols = self._chart(text, everywhere=True)
+        for tree in self._completed_trees(cols, whole=False):
+            result = _finish_match(tree)
+            if result is not None:
+                yield result

