@@ -1,0 +1,135 @@
+"""End-to-end Spark tests: extraction P/R vs the reference-derived
+golden oracle, entity linking, connected components, triples and
+partition-granular resume."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.goldens import expected_set
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope='module')
+def golden_mentions(spark):
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    from yargy_spark.operators.extract import extract_mentions
+    df = extract_mentions(golden_only_transcripts(spark)).persist()
+    df.count()
+    return df
+
+
+def test_extraction_precision_recall(golden_mentions):
+    got = {(r['conv_id'], r['rule_id'], r['fact_json'])
+           for r in golden_mentions.collect()}
+    want = expected_set()
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision >= 0.95, (precision, sorted(got - want))
+    assert recall >= 0.95, (recall, sorted(want - got))
+    # and in fact exact parity on the golden corpus:
+    assert got == want
+
+
+def test_mention_ids_deterministic(golden_mentions):
+    a = {r['mention_id'] for r in golden_mentions.collect()}
+    b = {r['mention_id'] for r in golden_mentions.collect()}
+    assert a == b
+    assert len(a) == golden_mentions.count()
+
+
+def test_entity_linking(spark, golden_mentions):
+    from yargy_spark.operators.linking import link_entities
+    entities = link_entities(golden_mentions)
+    joined = golden_mentions.join(entities, 'mention_id')
+    rows = joined.select('conv_id', 'norm_key', 'entity_id',
+                         'canonical').collect()
+
+    # all four inflected Иван Ульянов mentions resolve to one entity
+    ivan = {r['entity_id'] for r in rows
+            if r['norm_key'] == 'иван|ульянов'}
+    assert len(ivan) == 1
+    canon = {r['canonical'] for r in rows
+             if r['norm_key'] == 'иван|ульянов'}
+    assert canon == {'иван|ульянов'}
+
+    # conversation-local surname coref: саша|иванов and саша|иванова in
+    # different conversations stay separate entities (no shared conv)
+    sasha = {r['entity_id'] for r in rows
+             if r['norm_key'] in ('саша|иванов', 'саша|иванова')}
+    assert len(sasha) == 2
+
+
+def test_connected_components(spark):
+    from yargy_spark.operators.linking import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 5), (9, 9), (10, 11)],
+        'src long, dst long')
+    got = {(r['node'], r['component'])
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (7, 5),
+                   (10, 10), (11, 10)}
+
+
+def test_triples(spark, golden_mentions):
+    from yargy_spark.operators.linking import link_entities
+    from yargy_spark.operators.triples import materialize_triples
+    entities = link_entities(golden_mentions)
+    triples = materialize_triples(golden_mentions, entities).persist()
+
+    date_rows = {(r['pred'], r['obj']) for r in triples.where(
+        (F.col('conv_id') == 'g000003') & (F.col('rule_id') == 'date')
+    ).collect()}
+    assert date_rows == {('day', '8'), ('month', '6'), ('year', '2015')}
+
+    # one subject for all Ivan Ulyanov name mentions, with provenance
+    ivan = triples.where(
+        (F.col('rule_id') == 'name') & (F.col('pred') == 'first')
+        & (F.col('obj') == 'иван'))
+    assert ivan.select('subj').distinct().count() == 1
+    canon = triples.where(F.col('pred') == 'canonical_name') \
+                   .where(F.col('obj') == 'иван|ульянов')
+    assert canon.count() == 1
+    # provenance columns present and sane
+    row = ivan.first()
+    assert row['conv_id'].startswith('g') and row['span_stop'] > \
+        row['span_start']
+
+
+def test_resumable_pipeline(spark, tmp_path):
+    from yargy_spark.pipeline import run_resumable
+    from yargy_spark.sources import manifest as mf
+    from yargy_spark.sources.transcripts import synth_transcripts
+
+    out = str(tmp_path / 'triples_tbl')
+    t = synth_transcripts(spark, n_turns=96, partitions=4)
+
+    snap1 = run_resumable(spark, t, out, n_buckets=4)
+    assert snap1 is not None
+    assert set(snap1['counters']['buckets']) == {0, 1, 2, 3}
+    assert snap1['counters']['mentions'] > 0
+
+    # second run: everything committed -> no-op
+    assert run_resumable(spark, t, out, n_buckets=4) is None
+
+    # simulate a partial failure: drop one bucket from the manifest
+    import os
+    mdir = os.path.join(out, '_manifests')
+    name = [n for n in os.listdir(mdir) if n.startswith('snap-')][0]
+    with open(os.path.join(mdir, name)) as fh:
+        snap = json.load(fh)
+    snap['partitions'].pop(sorted(snap['partitions'])[0])
+    with open(os.path.join(mdir, name), 'w') as fh:
+        json.dump(snap, fh)
+
+    snap2 = run_resumable(spark, t, out, n_buckets=4)
+    assert snap2 is not None and len(snap2['counters']['buckets']) == 1
+
+    total = mf.read_table(spark, out)
+    assert total.count() > 0
+    # lineage: per-partition counts recorded
+    done = mf.committed_partitions(out)
+    assert set(done) == {0, 1, 2, 3}

@@ -225,7 +225,8 @@ def _interpret(node: TreeNode):
 # ===================================================================
 
 class _State:
-    __slots__ = ('rule', 'production', 'dot', 'start', 'stop', 'node')
+    __slots__ = ('rule', 'production', 'dot', 'start', 'stop', 'node',
+                 'done', 'ahead')
 
     def __init__(self, rule, production, dot, start, stop, node):
         self.rule = rule
@@ -234,14 +235,9 @@ class _State:
         self.start = start      # _Col
         self.stop = stop        # _Col
         self.node = node
-
-    @property
-    def done(self) -> bool:
-        return self.dot >= len(self.production.terms)
-
-    @property
-    def ahead(self):
-        return self.production.terms[self.dot]
+        terms = production.terms
+        self.done = dot >= len(terms)
+        self.ahead = None if self.done else terms[dot]
 
     def key(self):
         return (id(self.rule), id(self.production), self.dot,
@@ -319,9 +315,15 @@ class Parser:
         rule = rule.normalized
         self.rule = rule.as_bnf.start
 
+    def tokenize(self, text: str) -> List[Tok]:
+        """Tokenize+tag once; the token list can be shared across many
+        parsers via the ``tokens=`` parameter of the entry points (the
+        reference's pre-tokenized source pattern,
+        docs/cookbook.ipynb cells 14-16)."""
+        return list(self.tagger(self.tokenizer(text)))
+
     # --- chart construction -----------------------------------------
-    def _chart(self, text: str, everywhere: bool) -> List[_Col]:
-        tokens = list(self.tagger(self.tokenizer(text)))
+    def _chart(self, tokens: List[Tok], everywhere: bool) -> List[_Col]:
         cols = [_Col(0, None)]
         for i, tok in enumerate(tokens, 1):
             cols.append(_Col(i, tok))
@@ -361,9 +363,24 @@ class Parser:
         return cols
 
     def _predict(self, col, nxt, rule, push):
+        """Expand a nonterminal at this column.  Two prunings, both
+        generalizing the reference's gazetteer first-token index
+        (pipelines.py:24-75): the rule's own ``predict`` filters by the
+        upcoming token, and productions whose first term is a terminal
+        predicate that rejects the upcoming token are skipped — with
+        dot at 0 their only next move is that exact scan, so they can
+        never advance.  Ranks stay consistent per (rule, column), which
+        is what the ambiguity comparator relies on."""
         productions = (rule.predict(nxt.token) if nxt is not None
                        else rule.productions)
+        next_token = nxt.token if nxt is not None else None
         for rank, production in enumerate(productions):
+            terms = production.terms
+            if terms and next_token is not None:
+                first = terms[0]
+                if not isinstance(first, GrammarRule) \
+                        and not first(next_token):
+                    continue
             node = TreeNode(rule, production, rank, [])
             push(col, _State(rule, production, 0, col, col, node))
 
@@ -387,10 +404,12 @@ class Parser:
                                     (state.start.index, state.stop.index))
 
     # --- public entry points ------------------------------------------
-    def match(self, text: str) -> Optional[Match]:
+    def match(self, text: str, tokens: Optional[List[Tok]] = None
+              ) -> Optional[Match]:
         """Whole-text parse; best-ranked tree whose relations validate
         (parser.py:298-303)."""
-        cols = self._chart(text, everywhere=False)
+        cols = self._chart(tokens if tokens is not None
+                           else self.tokenize(text), everywhere=False)
         trees = sorted(self._completed_trees(cols, whole=True))
         for tree in trees:
             result = _finish_match(tree)
@@ -398,10 +417,12 @@ class Parser:
                 return result
         return None
 
-    def findall(self, text: str) -> Iterator[Match]:
+    def findall(self, text: str, tokens: Optional[List[Tok]] = None
+                ) -> Iterator[Match]:
         """All non-overlapping matches, max-coverage resolved
         (parser.py:288-292, 217-229)."""
-        cols = self._chart(text, everywhere=True)
+        cols = self._chart(tokens if tokens is not None
+                           else self.tokenize(text), everywhere=True)
         trees = sorted(self._completed_trees(cols, whole=False))
         spans = []
         by_span = {}
@@ -421,10 +442,12 @@ class Parser:
             return m
         return None
 
-    def extract(self, text: str) -> Iterator[Match]:
+    def extract(self, text: str, tokens: Optional[List[Tok]] = None
+                ) -> Iterator[Match]:
         """Every completed parse incl. overlaps (debug mode,
         parser.py:283-286)."""
-        cols = self._chart(text, everywhere=True)
+        cols = self._chart(tokens if tokens is not None
+                           else self.tokenize(text), everywhere=True)
         for tree in self._completed_trees(cols, whole=False):
             result = _finish_match(tree)
             if result is not None:

@@ -20,6 +20,7 @@ facts serialize to JSON inside the extraction UDF and are re-typed with
 
 from __future__ import annotations
 
+import copyreg
 from collections import OrderedDict
 from typing import Any, Dict, List, Optional
 
@@ -142,23 +143,57 @@ class SlotNorm:
         return '%s.%s' % (self.slot.label, self.normalizer.label)
 
 
+class FactMeta(type):
+    """Marker metaclass for dynamically created fact classes; a copyreg
+    reducer (below) makes the classes picklable as (name, field spec) —
+    required because compiled grammars holding fact classes are
+    broadcast to Spark executors — and the registry guarantees the same
+    class object per process so identity-based equality keeps working."""
+
+
+_FACT_REGISTRY: Dict[tuple, type] = {}
+
+
+def _restore_fact_class(name: str, spec: tuple) -> type:
+    key = (name, spec)
+    cls = _FACT_REGISTRY.get(key)
+    if cls is None:
+        cls = FactMeta(str(name), (FactBase,),
+                       {'__fields__': [], '_work': None,
+                        '__factspec__': spec})
+        for field, default, repeat in spec:
+            cls.__fields__.append(field)
+            slot = (RepeatableSlot(cls, field) if repeat
+                    else Slot(cls, field, default))
+            setattr(cls, field, slot)
+        _FACT_REGISTRY[key] = cls
+    return cls
+
+
+def _reduce_fact_class(cls):
+    return (_restore_fact_class, (cls.__name__, cls.__factspec__))
+
+
+# classes are normally pickled by module reference; fact classes are
+# synthesized at runtime, so route them through the registry instead
+copyreg.pickle(FactMeta, _reduce_fact_class)
+
+
 def fact(name: str, attributes) -> type:
     """Create a fact record class with the given attribute slots
     (fact.py:52-67); accepts bare names, attribute() and .repeatable()
     declarations."""
     if isinstance(attributes, str):
         attributes = [attributes]
-    cls = type(str(name), (FactBase,), {'__fields__': [], '_work': None})
+    spec = []
     for item in attributes:
         if isinstance(item, str):
             item = AttrSpec(item)
-        cls.__fields__.append(item.name)
         if isinstance(item, RepeatableAttrSpec):
-            slot = RepeatableSlot(cls, item.name)
+            spec.append((item.name, None, True))
         else:
-            slot = Slot(cls, item.name, item.default)
-        setattr(cls, item.name, slot)
-    return cls
+            spec.append((item.name, item.default, False))
+    return _restore_fact_class(name, tuple(spec))
 
 
 def is_fact_class(item) -> bool:

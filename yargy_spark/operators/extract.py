@@ -1,0 +1,119 @@
+"""Corpus extraction operator: transcripts -> mentions/facts table.
+
+The Spark re-expression of ``Parser.findall`` over a 10^12-turn corpus
+(SURVEY.md §3.2): the per-turn Earley kernel runs inside
+``mapInPandas`` over Arrow batches; the corpus axis is Spark's.
+
+Scale design:
+  - the compiled extractor bank (grammar IR + expanded gazetteers +
+    lexicon) is pickled ONCE on the driver and broadcast; each Python
+    worker unpickles it once and caches it process-wide,
+  - a coarse trigger regex is applied as a JVM-side ``rlike`` filter
+    BEFORE the UDF (Catalyst pushes it into the scan) so non-candidate
+    turns never cross the JVM->Python boundary — the corpus analog of
+    the gazetteer predict-index pruning,
+  - only (conv_id, turn_idx, text) columns enter the UDF (column
+    pruning — everything else stays JVM-side and can be re-joined),
+  - per-turn parse budget (CappedParser pattern) bounds poison turns,
+  - the output is deterministic: mention ids hash
+    (conv_id, turn_idx, span, rule) — no monotonically_increasing_id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from ..extractors import CompiledBank
+
+MENTION_SCHEMA = StructType([
+    StructField('conv_id', StringType()),
+    StructField('turn_idx', IntegerType()),
+    StructField('rule_id', StringType()),
+    StructField('fact_type', StringType()),
+    StructField('span_start', IntegerType()),
+    StructField('span_stop', IntegerType()),
+    StructField('match_text', StringType()),
+    StructField('lemma_text', StringType()),
+    StructField('fact_json', StringType()),
+    StructField('norm_key', StringType()),
+    StructField('attrs', ArrayType(StructType([
+        StructField('pred', StringType()),
+        StructField('obj', StringType()),
+    ]))),
+    StructField('mention_id', LongType()),
+])
+
+# process-wide cache: the broadcast bank is unpickled once per worker
+_BANK_CACHE: dict = {}
+
+
+def mention_id(conv_id: str, turn_idx: int, start: int, stop: int,
+               rule_id: str) -> int:
+    """Deterministic 63-bit mention id (resumability/idempotence —
+    SURVEY.md §7.1 R5)."""
+    raw = '%s|%d|%d|%d|%s' % (conv_id, turn_idx, start, stop, rule_id)
+    return int.from_bytes(
+        hashlib.sha1(raw.encode('utf-8')).digest()[:8], 'big') >> 1
+
+
+def _run_bank(bank: CompiledBank,
+              batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    columns = [f.name for f in MENTION_SCHEMA.fields]
+    for pdf in batches:
+        out = []
+        for conv_id, turn_idx, text in zip(
+                pdf['conv_id'].values, pdf['turn_idx'].values,
+                pdf['text'].values):
+            if not text:
+                continue
+            for row in bank.run(text):
+                row['conv_id'] = conv_id
+                row['turn_idx'] = int(turn_idx)
+                row['mention_id'] = mention_id(
+                    conv_id, int(turn_idx), row['span_start'],
+                    row['span_stop'], row['rule_id'])
+                out.append(row)
+        yield pd.DataFrame(out, columns=columns) if out else \
+            pd.DataFrame({c: [] for c in columns})
+
+
+def extract_mentions(transcripts: DataFrame,
+                     extractor_names=None,
+                     use_trigger: bool = True,
+                     bank: Optional[CompiledBank] = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text, ...) -> mentions table.
+
+    One pass over the corpus evaluates every extractor in the bank
+    (tokenize once, parse many rules — the reference's pre-tokenized
+    source pattern, docs/cookbook.ipynb cells 14-16).
+    """
+    spark = transcripts.sparkSession
+    if bank is None:
+        bank = CompiledBank(extractor_names)
+
+    src = transcripts.select('conv_id', 'turn_idx', 'text')
+    trigger = bank.trigger_regex if use_trigger else None
+    if trigger is not None:
+        # JVM-side prefilter: Catalyst pushes this ahead of the
+        # Python stage; at 100 TB this is the difference between
+        # shipping every turn to Python and shipping candidates only.
+        src = src.where(F.col('text').rlike(trigger))
+
+    payload = spark.sparkContext.broadcast(bank)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        key = id(payload)
+        cached = _BANK_CACHE.get(key)
+        if cached is None:
+            cached = payload.value
+            _BANK_CACHE[key] = cached
+        return _run_bank(cached, batches)
+
+    return src.mapInPandas(fn, MENTION_SCHEMA)

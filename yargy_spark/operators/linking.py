@@ -1,0 +1,168 @@
+"""Entity linking: blocking, mention graph, connected components,
+canonicalization.
+
+north_rule stages with no reference analog (SURVEY.md §2.10) —
+designed Spark-first for the 100 TB point:
+
+* Blocking key = normalized-lemma pair ('иван|ульянов') produced by the
+  inflected Name extractor, so every inflection of a name blocks
+  together.
+* The mention graph is built WITHOUT a quadratic self-join: each
+  blocking group contributes star edges (mention -> group anchor).
+  A hot entity mentioned 10^8 times yields 10^8 edges, not 10^16
+  pairs — this, plus map-side partial aggregation of the min() anchor,
+  is the skew design (AQE skew-join stays on as backstop for the
+  joins that remain).  The anchor min() itself is computed with an
+  explicit two-phase salted aggregation so a single hot key never
+  lands on one reducer.
+* Components via alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") — O(log n) rounds on
+  arbitrary graphs, localCheckpoint per round to truncate lineage.
+* Canonicalization: one representative surface form per entity via a
+  frequency-ranked window, deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ edges
+
+def _anchor_edges(df: DataFrame, key_col: str, node_col: str,
+                  salt: int = 16) -> DataFrame:
+    """Star edges (node -> min node) per blocking key, two-phase salted
+    min so hot keys aggregate in parallel."""
+    salted = (df
+              .select(key_col, node_col)
+              .withColumn('_salt', F.pmod(F.col(node_col), F.lit(salt))))
+    partial = (salted
+               .groupBy(key_col, '_salt')
+               .agg(F.min(node_col).alias('_pmin')))
+    anchors = (partial
+               .groupBy(key_col)
+               .agg(F.min('_pmin').alias('anchor')))
+    return (df
+            .select(key_col, node_col)
+            .join(anchors, key_col)
+            .where(F.col(node_col) != F.col('anchor'))
+            .select(F.col(node_col).alias('src'),
+                    F.col('anchor').alias('dst')))
+
+
+def mention_edges(mentions: DataFrame) -> DataFrame:
+    """Mention-graph edges over person-like mentions:
+      (a) global blocking on the full lemma key,
+      (b) conversation-local coref on the surname lemma
+    (FIXTURES.md §6)."""
+    pm = (mentions
+          .where(F.col('norm_key').isNotNull())
+          .select('mention_id', 'conv_id', 'norm_key')
+          .withColumn('last_lemma',
+                      F.element_at(F.split('norm_key', r'\|'), 2)))
+
+    by_key = _anchor_edges(pm, 'norm_key', 'mention_id')
+    by_conv = _anchor_edges(
+        pm.withColumn('conv_key',
+                      F.concat_ws('#', 'conv_id', 'last_lemma')),
+        'conv_key', 'mention_id')
+    return by_key.union(by_conv)
+
+
+# ------------------------------------------------- connected components
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    mins = (sym.groupBy('src')
+            .agg(F.least(F.min('dst'), F.first('src')).alias('m')))
+    return (sym.join(mins, 'src')
+            .where(F.col('dst') > F.col('src'))
+            .select(F.col('dst').alias('src'), F.col('m').alias('dst')))
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    orient = sym.where(F.col('src') >= F.col('dst'))
+    mins = orient.groupBy('src').agg(F.min('dst').alias('m'))
+    joined = orient.join(mins, 'src')
+    part1 = (joined.where(F.col('dst') != F.col('m'))
+             .select(F.col('dst').alias('src'), F.col('m').alias('dst')))
+    part2 = (mins.where(F.col('src') != F.col('m'))
+             .select('src', F.col('m').alias('dst')))
+    return part1.union(part2)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20
+                         ) -> DataFrame:
+    """edges(src,dst) -> (node, component) with component = min node id
+    of the component.  Alternating large-star/small-star with
+    convergence detection on a deterministic edge-set signature."""
+    edges = edges.select(
+        F.col('src').cast('long'), F.col('dst').cast('long')
+    ).where(F.col('src') != F.col('dst')).distinct().localCheckpoint()
+
+    def signature(e: DataFrame):
+        # order-insensitive, overflow-free edge-set digest
+        row = (e.select(F.xxhash64('src', 'dst').alias('h'))
+               .agg(F.count('*').alias('n'),
+                    F.expr('bit_xor(h)').alias('x'))
+               .first())
+        return (row['n'], row['x'])
+
+    current = edges
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = current.union(
+            current.select(F.col('dst').alias('src'),
+                           F.col('src').alias('dst')))
+        current = (_large_star(sym).union(_small_star(sym))
+                   .distinct().localCheckpoint())
+        # canonical orientation for the signature
+        canon = current.select(
+            F.greatest('src', 'dst').alias('src'),
+            F.least('src', 'dst').alias('dst')).distinct()
+        sig = signature(canon)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every edge points node -> component min
+    membership = (current
+                  .select(F.greatest('src', 'dst').alias('node'),
+                          F.least('src', 'dst').alias('component'))
+                  .groupBy('node')
+                  .agg(F.min('component').alias('component')))
+    roots = (membership.select(F.col('component').alias('node'),
+                               F.col('component'))
+             .distinct())
+    return membership.union(roots).groupBy('node').agg(
+        F.min('component').alias('component'))
+
+
+# ------------------------------------------------------ canonicalization
+
+def link_entities(mentions: DataFrame) -> DataFrame:
+    """Person-like mentions -> (mention_id, entity_id, canonical)
+    with one deterministic canonical name per connected component."""
+    pm = mentions.where(F.col('norm_key').isNotNull())
+    edges = mention_edges(pm)
+    cc = connected_components(edges)
+
+    linked = (pm.join(cc, pm.mention_id == cc.node, 'left')
+              .withColumn('component',
+                          F.coalesce('component', 'mention_id'))
+              .drop('node'))
+
+    # canonical form: most frequent lemma key in the component,
+    # ties broken lexicographically (deterministic)
+    freq = (linked.groupBy('component', 'norm_key')
+            .agg(F.count('*').alias('n')))
+    w = Window.partitionBy('component').orderBy(
+        F.desc('n'), F.asc('norm_key'))
+    canon = (freq.withColumn('rank', F.row_number().over(w))
+             .where(F.col('rank') == 1)
+             .select('component', F.col('norm_key').alias('canonical')))
+
+    return (linked.join(canon, 'component')
+            .withColumn('entity_id',
+                        F.format_string('ent_%d', F.col('component')))
+            .select('mention_id', 'entity_id', 'canonical'))

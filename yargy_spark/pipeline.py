@@ -1,0 +1,82 @@
+"""End-to-end KG construction pipeline (the north_rule spine):
+
+    transcripts -> extract (mapInPandas, broadcast grammar)
+                -> mentions
+                -> entity linking (blocking + star edges + CC)
+                -> canonicalization
+                -> triples
+                -> partitioned parquet + manifest (resume, lineage,
+                   counters)
+
+``run_pipeline`` is the in-memory flow (tests/bench); ``run_resumable``
+adds the bucket-granular checkpoint/resume and metrics layer.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_mentions
+from .operators.linking import link_entities
+from .operators.triples import materialize_triples
+from .sources import manifest as mf
+
+
+def run_pipeline(transcripts: DataFrame,
+                 extractor_names=None) -> Dict[str, DataFrame]:
+    mentions = extract_mentions(transcripts, extractor_names)
+    mentions = mentions.persist()
+    entities = link_entities(mentions)
+    triples = materialize_triples(mentions, entities)
+    return {'mentions': mentions, 'entities': entities,
+            'triples': triples}
+
+
+def run_resumable(spark: SparkSession, transcripts: DataFrame,
+                  out_root: str, n_buckets: int = 16,
+                  extractor_names=None) -> Optional[dict]:
+    """Process only buckets absent from the output manifest; write one
+    snapshot covering them, with per-partition lineage + counters.
+    Re-running after success is a no-op; killing mid-run and
+    restarting picks up the unfinished buckets only."""
+    pending = mf.pending_buckets(out_root, n_buckets)
+    if not pending:
+        return None
+
+    src = mf.with_bucket(transcripts, n_buckets)
+    src = src.where(F.col(mf.BUCKET_COL).isin(pending))
+
+    t0 = time.time()
+    n_turns = src.count()
+    flows = run_pipeline(src.drop(mf.BUCKET_COL), extractor_names)
+    triples = mf.with_bucket(flows['triples'], n_buckets)
+
+    counters = {
+        'turns_in': n_turns,
+        'mentions': flows['mentions'].count(),
+        'entities': flows['entities'].select('entity_id')
+                                     .distinct().count(),
+        'wall_sec': round(time.time() - t0, 3),
+        'buckets': pending,
+    }
+    # every pending bucket must appear in the manifest even when it
+    # produced zero triples, else resume would reprocess it forever
+    snap = mf.commit_append(triples, out_root, note='triples',
+                            counters=counters)
+    for b in pending:
+        snap['partitions'].setdefault(b, {'rows': 0})
+    _rewrite_manifest(out_root, snap)
+    flows['mentions'].unpersist()
+    return snap
+
+
+def _rewrite_manifest(root: str, snap: dict) -> None:
+    import json
+    import os
+    path = os.path.join(root, '_manifests', snap['snapshot_id'] + '.json')
+    with open(path, 'w', encoding='utf-8') as fh:
+        json.dump(snap, fh, ensure_ascii=False, indent=1)
