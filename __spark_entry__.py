@@ -1,38 +1,552 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full KG pipeline (extract -> link ->
+triples) over the deterministic transcript corpus, plus document
+near-dup edges from the sf0.001 documents table, as one triples frame.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family:
+  * kg_* — extraction/linking/triples over the golden transcript
+    corpus; oracles are VALUES literals transcribed from the
+    reference's committed test assertions (the only executable oracle
+    for yargy semantics in this sandbox — see FIXTURES.md).
+  * dedup/similarity/textstats/multimodal — training-data ops over the
+    provided documents/embeddings tables; oracles replay the exact
+    same algorithm in DuckDB SQL (portable md5-based hashing,
+    integer-scaled ratios).
+  * relational corpus ops (agg/join/window) over the TPC-H-ish tables.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ------------------------------------------------------------------ helpers
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, 'documents.parquet'))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, 'embeddings.parquet'))
+
+
+def _golden_mentions(spark):
+    from yargy_spark.operators.extract import extract_mentions
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    return extract_mentions(golden_only_transcripts(spark))
+
+
+# ------------------------------------------------------------------ entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples from transcripts + near-dup edges from the
+    sf0.001 documents table, one unified (subj, pred, obj) frame."""
+    from yargy_spark.pipeline import run_pipeline
+    from yargy_spark.operators.dedup import minhash_lsh_pairs
+    from yargy_spark.sources.transcripts import synth_transcripts
+
+    transcripts = synth_transcripts(spark, n_turns=512, partitions=8)
+    kg = run_pipeline(transcripts)['triples'] \
+        .select('subj', 'pred', 'obj')
+
+    docs = _docs(spark, '/root/testdata/sf0.001')
+    dup_edges = minhash_lsh_pairs(docs).select(
+        F.format_string('doc_%d', F.col('a')).alias('subj'),
+        F.lit('near_duplicate_of').alias('pred'),
+        F.format_string('doc_%d', F.col('b')).alias('obj'))
+    return kg.unionByName(dup_edges)
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_kg_facts_golden(spark, sf_dir) -> DataFrame:
+    return _golden_mentions(spark).select('conv_id', 'rule_id',
+                                          'fact_json')
+
+
+def q_kg_triples_date(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.triples import materialize_triples
+    m = _golden_mentions(spark)
+    t = materialize_triples(m.where(F.col('rule_id') == 'date'))
+    return t.select('conv_id', 'pred', 'obj')
+
+
+def q_kg_entities(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.linking import link_entities
+    m = _golden_mentions(spark)
+    e = link_entities(m)
+    return (m.join(e, 'mention_id')
+            .groupBy('canonical')
+            .agg(F.count('*').alias('n_mentions')))
+
+
+def q_kg_person_triples(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.linking import link_entities
+    from yargy_spark.operators.triples import materialize_triples
+    m = _golden_mentions(spark)
+    e = link_entities(m)
+    t = materialize_triples(m, e)
+    canon = (t.where(F.col('pred') == 'canonical_name')
+             .select(F.col('subj'), F.col('obj').alias('canonical'))
+             .distinct())
+    return (t.where(F.col('rule_id') == 'person')
+            .where(~F.col('pred').isin('canonical_name', 'mentioned_as'))
+            .join(canon, 'subj')
+            .select('canonical', 'pred', 'obj'))
+
+
+def q_exact_dedup(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_dups(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_dups(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_docs(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.dedup import simhash_docs
+    return simhash_docs(_docs(spark, sf_dir))
+
+
+def q_embedding_dup_pairs(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.dedup import embedding_dup_pairs
+    return embedding_dup_pairs(_emb(spark, sf_dir),
+                               threshold_x10000=4000)
+
+
+def q_ann_cosine_topk(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.similarity import cosine_topk
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.similarity import ivf_topk
+    return ivf_topk(_emb(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.textstats import quality_scores
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.textstats import token_counts
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.textstats import doc_fingerprints
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.multimodal import media_metadata
+    return media_metadata(_docs(spark, sf_dir))
+
+
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, 'lineitem.parquet'))
+    dec = lambda c: F.col(c).cast('decimal(18,2)')  # noqa: E731
+    return (li.groupBy('l_returnflag', 'l_linestatus')
+            .agg(F.sum(dec('l_quantity')).alias('sum_qty'),
+                 F.sum(dec('l_extendedprice')).alias('sum_price'),
+                 F.count('*').alias('count_order')))
+
+
+def q_top_customers(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+    orders = spark.read.parquet(os.path.join(sf_dir, 'orders.parquet'))
+    cust = spark.read.parquet(os.path.join(sf_dir, 'customer.parquet'))
+    per = (orders.groupBy('o_custkey')
+           .agg(F.count('*').alias('n_orders'),
+                F.sum(F.col('o_totalprice').cast('decimal(18,2)'))
+                .alias('total_spent')))
+    joined = per.join(F.broadcast(cust),
+                      per.o_custkey == cust.c_custkey)
+    w = Window.partitionBy('c_mktsegment').orderBy(
+        F.desc('n_orders'), F.desc('total_spent'), F.asc('c_custkey'))
+    return (joined.withColumn('rnk', F.row_number().over(w))
+            .where(F.col('rnk') <= 3)
+            .select('c_mktsegment', 'c_custkey', 'n_orders',
+                    'total_spent', 'rnk'))
+
+
+def q_event_sessions(spark, sf_dir) -> DataFrame:
+    from pyspark.sql import Window
+    ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    gap = (F.unix_timestamp('ts')
+           - F.unix_timestamp(F.lag('ts').over(w)))
+    marked = ev.withColumn(
+        'new_session',
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (marked.groupBy('user_id')
+            .agg(F.sum('new_session').alias('n_sessions'),
+                 F.count('*').alias('n_events')))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        'kg_facts_golden': q_kg_facts_golden,
+        'kg_triples_date': q_kg_triples_date,
+        'kg_entities': q_kg_entities,
+        'kg_person_triples': q_kg_person_triples,
+        'exact_dedup': q_exact_dedup,
+        'ngram_jaccard_dups': q_ngram_jaccard_dups,
+        'minhash_lsh_dups': q_minhash_lsh_dups,
+        'simhash_docs': q_simhash_docs,
+        'embedding_dup_pairs': q_embedding_dup_pairs,
+        'ann_cosine_topk': q_ann_cosine_topk,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'lang_id': q_lang_id,
+        'quality_scores': q_quality_scores,
+        'token_counts': q_token_counts,
+        'doc_fingerprints': q_doc_fingerprints,
+        'multimodal_meta': q_multimodal_meta,
+        'pricing_summary': q_pricing_summary,
+        'top_customers': q_top_customers,
+        'event_sessions': q_event_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+def _values_rows(rows, cols):
+    body = ',\n  '.join(
+        '(%s)' % ', '.join(_sql_lit(v) for v in row) for row in rows)
+    return 'SELECT * FROM (VALUES\n  %s\n) AS t(%s)' % (
+        body, ', '.join(cols))
+
+
+def _sql_lit(v):
+    if isinstance(v, str):
+        return "'%s'" % v.replace("'", "''")
+    return str(v)
+
+
+def _kg_expected():
+    from tests.goldens import EXPECTED_FACTS
+    return [(c, r, json.dumps(f, ensure_ascii=False, sort_keys=True))
+            for c, r, f in EXPECTED_FACTS]
+
+
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_H60 = "('0x' || substr(md5({x}), 1, 15))::int64"
+
+_SHINGLES = """
+  norm AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM norm WHERE len(w) >= 3))
+""".format(norm=_NORM)
+
+_JACCARD_VERIFY = """
+  sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT c.a, c.b, count(*) AS inter
+    FROM cands c
+    JOIN shingles sa ON sa.doc_id = c.a
+    JOIN shingles sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b),
+  verified AS (
+    SELECT i.a, i.b,
+           CAST(floor(10000.0 * i.inter /
+                (za.sz + zb.sz - i.inter)) AS BIGINT) AS jaccard_x10000
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.a
+    JOIN sizes zb ON zb.doc_id = i.b)
+"""
+
+_HASH_FAMILY_VALUES = None  # built lazily in oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from yargy_spark.operators.dedup import (HASH_FAMILY, MERSENNE,
+                                             ROWS_PER_BAND)
+    from yargy_spark.operators.textstats import EN_STOP, TOKEN_PATTERN
+
+    kg = _kg_expected()
+    stop_list = ', '.join("'%s'" % w for w in EN_STOP)
+    family_rows = ',\n    '.join(
+        '(%d, %d, %d)' % (i, a, b)
+        for i, (a, b) in enumerate(HASH_FAMILY))
+
+    oracles = {}
+
+    oracles['kg_facts_golden'] = _values_rows(
+        kg, ['conv_id', 'rule_id', 'fact_json'])
+
+    oracles['kg_triples_date'] = _values_rows([
+        ('g000003', 'day', '8'), ('g000003', 'month', '6'),
+        ('g000003', 'year', '2015'),
+        ('g000004', 'day', '18'), ('g000004', 'month', '7'),
+        ('g000004', 'year', '2016'),
+        ('g000005', 'day', '2'), ('g000005', 'month', '1'),
+        ('g000005', 'year', '2016'),
+        ('g000006', 'year', '2015'),
+    ], ['conv_id', 'pred', 'obj'])
+
+    oracles['kg_entities'] = _values_rows([
+        ('иван|ульянов', 5), ('владимир|путин', 2),
+        ('саша|иванов', 1), ('саша|иванова', 1), ('саша|быков', 1),
+    ], ['canonical', 'n_mentions'])
+
+    oracles['kg_person_triples'] = _values_rows([
+        ('иван|ульянов', 'name.first', 'Иван'),
+        ('иван|ульянов', 'name.last', 'Ульянов'),
+        ('иван|ульянов', 'position', 'управляющий директор'),
+    ], ['canonical', 'pred', 'obj'])
+
+    oracles['exact_dedup'] = """
+WITH hashed AS (
+  SELECT doc_id, {h} AS h FROM documents)
+SELECT min(doc_id) AS rep_id, count(*) AS group_size
+FROM hashed GROUP BY h
+""".format(h=_H60.format(x=_NORM))
+
+    oracles['ngram_jaccard_dups'] = """
+WITH {sh},
+  dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+  rare AS (SELECT s.doc_id, s.shingle FROM shingles s
+           JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
+  cands AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM rare l JOIN rare r ON l.shingle = r.shingle
+    WHERE l.doc_id < r.doc_id),
+  {jv}
+SELECT a, b, jaccard_x10000 FROM verified WHERE jaccard_x10000 >= 2000
+""".format(sh=_SHINGLES, jv=_JACCARD_VERIFY)
+
+    oracles['minhash_lsh_dups'] = """
+WITH {sh},
+  fam(i, a, b) AS (VALUES
+    {fam}),
+  xs AS (SELECT doc_id, {h} % {m} AS x FROM shingles),
+  sig AS (
+    SELECT doc_id, fam.i AS hash_idx,
+           min((fam.a * xs.x + fam.b) % {m}) AS minhash
+    FROM xs CROSS JOIN fam GROUP BY doc_id, fam.i),
+  bands AS (
+    SELECT doc_id, CAST(hash_idx / {rpb} AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), '_'
+                      ORDER BY hash_idx) AS sig_key
+    FROM sig GROUP BY doc_id, CAST(hash_idx / {rpb} AS INT)),
+  cands AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.sig_key = r.sig_key
+    WHERE l.doc_id < r.doc_id),
+  {jv}
+SELECT a, b, jaccard_x10000 FROM verified WHERE jaccard_x10000 >= 2000
+""".format(sh=_SHINGLES, fam=family_rows, m=MERSENNE,
+           rpb=ROWS_PER_BAND, jv=_JACCARD_VERIFY,
+           h=_H60.format(x='shingle'))
+
+    oracles['simhash_docs'] = """
+WITH toks AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+        FROM documents)),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+  GROUP BY doc_id, bit)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::int64 << bit) ELSE 0 END) AS simhash
+FROM per_bit GROUP BY doc_id
+""".format(h=_H60.format(x='w'), norm=_NORM)
+
+    oracles['embedding_dup_pairs'] = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(floor(10000.0 * list_cosine_similarity(
+           a.embedding, b.embedding)) AS BIGINT) AS cos_x10000
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(10000.0 * list_cosine_similarity(a.embedding, b.embedding))
+      >= 4000
+"""
+
+    oracles['ann_cosine_topk'] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(10000.0 * list_cosine_similarity(
+             q.embedding, c.embedding)) AS BIGINT) AS cos_x10000
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_x10000 DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_x10000
+FROM ranked WHERE rank <= 5
+"""
+
+    oracles['ann_ivf_topk'] = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centv
+  FROM embeddings WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(10000.0 * list_cosine_similarity(
+                 e.embedding, c.centv)) DESC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE r = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY floor(10000.0 * list_cosine_similarity(
+                 q.embedding, c.centv)) DESC, c.centroid_id ASC) AS r
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10)
+  WHERE r <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(floor(10000.0 * list_cosine_similarity(
+             p.qv, a.embedding)) AS BIGINT) AS cos_x10000
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id != a.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_x10000 DESC, neighbor_id ASC) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id, rank, cos_x10000
+FROM ranked WHERE rank <= 5
+"""
+
+    oracles['lang_id'] = """
+SELECT doc_id,
+  CASE
+    WHEN 10000 * length(regexp_replace(lower(text), '[^а-яё]', '', 'g'))
+         / greatest(length(text), 1) > 300 THEN 'ru'
+    WHEN 10000 * length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+         / greatest(length(text), 1) > 300 THEN 'zh'
+    WHEN len(list_intersect(string_split(lower(text), ' '),
+             [{stops}])) >= 1 THEN 'en'
+    ELSE 'und'
+  END AS detected_lang
+FROM documents
+""".format(stops=stop_list)
+
+    oracles['quality_scores'] = """
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars_txt,
+         len(string_split(trim(lower(text)), ' ')) AS n_words,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           AS alpha_len,
+         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+           AS punct,
+         len(list_filter(string_split(trim(lower(text)), ' '),
+             w -> w IN ({stops}))) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_chars_txt, n_words,
+  CAST(floor(100.0 * alpha_len / greatest(n_words, 1)) AS BIGINT)
+    AS mean_word_len_x100,
+  CAST(floor(10000.0 * punct / greatest(n_chars_txt, 1)) AS BIGINT)
+    AS punct_ratio_x10000,
+  CAST(floor(10000.0 * stop_hits / greatest(n_words, 1)) AS BIGINT)
+    AS stop_ratio_x10000,
+  CASE WHEN n_words >= 10 AND n_chars_txt >= 50
+        AND floor(100.0 * alpha_len / greatest(n_words, 1))
+            BETWEEN 200 AND 1000
+        AND floor(10000.0 * punct / greatest(n_chars_txt, 1)) <= 2000
+       THEN 1 ELSE 0 END AS keep
+FROM base
+""".format(stops=stop_list)
+
+    oracles['token_counts'] = """
+SELECT doc_id,
+  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '{pat}')) AS re_tokens
+FROM documents
+""".format(pat=TOKEN_PATTERN)
+
+    oracles['doc_fingerprints'] = """
+WITH {sh},
+hashed AS (SELECT DISTINCT doc_id, {h} AS fp_hash FROM shingles),
+ranked AS (
+  SELECT doc_id, fp_hash, row_number() OVER (
+      PARTITION BY doc_id ORDER BY fp_hash ASC) AS fp_rank
+  FROM hashed)
+SELECT doc_id, fp_rank, fp_hash FROM ranked WHERE fp_rank <= 4
+""".format(sh=_SHINGLES, h=_H60.format(x='shingle'))
+
+    oracles['multimodal_meta'] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+  CAST(doc_id % 64 + 16 AS INT) AS width,
+  CAST(doc_id % 48 + 16 AS INT) AS height,
+  CAST(length(repeat(md5(text), 4)) / 2 AS INT) AS n_bytes
+FROM documents
+"""
+
+    oracles['pricing_summary'] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    oracles['top_customers'] = """
+WITH per AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT c.c_mktsegment, c.c_custkey, p.n_orders, p.total_spent,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY p.n_orders DESC, p.total_spent DESC,
+                    c.c_custkey ASC) AS rnk
+  FROM per p JOIN customer c ON p.o_custkey = c.c_custkey)
+SELECT c_mktsegment, c_custkey, n_orders, total_spent, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+    oracles['event_sessions'] = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_session) AS n_sessions,
+       count(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+    return oracles

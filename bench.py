@@ -1,0 +1,107 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: KG construction throughput (turns/sec) over the
+deterministic synthetic transcript corpus at the SF implied by
+$SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS]; plus the
+training-data operator suite over the provided documents/embeddings
+tables and one relational aggregate.
+
+Output:
+  {"metric": "kg_pipeline_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "turns": N, "turns_per_sec": X, "cpus": C}
+
+The two-cluster-size scaling evidence (local[8] vs local[32]) is a
+separate harness: tools/scaling_bench.py (results in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r'sf([0-9.]+)', sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main():
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    sf = sf_of(sf_dir)
+
+    from yargy_spark.plans.session import build_session
+    from yargy_spark.sources.transcripts import synth_transcripts
+    from yargy_spark.operators.extract import extract_mentions
+    from yargy_spark.operators.linking import link_entities
+    from yargy_spark.operators.triples import materialize_triples
+
+    spark = build_session(app='yargy-spark-bench',
+                          master='local[%d]' % cpus,
+                          shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel('ERROR')
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: KG construction over transcripts at SF ------------
+    n_turns = max(1024, int(1_000_000 * sf))
+    transcripts = synth_transcripts(
+        spark, n_turns=n_turns, partitions=max(cpus * 2, 32)).persist()
+    transcripts.count()  # materialize input outside the timed region
+
+    mentions = None
+
+    def _extract():
+        nonlocal mentions
+        mentions = extract_mentions(transcripts).persist()
+        return mentions.count()
+
+    n_mentions = timed('kg_extract', _extract)
+
+    def _link_and_triples():
+        entities = link_entities(mentions)
+        return materialize_triples(mentions, entities).count()
+
+    n_triples = timed('kg_link_triples', _link_and_triples)
+
+    # --- training-data ops over provided tables ----------------------
+    import __spark_entry__ as entry
+
+    for q in ['minhash_lsh_dups', 'ngram_jaccard_dups', 'simhash_docs',
+              'ann_cosine_topk', 'ann_ivf_topk', 'token_counts',
+              'quality_scores', 'pricing_summary']:
+        fn = entry.queries()[q]
+        timed(q, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    kg_sec = timings['kg_extract'] + timings['kg_link_triples']
+    result = {
+        'metric': 'kg_pipeline_total',
+        'value': total,
+        'unit': 'sec',
+        'queries': timings,
+        'sf': sf,
+        'turns': n_turns,
+        'mentions': n_mentions,
+        'triples': n_triples,
+        'turns_per_sec': round(n_turns / max(kg_sec, 1e-9), 1),
+        'cpus': cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,91 @@
+"""Training-data operator tests over the provided sf0.001 tables:
+dedup (exact / jaccard / minhash / simhash / embedding), similarity
+(brute + IVF), text stats, multimodal plumbing.
+
+Cross-engine value equality vs DuckDB oracles is exercised separately
+by tools/verify_entry.py (and the round driver); these tests pin
+algebraic invariants that hold at any scale.
+"""
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    return spark.read.parquet(SF_DIR + '/documents.parquet').persist()
+
+
+@pytest.fixture(scope='module')
+def emb(spark):
+    return spark.read.parquet(SF_DIR + '/embeddings.parquet').persist()
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    from yargy_spark.operators.dedup import exact_dedup
+    groups = exact_dedup(docs).collect()
+    assert sum(r['group_size'] for r in groups) == docs.count()
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
+    from yargy_spark.operators.dedup import (minhash_lsh_pairs,
+                                             ngram_jaccard_pairs)
+    lsh = {(r['a'], r['b'], r['jaccard_x10000'])
+           for r in minhash_lsh_pairs(docs).collect()}
+    exact = {(r['a'], r['b'], r['jaccard_x10000'])
+             for r in ngram_jaccard_pairs(docs).collect()}
+    # LSH candidates are verified with exact Jaccard, so every LSH
+    # pair must appear in the exhaustive set
+    assert lsh <= exact
+    # and on this corpus the band settings reach full recall
+    assert lsh == exact
+
+
+def test_simhash_stability(spark, docs):
+    from yargy_spark.operators.dedup import simhash_docs
+    a = {(r['doc_id'], r['simhash'])
+         for r in simhash_docs(docs).collect()}
+    b = {(r['doc_id'], r['simhash'])
+         for r in simhash_docs(docs).collect()}
+    assert a == b and len(a) == docs.count()
+
+
+def test_ann_ivf_agrees_with_brute_force_mostly(spark, emb):
+    from yargy_spark.operators.similarity import cosine_topk, ivf_topk
+    brute = {(r['query_id'], r['neighbor_id'])
+             for r in cosine_topk(emb, k=3).collect()}
+    ivf = {(r['query_id'], r['neighbor_id'])
+           for r in ivf_topk(emb, k=3).collect()}
+    # approximate: demand >= 50% overlap on this tiny corpus
+    assert len(brute & ivf) >= len(brute) // 2
+
+
+def test_quality_and_tokens(spark, docs):
+    from yargy_spark.operators.textstats import (quality_scores,
+                                                 token_counts)
+    q = quality_scores(docs).collect()
+    assert all(0 <= r['punct_ratio_x10000'] <= 10000 for r in q)
+    t = {r['doc_id']: r for r in token_counts(docs).collect()}
+    assert all(r['re_tokens'] >= r['ws_tokens'] > 0
+               for r in t.values())
+
+
+def test_multimodal_plumbing(spark, docs):
+    from yargy_spark.operators.multimodal import (decode_image,
+                                                  extract_features,
+                                                  synth_media)
+    with pytest.raises(NotImplementedError):
+        decode_image(b'\x00')
+    media = synth_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    row = feats[0]
+    assert row['n_bytes'] == 64 and len(row['histogram']) == 16
+    assert abs(sum(row['histogram']) - 1.0) < 1e-5
+    # deterministic across runs
+    again = extract_features(media).collect()
+    assert {r['doc_id']: r['byte_mean_x100'] for r in feats} == \
+        {r['doc_id']: r['byte_mean_x100'] for r in again}

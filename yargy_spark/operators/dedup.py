@@ -1,0 +1,207 @@
+"""Deduplication operators over a document corpus.
+
+Five dedup families, all expressed with built-in Spark SQL functions
+(JVM-side, whole-stage codegen — no Python in the data path):
+
+  * exact           — hash-groupBy on normalized text
+  * n-gram Jaccard  — word-shingle set-similarity join (exact baseline)
+  * MinHash + LSH   — shingle -> K minhashes -> banded buckets ->
+                      candidate pairs -> exact-Jaccard verify
+  * SimHash         — 32-bit sign-aggregated token hash + Hamming pairs
+  * embedding       — cosine near-duplicate pairs (see similarity.py
+                      for the ANN scale path)
+
+Cross-engine determinism: every hash bottoms out in
+``conv(substr(md5(x),1,15),16,10)`` (60-bit int), reproducible in any
+SQL engine, so a DuckDB oracle can replay the exact computation.
+Ratios are scaled to integers (x10000) to avoid float hashing skew.
+
+Scale notes (100 TB): the shingle self-join prunes "stop shingles"
+with document frequency above ``max_df`` before pairing (candidate
+recall loss only for pairs sharing exclusively ultra-common shingles);
+MinHash/LSH replaces the quadratic join with banded bucketing; both
+shuffles key on shingle/bucket ids which salt naturally via banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed MinHash family: h_i(x) = (a_i * x31 + b_i) mod M, M = 2^31-1.
+# x31 < 2^31 and a_i < 2^31 keep the product under 2^62 (no ANSI
+# overflow in either engine).  16 functions = 8 bands x 2 rows.
+MERSENNE = 2_147_483_647
+HASH_FAMILY = [
+    (1_103_515_245, 12_345), (1_566_083_941, 54_321),
+    (1_812_433_253, 29_573), (1_664_525, 1_013_904_223),
+    (22_695_477, 1), (134_775_813, 10_013),
+    (214_013, 2_531_011), (69_069, 362_437),
+    (1_103_515_247, 98_765), (1_566_083_943, 11_111),
+    (1_812_433_255, 77_777), (1_664_527, 33_533),
+    (22_695_479, 2_222), (134_775_815, 4_444),
+    (214_015, 8_888), (69_071, 16_161),
+]
+N_BANDS, ROWS_PER_BAND = 8, 2
+
+
+def _norm_text(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r'\s+', ' ')
+
+
+def md5_int(col):
+    """Portable 60-bit integer hash (md5 hex prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast('long')
+
+
+def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word k-grams of the normalized text."""
+    arr = F.split(_norm_text(F.col('text')), ' ')
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    grams = F.expr(
+        "CASE WHEN size(words) >= {k} THEN "
+        "transform(sequence(1, size(words) - {k} + 1), "
+        "i -> concat_ws(' ', slice(words, i, {k}))) "
+        "ELSE array() END".format(k=k))
+    return (docs
+            .select('doc_id', arr.alias('words'))
+            .select('doc_id', F.explode(grams).alias('shingle'))
+            .distinct())
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text: one representative
+    (min doc_id) per distinct text + group size."""
+    return (docs
+            .select('doc_id',
+                    md5_int(_norm_text(F.col('text'))).alias('text_hash'))
+            .groupBy('text_hash')
+            .agg(F.min('doc_id').alias('rep_id'),
+                 F.count('*').alias('group_size'))
+            .select('rep_id', 'group_size'))
+
+
+def _pair_jaccard(shingles: DataFrame, candidates: DataFrame
+                  ) -> DataFrame:
+    """Exact Jaccard for candidate (a, b) pairs given the shingle
+    table; returns (a, b, jaccard_x10000)."""
+    sizes = shingles.groupBy('doc_id').agg(F.count('*').alias('sz'))
+    sa = shingles.select(F.col('doc_id').alias('a'),
+                         F.col('shingle').alias('sh'))
+    sb = shingles.select(F.col('doc_id').alias('b'),
+                         F.col('shingle').alias('sh'))
+    inter = (candidates.join(sa, 'a').join(sb, ['b', 'sh'])
+             .groupBy('a', 'b').agg(F.count('*').alias('inter')))
+    return (inter
+            .join(sizes.select(F.col('doc_id').alias('a'),
+                               F.col('sz').alias('sz_a')), 'a')
+            .join(sizes.select(F.col('doc_id').alias('b'),
+                               F.col('sz').alias('sz_b')), 'b')
+            .select('a', 'b',
+                    F.floor(F.lit(10000.0) * F.col('inter')
+                            / (F.col('sz_a') + F.col('sz_b')
+                               - F.col('inter')))
+                    .cast('long').alias('jaccard_x10000')))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
+                        threshold_x10000: int = 2000,
+                        max_df: int = 100) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b).  Candidates come
+    from a shingle equi-join with stop-shingle pruning (df > max_df);
+    Jaccard is then verified on the full shingle sets."""
+    sh = word_shingles(docs, k)
+    df_counts = sh.groupBy('shingle').agg(F.count('*').alias('df'))
+    rare = sh.join(df_counts.where(F.col('df') <= max_df), 'shingle')
+    left = rare.select(F.col('doc_id').alias('a'), 'shingle')
+    right = rare.select(F.col('doc_id').alias('b'), 'shingle')
+    cands = (left.join(right, 'shingle')
+             .where(F.col('a') < F.col('b'))
+             .select('a', 'b').distinct())
+    pairs = _pair_jaccard(sh, cands)
+    return (pairs.where(F.col('jaccard_x10000') >= threshold_x10000)
+            .select('a', 'b', 'jaccard_x10000'))
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, hash_idx, minhash) — K minhashes per document."""
+    sh = word_shingles(docs, k).select(
+        'doc_id', (md5_int(F.col('shingle')) % MERSENNE).alias('x'))
+    family = F.array(*[
+        F.struct(F.lit(i).alias('i'), F.lit(a).alias('a'),
+                 F.lit(b).alias('b'))
+        for i, (a, b) in enumerate(HASH_FAMILY)])
+    exploded = sh.select('doc_id', 'x', F.explode(family).alias('h'))
+    return (exploded
+            .groupBy('doc_id', F.col('h.i').alias('hash_idx'))
+            .agg(F.min((F.col('h.a') * F.col('x') + F.col('h.b'))
+                       % MERSENNE).alias('minhash')))
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
+                      threshold_x10000: int = 2000) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded signatures bucket candidate
+    pairs, exact Jaccard verifies them (a < b).  The banded bucket join
+    is the 100 TB path — no all-pairs comparison ever happens."""
+    sig = minhash_signatures(docs, k)
+    # band key = '_'-joined minhashes in hash_idx order (collect_list
+    # order is nondeterministic, so sort structs before joining)
+    bands = (sig
+             .withColumn('band', (F.col('hash_idx')
+                                  / F.lit(ROWS_PER_BAND)).cast('int'))
+             .groupBy('doc_id', 'band')
+             .agg(F.array_join(
+                 F.array_sort(F.collect_list(
+                     F.struct('hash_idx', 'minhash'))).minhash
+                 .cast('array<string>'), '_').alias('sig_key')))
+    left = bands.select(F.col('doc_id').alias('a'), 'band', 'sig_key')
+    right = bands.select(F.col('doc_id').alias('b'), 'band', 'sig_key')
+    cands = (left.join(right, ['band', 'sig_key'])
+             .where(F.col('a') < F.col('b'))
+             .select('a', 'b').distinct())
+    pairs = _pair_jaccard(word_shingles(docs, k), cands)
+    return (pairs.where(F.col('jaccard_x10000') >= threshold_x10000)
+            .select('a', 'b', 'jaccard_x10000'))
+
+
+def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document over word tokens."""
+    toks = (docs
+            .select('doc_id',
+                    F.explode(F.split(_norm_text(F.col('text')), ' '))
+                    .alias('w'))
+            .select('doc_id', md5_int(F.col('w')).alias('h')))
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    # vote +1 when bit set, -1 otherwise (shift amounts are columns, so
+    # SQL-expression form is required)
+    per_bit = (toks
+               .select('doc_id', 'h', F.explode(bit_ids).alias('bit'))
+               .select('doc_id', 'bit',
+                       F.expr('CASE WHEN shiftrightunsigned(h, bit) % 2 '
+                              '= 1 THEN 1 ELSE -1 END').alias('vote')))
+    return (per_bit
+            .groupBy('doc_id', 'bit')
+            .agg(F.sum('vote').alias('s'))
+            .withColumn('bitval',
+                        F.expr('CASE WHEN s > 0 THEN '
+                               'shiftleft(CAST(1 AS BIGINT), bit) '
+                               'ELSE CAST(0 AS BIGINT) END'))
+            .groupBy('doc_id')
+            .agg(F.sum('bitval').alias('simhash')))
+
+
+def embedding_dup_pairs(embeddings: DataFrame,
+                        threshold_x10000: int = 9500) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold.
+    Exact all-pairs baseline; the bucketed scale path lives in
+    similarity.ivf_assign (probe within clusters only)."""
+    from .similarity import cosine_x10000
+    a = embeddings.select(F.col('vec_id').alias('a'),
+                          F.col('embedding').alias('va'))
+    b = embeddings.select(F.col('vec_id').alias('b'),
+                          F.col('embedding').alias('vb'))
+    return (a.join(b, F.col('a') < F.col('b'))
+            .select('a', 'b',
+                    cosine_x10000(F.col('va'), F.col('vb'))
+                    .alias('cos_x10000'))
+            .where(F.col('cos_x10000') >= threshold_x10000))

@@ -63,14 +63,15 @@ def mention_id(conv_id: str, turn_idx: int, start: int, stop: int,
         hashlib.sha1(raw.encode('utf-8')).digest()[:8], 'big') >> 1
 
 
-def _run_bank(bank: CompiledBank,
-              batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    columns = [f.name for f in MENTION_SCHEMA.fields]
+def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
+              passthrough) -> Iterator[pd.DataFrame]:
+    columns = [f.name for f in MENTION_SCHEMA.fields] + list(passthrough)
     for pdf in batches:
         out = []
-        for conv_id, turn_idx, text in zip(
+        extras = [pdf[c].values for c in passthrough]
+        for i, (conv_id, turn_idx, text) in enumerate(zip(
                 pdf['conv_id'].values, pdf['turn_idx'].values,
-                pdf['text'].values):
+                pdf['text'].values)):
             if not text:
                 continue
             for row in bank.run(text):
@@ -79,6 +80,8 @@ def _run_bank(bank: CompiledBank,
                 row['mention_id'] = mention_id(
                     conv_id, int(turn_idx), row['span_start'],
                     row['span_stop'], row['rule_id'])
+                for c, vals in zip(passthrough, extras):
+                    row[c] = vals[i]
                 out.append(row)
         yield pd.DataFrame(out, columns=columns) if out else \
             pd.DataFrame({c: [] for c in columns})
@@ -87,6 +90,7 @@ def _run_bank(bank: CompiledBank,
 def extract_mentions(transcripts: DataFrame,
                      extractor_names=None,
                      use_trigger: bool = True,
+                     passthrough=(),
                      bank: Optional[CompiledBank] = None) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> mentions table.
 
@@ -98,7 +102,10 @@ def extract_mentions(transcripts: DataFrame,
     if bank is None:
         bank = CompiledBank(extractor_names)
 
-    src = transcripts.select('conv_id', 'turn_idx', 'text')
+    passthrough = [c for c in passthrough
+                   if c not in ('conv_id', 'turn_idx', 'text')]
+    src = transcripts.select('conv_id', 'turn_idx', 'text',
+                             *passthrough)
     trigger = bank.trigger_regex if use_trigger else None
     if trigger is not None:
         # JVM-side prefilter: Catalyst pushes this ahead of the
@@ -114,6 +121,8 @@ def extract_mentions(transcripts: DataFrame,
         if cached is None:
             cached = payload.value
             _BANK_CACHE[key] = cached
-        return _run_bank(cached, batches)
+        return _run_bank(cached, batches, passthrough)
 
-    return src.mapInPandas(fn, MENTION_SCHEMA)
+    schema = StructType(MENTION_SCHEMA.fields
+                        + [transcripts.schema[c] for c in passthrough])
+    return src.mapInPandas(fn, schema)

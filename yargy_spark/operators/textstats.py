@@ -1,0 +1,96 @@
+"""Text analysis operators: language id, quality scoring, token
+counting, document fingerprinting.
+
+All JVM-side expressions (regexp/split/aggregate — no Python UDFs).
+Every ratio is emitted as floor(x * 10000) so cross-engine oracles
+hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_int, word_shingles
+
+# minimal multi-language stopword probe sets (heuristic langid + the
+# stopword-ratio quality feature)
+EN_STOP = ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for']
+
+# portable "BPE-ish" token pattern: letter runs, digit runs, single
+# non-alnum marks
+TOKEN_PATTERN = '[a-z]+|[0-9]+|[^a-z0-9 ]'
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Character-range n-gram heuristic language id: script detection
+    first (cyrillic / CJK / arabic), then an English stopword-density
+    test within latin script.  (doc_id, detected_lang)."""
+    text = F.lower(F.col('text'))
+    n_chars = F.greatest(F.length('text'), F.lit(1))
+    cyr = F.length(F.regexp_replace(text, '[^а-яё]', ''))
+    cjk = F.length(F.regexp_replace(F.col('text'), r'[^一-鿿]', ''))
+    words = F.split(text, ' ')
+    stop_hits = F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in EN_STOP])))
+    detected = (
+        F.when(F.lit(10000) * cyr / n_chars > 300, 'ru')
+        .when(F.lit(10000) * cjk / n_chars > 300, 'zh')
+        .when(stop_hits >= 1, 'en')
+        .otherwise('und'))
+    return docs.select('doc_id', detected.alias('detected_lang'))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality features + keep/drop flag:
+    (doc_id, n_chars_txt, n_words, mean_word_len_x100,
+     punct_ratio_x10000, stop_ratio_x10000, keep)."""
+    text = F.lower(F.col('text'))
+    words = F.split(F.trim(text), ' ')
+    n_words = F.size(words)
+    n_chars = F.length('text')
+    punct = F.length(F.regexp_replace(text, '[a-z0-9 ]', ''))
+    alpha_len = F.length(F.regexp_replace(text, '[^a-z0-9]', ''))
+    mean_wl = F.floor(F.lit(100.0) * alpha_len
+                      / F.greatest(n_words, F.lit(1)))
+    stop_hits = F.aggregate(
+        F.transform(words, lambda w: F.when(
+            w.isin(EN_STOP), 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    stop_ratio = F.floor(F.lit(10000.0) * stop_hits
+                         / F.greatest(n_words, F.lit(1)))
+    punct_ratio = F.floor(F.lit(10000.0) * punct
+                          / F.greatest(n_chars, F.lit(1)))
+    keep = ((n_words >= 10) & (n_chars >= 50)
+            & (mean_wl >= 200) & (mean_wl <= 1000)
+            & (punct_ratio <= 2000)).cast('int')
+    return docs.select(
+        'doc_id',
+        n_chars.alias('n_chars_txt'),
+        n_words.alias('n_words'),
+        mean_wl.cast('long').alias('mean_word_len_x100'),
+        punct_ratio.cast('long').alias('punct_ratio_x10000'),
+        stop_ratio.cast('long').alias('stop_ratio_x10000'),
+        keep.alias('keep'))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + regex (BPE-ish) token count."""
+    text = F.lower(F.col('text'))
+    ws = F.size(F.split(F.trim(text), r'\s+'))
+    re_toks = F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN),
+                                          F.lit(0)))
+    return docs.select('doc_id', ws.alias('ws_tokens'),
+                       re_toks.alias('re_tokens'))
+
+
+def doc_fingerprints(docs: DataFrame, n: int = 4,
+                     k: int = 3) -> DataFrame:
+    """Winnowing-style fingerprint: the ``n`` smallest distinct
+    word-shingle hashes per document -> (doc_id, fp_rank, fp_hash)."""
+    sh = word_shingles(docs, k).select(
+        'doc_id', md5_int(F.col('shingle')).alias('fp_hash')).distinct()
+    w = Window.partitionBy('doc_id').orderBy(F.asc('fp_hash'))
+    return (sh.withColumn('fp_rank', F.row_number().over(w))
+            .where(F.col('fp_rank') <= n)
+            .select('doc_id', 'fp_rank', 'fp_hash'))
