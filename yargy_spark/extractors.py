@@ -248,7 +248,7 @@ class CompiledBank:
             return None
         return '|'.join('(?:%s)' % t for t in dict.fromkeys(triggers))
 
-    def run(self, text: str):
+    def run(self, text: str, stats=None):
         """All extractors over one turn; yields result dicts.
 
         The turn is tokenized+morph-tagged ONCE and the token list is
@@ -267,7 +267,11 @@ class CompiledBank:
             try:
                 matches = parser.findall(text, tokens=tokens)
             except Exception:
-                # parse budget / pathological turn: skip, count upstream
+                # parse budget / pathological turn: skip the rule for
+                # this turn (poison-turn guard); surfaced via metrics
+                if stats is not None:
+                    stats['budget_aborts'] = stats.get(
+                        'budget_aborts', 0) + 1
                 continue
             for m in matches:
                 data = None

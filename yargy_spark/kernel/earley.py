@@ -246,14 +246,17 @@ class _State:
 
 
 class _Col:
-    __slots__ = ('index', 'token', 'states', 'seen', 'waiting')
+    __slots__ = ('index', 'token', 'states', 'seen', 'waiting',
+                 'predicted', 'scan_memo')
 
     def __init__(self, index: int, token: Optional[Tok]):
         self.index = index
         self.token = token
         self.states: List[_State] = []
         self.seen = set()
-        self.waiting = {}   # id(awaited rule) -> [states]
+        self.waiting = {}    # id(awaited rule) -> [states]
+        self.predicted = set()   # rule ids already expanded here
+        self.scan_memo = {}  # id(predicate) -> bool on this token
 
     def push(self, state: _State) -> bool:
         key = state.key()
@@ -371,23 +374,41 @@ class Parser:
         dot at 0 their only next move is that exact scan, so they can
         never advance.  Ranks stay consistent per (rule, column), which
         is what the ambiguity comparator relies on."""
+        # predict is a pure function of (rule, column): expanding once
+        # per column is equivalent to the reference's per-state calls
+        # followed by hash dedup (Column.append, parser.py:88-93)
+        key = id(rule)
+        if key in col.predicted:
+            return
+        col.predicted.add(key)
         productions = (rule.predict(nxt.token) if nxt is not None
                        else rule.productions)
         next_token = nxt.token if nxt is not None else None
+        memo = nxt.scan_memo if nxt is not None else None
         for rank, production in enumerate(productions):
             terms = production.terms
             if terms and next_token is not None:
                 first = terms[0]
-                if not isinstance(first, GrammarRule) \
-                        and not first(next_token):
-                    continue
+                if not isinstance(first, GrammarRule):
+                    fkey = id(first)
+                    hit = memo.get(fkey)
+                    if hit is None:
+                        hit = memo[fkey] = bool(first(next_token))
+                    if not hit:
+                        continue
             node = TreeNode(rule, production, rank, [])
             push(col, _State(rule, production, 0, col, col, node))
 
     def _scan(self, nxt, predicate, state, push):
-        token = nxt.token
-        if predicate(token):
-            leaf = TreeLeaf(predicate, predicate.constrain(token))
+        # one evaluation per (predicate, token): shared terminals across
+        # productions/rules hit the memo
+        memo = nxt.scan_memo
+        key = id(predicate)
+        hit = memo.get(key)
+        if hit is None:
+            hit = memo[key] = bool(predicate(nxt.token))
+        if hit:
+            leaf = TreeLeaf(predicate, predicate.constrain(nxt.token))
             push(nxt, _State(state.rule, state.production, state.dot + 1,
                              state.start, nxt, state.node.grown(leaf)))
 

@@ -63,18 +63,29 @@ def mention_id(conv_id: str, turn_idx: int, start: int, stop: int,
         hashlib.sha1(raw.encode('utf-8')).digest()[:8], 'big') >> 1
 
 
+def make_extract_metrics(spark) -> dict:
+    """Per-stage accumulators (SURVEY.md §2.10 metrics): flushed from
+    Python workers after each task; read on the driver after an
+    action."""
+    sc = spark.sparkContext
+    return {'turns': sc.accumulator(0),
+            'mentions': sc.accumulator(0),
+            'budget_aborts': sc.accumulator(0)}
+
+
 def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
-              passthrough) -> Iterator[pd.DataFrame]:
+              passthrough, metrics=None) -> Iterator[pd.DataFrame]:
     columns = [f.name for f in MENTION_SCHEMA.fields] + list(passthrough)
     for pdf in batches:
         out = []
+        stats: dict = {}
         extras = [pdf[c].values for c in passthrough]
         for i, (conv_id, turn_idx, text) in enumerate(zip(
                 pdf['conv_id'].values, pdf['turn_idx'].values,
                 pdf['text'].values)):
             if not text:
                 continue
-            for row in bank.run(text):
+            for row in bank.run(text, stats):
                 row['conv_id'] = conv_id
                 row['turn_idx'] = int(turn_idx)
                 row['mention_id'] = mention_id(
@@ -83,6 +94,10 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
                 for c, vals in zip(passthrough, extras):
                     row[c] = vals[i]
                 out.append(row)
+        if metrics is not None:
+            metrics['turns'] += len(pdf)
+            metrics['mentions'] += len(out)
+            metrics['budget_aborts'] += stats.get('budget_aborts', 0)
         yield pd.DataFrame(out, columns=columns) if out else \
             pd.DataFrame({c: [] for c in columns})
 
@@ -91,7 +106,8 @@ def extract_mentions(transcripts: DataFrame,
                      extractor_names=None,
                      use_trigger: bool = True,
                      passthrough=(),
-                     bank: Optional[CompiledBank] = None) -> DataFrame:
+                     bank: Optional[CompiledBank] = None,
+                     metrics: Optional[dict] = None) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> mentions table.
 
     One pass over the corpus evaluates every extractor in the bank
@@ -121,7 +137,7 @@ def extract_mentions(transcripts: DataFrame,
         if cached is None:
             cached = payload.value
             _BANK_CACHE[key] = cached
-        return _run_bank(cached, batches, passthrough)
+        return _run_bank(cached, batches, passthrough, metrics)
 
     schema = StructType(MENTION_SCHEMA.fields
                         + [transcripts.schema[c] for c in passthrough])
