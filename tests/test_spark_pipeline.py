@@ -41,6 +41,20 @@ def test_mention_ids_deterministic(golden_mentions):
     assert len(a) == golden_mentions.count()
 
 
+def test_metrics_and_passthrough(spark):
+    from yargy_spark.operators.extract import (extract_mentions,
+                                               make_extract_metrics)
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    t = golden_only_transcripts(spark)
+    metrics = make_extract_metrics(spark)
+    m = extract_mentions(t, passthrough=('ts',), metrics=metrics)
+    rows = m.collect()
+    assert rows and all(r['ts'] is not None for r in rows)
+    assert metrics['mentions'].value == len(rows)
+    assert metrics['turns'].value > 0
+    assert metrics['budget_aborts'].value == 0
+
+
 def test_entity_linking(spark, golden_mentions):
     from yargy_spark.operators.linking import link_entities
     entities = link_entities(golden_mentions)

@@ -28,9 +28,10 @@ from .sources import manifest as mf
 
 def run_pipeline(transcripts: DataFrame,
                  extractor_names=None) -> Dict[str, DataFrame]:
-    mentions = extract_mentions(transcripts, extractor_names)
-    mentions = mentions.persist()
-    entities = link_entities(mentions)
+    mentions = extract_mentions(transcripts, extractor_names).persist()
+    # entity links feed triples AND get counted/written downstream —
+    # persist so the connected-components chain runs exactly once
+    entities = link_entities(mentions).persist()
     triples = materialize_triples(mentions, entities)
     return {'mentions': mentions, 'entities': entities,
             'triples': triples}
@@ -53,13 +54,14 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
     t0 = time.time()
     n_turns = src.count()
     flows = run_pipeline(src.drop(mf.BUCKET_COL), extractor_names)
-    triples = mf.with_bucket(flows['triples'], n_buckets)
+    triples = mf.with_bucket(flows['triples'], n_buckets).persist()
 
     counters = {
         'turns_in': n_turns,
         'mentions': flows['mentions'].count(),
         'entities': flows['entities'].select('entity_id')
                                      .distinct().count(),
+        'triples': triples.count(),
         'wall_sec': round(time.time() - t0, 3),
         'buckets': pending,
     }
@@ -71,6 +73,8 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
         snap['partitions'].setdefault(b, {'rows': 0})
     _rewrite_manifest(out_root, snap)
     flows['mentions'].unpersist()
+    flows['entities'].unpersist()
+    triples.unpersist()
     return snap
 
 
