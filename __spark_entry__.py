@@ -106,6 +106,17 @@ def q_kg_person_triples(spark, sf_dir) -> DataFrame:
             .select('canonical', 'pred', 'obj'))
 
 
+_TOKEN_CONVS = ('g000000', 'g000003', 'g000007', 'g000009')
+
+
+def q_kg_token_table(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.tokens import token_table
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    t = golden_only_transcripts(spark).where(
+        F.col('conv_id').isin(*_TOKEN_CONVS))
+    return token_table(t)
+
+
 def q_exact_dedup(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.dedup import exact_dedup
     return exact_dedup(_docs(spark, sf_dir))
@@ -214,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_triples_date': q_kg_triples_date,
         'kg_entities': q_kg_entities,
         'kg_person_triples': q_kg_person_triples,
+        'kg_token_table': q_kg_token_table,
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
         'minhash_lsh_dups': q_minhash_lsh_dups,
@@ -321,6 +333,23 @@ def oracle_sql() -> dict[str, str]:
         ('иван|ульянов', 'name.last', 'Ульянов'),
         ('иван|ульянов', 'position', 'управляющий директор'),
     ], ['canonical', 'pred', 'obj'])
+
+    # token-table oracle: the kernel tokenizer is the oracle generator;
+    # its own behavior is pinned byte-for-byte by the reference golden
+    # suite (tests/test_tokenizer.py), so these VALUES are
+    # reference-derived, and the query validates the Spark plumbing.
+    from yargy_spark.kernel.tokenize import TokenSpec
+    from yargy_spark.sources.transcripts import GOLDEN_SENTENCES
+    spec = TokenSpec()
+    token_rows = []
+    for conv in _TOKEN_CONVS:
+        sentence = GOLDEN_SENTENCES[int(conv[1:])]
+        for i, tok in enumerate(spec(sentence)):
+            token_rows.append((conv, 0, i, tok.value, tok.start,
+                               tok.stop, tok.type))
+    oracles['kg_token_table'] = _values_rows(
+        token_rows, ['conv_id', 'turn_idx', 'tok_idx', 'value',
+                     'start', 'stop', 'type'])
 
     oracles['exact_dedup'] = """
 WITH hashed AS (

@@ -75,8 +75,12 @@ def main():
     n_mentions = timed('kg_extract', _extract)
 
     def _link_and_triples():
-        entities = link_entities(mentions)
-        return materialize_triples(mentions, entities).count()
+        # persist entity links: the triples union references them in
+        # three branches
+        entities = link_entities(mentions).persist()
+        n = materialize_triples(mentions, entities).count()
+        entities.unpersist()
+        return n
 
     n_triples = timed('kg_link_triples', _link_and_triples)
 

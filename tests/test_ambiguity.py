@@ -41,6 +41,23 @@ def test_or_rank_preference():
     assert got == [['a', 'b']]
 
 
+def test_find_and_grammar_source():
+    RULE = or_(rule('a', 'b'), rule('b'))
+    parser = Parser(RULE)
+    match = parser.find('x x a b y')
+    assert match is not None and match.span == (4, 7)
+    assert parser.find('x y z') is None
+    assert parser.grammar_source == ["R0 -> 'a' 'b' | 'b'"]
+
+
+def test_phone_email_rules():
+    from yargy_spark.tokenizer import Tokenizer, EMAIL_RULE, PHONE_RULE
+    tk = Tokenizer().add_rules(EMAIL_RULE, PHONE_RULE)
+    values = tk.split('email: ab@mail.ru call: 8 915 132 54 76')
+    assert values == ['email', ':', 'ab@mail.ru', 'call', ':',
+                      ' 8 915 132 54 76']
+
+
 def test_max_coverage_dp():
     spans = [(0, 5), (2, 13), (6, 13)]
     assert list(pick_max_coverage(spans)) == [(0, 5), (6, 13)]

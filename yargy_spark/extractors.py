@@ -231,22 +231,25 @@ class CompiledBank:
     broadcast to executors (grammar IR + expanded dictionaries +
     lexicon, SURVEY.md §3.1)."""
 
-    def __init__(self, names=None):
-        names = list(names or EXTRACTORS)
-        self.extractors = [(n, EXTRACTORS[n]) for n in names]
+    def __init__(self, names=None, extractors=None):
+        pool = extractors or EXTRACTORS
+        names = list(names or pool)
+        # only data crosses the broadcast: compiled parsers + triggers
+        # (builder functions may live in non-importable test modules)
+        self.triggers = [pool[n].trigger for n in names]
         self.parsers = [
-            (n, e.fact_type, e.compile(), e.key_fn,
-             re.compile(e.trigger) if e.trigger else None)
-            for n, e in self.extractors]
+            (n, pool[n].fact_type, pool[n].compile(), pool[n].key_fn,
+             re.compile(pool[n].trigger) if pool[n].trigger else None)
+            for n in names]
 
     @property
     def trigger_regex(self) -> Optional[str]:
         """JVM-pushdown prefilter: union of extractor triggers, or None
         if any extractor lacks one."""
-        triggers = [e.trigger for _, e in self.extractors]
-        if any(t is None for t in triggers):
+        if not self.triggers or any(t is None for t in self.triggers):
             return None
-        return '|'.join('(?:%s)' % t for t in dict.fromkeys(triggers))
+        return '|'.join('(?:%s)' % t
+                        for t in dict.fromkeys(self.triggers))
 
     def run(self, text: str, stats=None):
         """All extractors over one turn; yields result dicts.
@@ -265,7 +268,9 @@ class CompiledBank:
             if tokens is None:
                 tokens = self.parsers[0][2].tokenize(text)
             try:
-                matches = parser.findall(text, tokens=tokens)
+                # materialize: findall is lazy, the budget trips
+                # during iteration
+                matches = list(parser.findall(text, tokens=tokens))
             except Exception:
                 # parse budget / pathological turn: skip the rule for
                 # this turn (poison-turn guard); surfaced via metrics

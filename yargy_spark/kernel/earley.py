@@ -316,7 +316,15 @@ class Parser:
         context = Context(tokenizer, self.tagger)
         rule = rule.activate(context)
         rule = rule.normalized
-        self.rule = rule.as_bnf.start
+        self.bnf = rule.as_bnf
+        self.rule = self.bnf.start
+
+    @property
+    def grammar_source(self):
+        """Text dump of the compiled BNF grammar (the engine's
+        toDebugString analog; replaces the reference's graphviz
+        debug sink, dot.py)."""
+        return list(self.bnf.source)
 
     def tokenize(self, text: str) -> List[Tok]:
         """Tokenize+tag once; the token list can be shared across many

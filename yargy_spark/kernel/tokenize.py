@@ -79,8 +79,11 @@ class Tok:
                    self.forms, tag)
 
     # constrained() narrows morphological readings after a predicate or
-    # agreement check (token.py:53-57)
+    # agreement check (token.py:53-57); morphed/tagged are the
+    # reference's decoration names (token.py:17-28)
     constrained = with_forms
+    morphed = with_forms
+    tagged = with_tag
 
     def __repr__(self):
         return 'Tok(%r, [%d, %d), %s)' % (

@@ -98,8 +98,10 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
             metrics['turns'] += len(pdf)
             metrics['mentions'] += len(out)
             metrics['budget_aborts'] += stats.get('budget_aborts', 0)
-        yield pd.DataFrame(out, columns=columns) if out else \
-            pd.DataFrame({c: [] for c in columns})
+        if out:
+            yield pd.DataFrame(out, columns=columns)
+        # empty outputs yield no batch: object-typed empty frames
+        # cannot be Arrow-converted to list<struct> columns
 
 
 def extract_mentions(transcripts: DataFrame,
