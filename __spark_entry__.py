@@ -205,6 +205,30 @@ def q_top_customers(spark, sf_dir) -> DataFrame:
                     'total_spent', 'rnk'))
 
 
+def q_idle_customers(spark, sf_dir) -> DataFrame:
+    """Anti-join: customers with no orders (except-semantics analog,
+    SURVEY.md §2.7 relational view)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, 'orders.parquet'))
+    cust = spark.read.parquet(os.path.join(sf_dir, 'customer.parquet'))
+    big = orders.where(F.col('o_totalprice') > 300000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey,
+                      'left_anti')
+            .select('c_custkey', 'c_mktsegment'))
+
+
+def q_orders_rollup(spark, sf_dir) -> DataFrame:
+    """Grouping-sets rollup over order status x priority."""
+    orders = spark.read.parquet(os.path.join(sf_dir, 'orders.parquet'))
+    return (orders
+            .rollup('o_orderstatus', 'o_orderpriority')
+            .agg(F.count('*').alias('n_orders'))
+            .select(F.coalesce('o_orderstatus', F.lit('ALL'))
+                    .alias('status'),
+                    F.coalesce('o_orderpriority', F.lit('ALL'))
+                    .alias('priority'),
+                    'n_orders'))
+
+
 def q_event_sessions(spark, sf_dir) -> DataFrame:
     from pyspark.sql import Window
     ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
@@ -240,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_meta': q_multimodal_meta,
         'pricing_summary': q_pricing_summary,
         'top_customers': q_top_customers,
+        'idle_customers': q_idle_customers,
+        'orders_rollup': q_orders_rollup,
         'event_sessions': q_event_sessions,
     }
 
@@ -563,6 +589,19 @@ ranked AS (
   FROM per p JOIN customer c ON p.o_custkey = c.c_custkey)
 SELECT c_mktsegment, c_custkey, n_orders, total_spent, rnk
 FROM ranked WHERE rnk <= 3
+"""
+
+    oracles['idle_customers'] = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+    oracles['orders_rollup'] = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
     oracles['event_sessions'] = """
