@@ -223,6 +223,11 @@ RAW: Dict[str, Tuple[Tuple[str, str], ...]] = {
     'общество': (('общество', 'NOUN inan neut nomn sing'),),
     'завод': (('завод', 'NOUN inan masc nomn sing'),),
     'заводе': (('завод', 'NOUN inan loct masc sing'),),
+    'пени': (('пеня', 'NOUN femn gent inan sing'),
+             ('пеня', 'NOUN femn inan nomn plur')),
+    'пеня': (('пеня', 'NOUN femn inan nomn sing'),),
+    'неустойка': (('неустойка', 'NOUN femn inan nomn sing'),),
+    'неустойку': (('неустойка', 'NOUN accs femn inan sing'),),
     'наша': (('наш', 'ADJF Apro femn nomn sing'),),
     'нашей': (('наш', 'ADJF Apro femn gent sing'),),
     'эра': (('эра', 'NOUN femn inan nomn sing'),),
