@@ -108,6 +108,100 @@ def q_kg_person_triples(spark, sf_dir) -> DataFrame:
 
 _TOKEN_CONVS = ('g000000', 'g000003', 'g000007', 'g000009')
 
+# rule_id -> fact_type (extractor bank, yargy_spark/extractors.py)
+_FACT_TYPES = {'person': 'Person', 'person_norm': 'Person',
+               'name': 'Name', 'date': 'Date', 'money': 'Money',
+               'geo': 'Geo', 'era': 'Era'}
+
+
+def q_kg_money_triples(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.triples import materialize_triples
+    m = _golden_mentions(spark)
+    t = materialize_triples(m.where(F.col('rule_id').isin('money',
+                                                          'era')))
+    return t.select('conv_id', 'rule_id', 'pred', 'obj')
+
+
+def q_kg_geo_triples(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.triples import materialize_triples
+    m = _golden_mentions(spark)
+    t = materialize_triples(m.where(F.col('rule_id') == 'geo'))
+    return t.select('conv_id', 'pred', 'obj')
+
+
+def q_kg_fact_spans(spark, sf_dir) -> DataFrame:
+    """Span sink (Fact.spans): char offsets of filled attributes."""
+    m = _golden_mentions(spark).where(
+        F.col('conv_id').isin(*_TOKEN_CONVS))
+    return (m.select('conv_id', 'rule_id',
+                     F.explode('fact_spans').alias('sp'))
+            .select('conv_id', 'rule_id',
+                    F.col('sp.start').alias('start'),
+                    F.col('sp.stop').alias('stop')))
+
+
+def q_kg_lemma_tokens(spark, sf_dir) -> DataFrame:
+    """Morphology as a broadcast-joined dimension table (the
+    'A-alternative' of SURVEY.md §2.2/§2.3)."""
+    from yargy_spark.operators.tokens import (annotate_lemmas,
+                                              lexicon_table,
+                                              token_table)
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    t = golden_only_transcripts(spark).where(
+        F.col('conv_id').isin(*_TOKEN_CONVS))
+    toks = token_table(t)
+    return (annotate_lemmas(toks, lexicon_table(spark))
+            .select('conv_id', 'tok_idx', 'value',
+                    F.array_join('lemmas', ',').alias('lemmas')))
+
+
+def q_events_asof(spark, sf_dir) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent
+    error at-or-before it (union-and-carry composition, one shuffle)."""
+    from pyspark.sql import Window
+    from yargy_spark.operators.events import asof_join
+    ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
+    clicks = (ev.where(F.col('event_type') == 'click')
+              .select('event_id', 'user_id', 'ts'))
+    w = Window.partitionBy('user_id', 'ts').orderBy(F.desc('event_id'))
+    errors = (ev.where(F.col('event_type') == 'error')
+              .withColumn('rn', F.row_number().over(w))
+              .where(F.col('rn') == 1)
+              .select('user_id', 'ts', 'event_id'))
+    out = asof_join(clicks, errors, on='user_id',
+                    right_cols=('event_id',))
+    return out.select('event_id', 'user_id',
+                      F.col('r_event_id').alias('last_error_id'))
+
+
+def q_stream_mention_rollup(spark, sf_dir) -> DataFrame:
+    """Structured Streaming: file source -> extraction kernel ->
+    watermarked event-time rollup, drained with availableNow."""
+    import tempfile
+    from yargy_spark.sources.transcripts import GOLDEN_SENTENCES
+    from yargy_spark.streaming.ingest import (stream_transcripts,
+                                              windowed_mention_counts)
+    base = tempfile.mkdtemp(prefix='ys_stream_q_')
+    src = os.path.join(base, 'src')
+    os.makedirs(src)
+    with open(os.path.join(src, 'b.json'), 'w', encoding='utf-8') as fh:
+        for i, s in enumerate(GOLDEN_SENTENCES):
+            fh.write(json.dumps(
+                {'conv_id': 'g%06d' % i, 'turn_idx': 0, 'role': 'user',
+                 'text': s, 'tool': None,
+                 'ts': '2026-01-01T00:%02d:00.000Z' % (i % 20)},
+                ensure_ascii=False) + '\n')
+    agg = windowed_mention_counts(stream_transcripts(spark, src),
+                                  watermark='30 minutes',
+                                  window='10 minutes')
+    name = 'rollup_' + os.path.basename(base)[-8:]
+    q = (agg.writeStream.format('memory').queryName(name)
+         .outputMode('complete').trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col('window.start').cast('long')
+                    .alias('win_start'), 'fact_type', 'n_mentions'))
+
 
 def q_kg_token_table(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.tokens import token_table
@@ -250,6 +344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_entities': q_kg_entities,
         'kg_person_triples': q_kg_person_triples,
         'kg_token_table': q_kg_token_table,
+        'kg_money_triples': q_kg_money_triples,
+        'kg_geo_triples': q_kg_geo_triples,
+        'kg_fact_spans': q_kg_fact_spans,
+        'kg_lemma_tokens': q_kg_lemma_tokens,
+        'events_asof': q_events_asof,
+        'stream_mention_rollup': q_stream_mention_rollup,
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
         'minhash_lsh_dups': q_minhash_lsh_dups,
@@ -376,6 +476,79 @@ def oracle_sql() -> dict[str, str]:
     oracles['kg_token_table'] = _values_rows(
         token_rows, ['conv_id', 'turn_idx', 'tok_idx', 'value',
                      'start', 'stop', 'type'])
+
+    oracles['kg_money_triples'] = _values_rows([
+        ('g000007', 'money', 'currency', '$'),
+        ('g000007', 'money', 'value', '5 тысяч'),
+        ('g000008', 'era', 'value', 'AD'),
+        ('g000008', 'era', 'value', 'BC'),
+    ], ['conv_id', 'rule_id', 'pred', 'obj'])
+
+    oracles['kg_geo_triples'] = _values_rows([
+        ('g000009', 'name', 'красная площадь'),
+        ('g000009', 'name', 'первомайская улица'),
+        ('g000010', 'name', 'чеченский республика'),
+        ('g000011', 'name', 'донецкий народный республика'),
+    ], ['conv_id', 'pred', 'obj'])
+
+    # span-sink oracle: kernel-generated like kg_token_table — the
+    # kernel's span behavior is pinned by the reference-derived golden
+    # suite (tests/test_interpretation.py spans cases); the query
+    # validates the Spark plumbing end-to-end.
+    from yargy_spark.extractors import CompiledBank
+    from yargy_spark.sources.transcripts import GOLDEN_SENTENCES
+    bank = CompiledBank()
+    span_rows = []
+    for conv in _TOKEN_CONVS:
+        for row in bank.run(GOLDEN_SENTENCES[int(conv[1:])]):
+            for sp in row['fact_spans']:
+                span_rows.append((conv, row['rule_id'],
+                                  sp['start'], sp['stop']))
+    oracles['kg_fact_spans'] = _values_rows(
+        span_rows, ['conv_id', 'rule_id', 'start', 'stop'])
+
+    # lemma-annotation oracle: lexicon-generated VALUES (the lexicon
+    # rows themselves are transcribed from reference test assertions)
+    from yargy_spark.kernel.lexicon import lexicon_rows
+    from yargy_spark.kernel.tokenize import TokenSpec as _TS
+    lemma_sets: dict = {}
+    for word, _fi, lemma, _g in lexicon_rows():
+        lemma_sets.setdefault(word, set()).add(lemma)
+    _spec = _TS()
+    lemma_rows = []
+    for conv in _TOKEN_CONVS:
+        for i, tok in enumerate(_spec(GOLDEN_SENTENCES[int(conv[1:])])):
+            low = tok.value.lower()
+            lemmas = sorted(lemma_sets.get(low) or [low])
+            lemma_rows.append((conv, i, tok.value, ','.join(lemmas)))
+    oracles['kg_lemma_tokens'] = _values_rows(
+        lemma_rows, ['conv_id', 'tok_idx', 'value', 'lemmas'])
+
+    oracles['events_asof'] = """
+WITH err AS (
+  SELECT user_id, ts, max(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, e.err_id AS last_error_id
+FROM clicks c
+ASOF LEFT JOIN err e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+    # streaming rollup oracle: event-time windows computed from the
+    # deterministic per-index timestamps the query writes
+    base_epoch = 1767225600  # 2026-01-01T00:00:00Z
+    win_counts: dict = {}
+    for c, r, _f in kg:
+        i = int(c[1:])
+        win = base_epoch + ((i % 20) // 10) * 600
+        key = (win, _FACT_TYPES[r])
+        win_counts[key] = win_counts.get(key, 0) + 1
+    oracles['stream_mention_rollup'] = _values_rows(
+        [(w, ft, n) for (w, ft), n in sorted(win_counts.items())],
+        ['win_start', 'fact_type', 'n_mentions'])
 
     oracles['exact_dedup'] = """
 WITH hashed AS (

@@ -1,0 +1,54 @@
+"""As-of join (union-and-carry composition) semantics."""
+
+import datetime as dt
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 0, m)
+
+
+def test_asof_backward_with_ties(spark):
+    from yargy_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 'u1', _ts(5)),   # after err@3 -> 103
+         (2, 'u1', _ts(3)),   # same instant as err@3 -> included
+         (3, 'u1', _ts(1)),   # before any error -> null
+         (4, 'u2', _ts(9)),   # u2 has no errors -> null
+         (5, 'u3', _ts(8))],  # err@2 then err@7 -> latest wins (107)
+        'event_id long, user_id string, ts timestamp')
+    right = spark.createDataFrame(
+        [('u1', _ts(3), 103),
+         ('u3', _ts(2), 102),
+         ('u3', _ts(7), 107)],
+        'user_id string, ts timestamp, event_id long')
+
+    out = asof_join(left, right, on='user_id',
+                    right_cols=('event_id',))
+    got = {r['event_id']: r['r_event_id'] for r in out.collect()}
+    assert got == {1: 103, 2: 103, 3: None, 4: None, 5: 107}
+    # left columns survive untouched
+    assert set(out.columns) == {'event_id', 'user_id', 'ts',
+                                'r_event_id'}
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The composition shuffles once on the join key (window exchange);
+    no cartesian/range explosion appears in the plan."""
+    from yargy_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 'u1', _ts(5))],
+        'event_id long, user_id string, ts timestamp')
+    right = spark.createDataFrame(
+        [('u1', _ts(3), 103)],
+        'user_id string, ts timestamp, event_id long')
+    plan = asof_join(left, right, on='user_id',
+                     right_cols=('event_id',)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'CartesianProduct' not in plan
+    assert 'BroadcastNestedLoopJoin' not in plan

@@ -301,4 +301,8 @@ class CompiledBank:
                     # pre-flattened (pred, obj) pairs: triples become a
                     # JVM-side explode, no second Python pass
                     'attrs': flatten_fact(data),
+                    # span sink: filled-attribute char offsets
+                    # (Fact.spans, interpretation/fact.py:36-41)
+                    'fact_spans': [{'start': s, 'stop': t}
+                                   for s, t in result.spans],
                 }

@@ -1,0 +1,59 @@
+"""Event-stream operators Spark lacks natively: as-of join.
+
+The reference has no temporal joins (SURVEY.md §2.7 relational view);
+this is part of the corpus-level operator set a transcript/event
+pipeline needs (e.g. attach the most recent error context to each
+user action, or the latest tool result to a turn).
+
+Spark-first design: no built-in ASOF JOIN, so it is expressed as the
+classic union-and-carry composition — tag both sides, union, sort
+within the join key by event time, and carry the latest right-side row
+forward with ``last(..., ignorenulls=True)`` over an unbounded-
+preceding window.  One shuffle on the join key, no range explosion,
+no per-row Python; at 100 TB this beats a range join (which Catalyst
+would plan as a broadcast-nested-loop or cartesian) by orders of
+magnitude, and AQE handles hot users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: str, left_ts: str = 'ts', right_ts: str = 'ts',
+              right_cols=(), suffix: str = 'r_') -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` and equal ``on`` key (ties on ts include
+    the right row, matching DuckDB/pandas ``merge_asof`` backward
+    semantics).
+
+    ``right`` must be unique per (on, right_ts); callers dedupe first
+    so the matched row is deterministic.
+    """
+    right_cols = list(right_cols)
+    # left rows ride the union as a struct payload; right rows carry
+    # the join columns.  At equal ts the right row sorts first
+    # (_side 0 < 1) so backward as-of includes same-instant matches.
+    left_payload = F.struct(*[F.col(c) for c in left.columns])
+    lu = left.select(
+        F.col(on).alias('_on'), F.col(left_ts).alias('_ts'),
+        F.lit(1).alias('_side'), left_payload.alias('_row'),
+        *[F.lit(None).cast(right.schema[c].dataType)
+          .alias(suffix + c) for c in right_cols])
+    ru = right.select(
+        F.col(on).alias('_on'), F.col(right_ts).alias('_ts'),
+        F.lit(0).alias('_side'),
+        F.lit(None).cast(lu.schema['_row'].dataType).alias('_row'),
+        *[F.col(c).alias(suffix + c) for c in right_cols])
+
+    w = (Window.partitionBy('_on').orderBy('_ts', '_side')
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = lu.unionByName(ru).select(
+        '_side', '_row',
+        *[F.last(suffix + c, ignorenulls=True).over(w)
+          .alias(suffix + c) for c in right_cols])
+    return (carried.where(F.col('_side') == 1)
+            .select(F.col('_row.*'),
+                    *[suffix + c for c in right_cols]))

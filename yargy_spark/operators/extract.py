@@ -47,6 +47,12 @@ MENTION_SCHEMA = StructType([
         StructField('pred', StringType()),
         StructField('obj', StringType()),
     ]))),
+    # span sink (Fact.spans, interpretation/fact.py:36-41,113-122):
+    # char offsets of every filled attribute, sorted by start
+    StructField('fact_spans', ArrayType(StructType([
+        StructField('start', IntegerType()),
+        StructField('stop', IntegerType()),
+    ]))),
     StructField('mention_id', LongType()),
 ])
 
