@@ -62,12 +62,15 @@ def mention_edges(mentions: DataFrame) -> DataFrame:
           .withColumn('last_lemma',
                       F.element_at(F.split('norm_key', r'\|'), 2)))
 
-    by_key = _anchor_edges(pm, 'norm_key', 'mention_id')
-    by_conv = _anchor_edges(
-        pm.withColumn('conv_key',
-                      F.concat_ws('#', 'conv_id', 'last_lemma')),
-        'conv_key', 'mention_id')
-    return by_key.union(by_conv)
+    # both blocking families run through ONE two-phase aggregation:
+    # keys are disjoint by prefix, so a single union'd pass halves the
+    # shuffle/job count vs aggregating each family separately
+    keyed = (pm.select(F.concat_ws('#', F.lit('k'), 'norm_key')
+                       .alias('bkey'), 'mention_id')
+             .union(pm.select(
+                 F.concat_ws('#', F.lit('c'), 'conv_id', 'last_lemma')
+                 .alias('bkey'), 'mention_id')))
+    return _anchor_edges(keyed, 'bkey', 'mention_id')
 
 
 # ------------------------------------------------- connected components
@@ -114,13 +117,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20
         sym = current.union(
             current.select(F.col('dst').alias('src'),
                            F.col('src').alias('dst')))
+        # star outputs are canonically oriented already: every emitted
+        # edge is (node, group-min) with node > min, so the distinct'd
+        # union IS the canonical edge set — signature it directly.
+        # localCheckpoint is lazy; the signature action materializes it
+        # (one job per round instead of three).
         current = (_large_star(sym).union(_small_star(sym))
-                   .distinct().localCheckpoint())
-        # canonical orientation for the signature
-        canon = current.select(
-            F.greatest('src', 'dst').alias('src'),
-            F.least('src', 'dst').alias('dst')).distinct()
-        sig = signature(canon)
+                   .distinct().localCheckpoint(eager=False))
+        sig = signature(current)
         if sig == prev_sig:
             break
         prev_sig = sig
