@@ -186,3 +186,40 @@ def test_person_position_inflected():
         '12 марта по приказу президента Владимира Путина ...')]
     assert got == [Person(position='президент',
                           name=Name(first='владимир', last='путин'))]
+
+
+def test_repeatable_titles():
+    """ref.ipynb cells 46-48: repeatable attribute collects every
+    occurrence instead of rightmost-wins."""
+    from yargy_spark import not_
+    Item = fact('Item', [attribute('titles').repeatable()])
+    TITLE = rule('«', not_(eq('»')).repeatable(), '»')
+    ITEM = rule(
+        TITLE.interpretation(Item.titles),
+        eq(',').optional(),
+    ).repeatable().interpretation(Item)
+    match = Parser(ITEM).match('«Каштанка», «Дядя Ваня»')
+    assert match.fact == Item(titles=['«Каштанка»', '«Дядя Ваня»'])
+
+
+def test_recursive_construct_merge():
+    """ref.ipynb cells 50-52: construct-under-construct via a
+    recursive grammar — the two partial Items merge field-wise."""
+    from yargy_spark import forward, not_
+    Date = fact('Date', [attribute('year', 2017), 'month', 'day'])
+    DATE = rule(
+        DAY.interpretation(Date.day),
+        MONTH_NAME.interpretation(Date.month),
+        YEAR.interpretation(Date.year).optional(),
+    ).interpretation(Date)
+    TITLE = rule('«', not_(eq('»')).repeatable(), '»')
+    Item = fact('Item', ['title', 'date'])
+    ITEM = forward().interpretation(Item)
+    ITEM.define(or_(
+        TITLE.interpretation(Item.title),
+        rule(ITEM, TITLE),
+        rule(ITEM, DATE.interpretation(Item.date))))
+    match = Parser(ITEM).match('«Каштанка» 18 июня')
+    assert match.fact == Item(
+        title='«Каштанка»',
+        date=Date(year=2017, month='июня', day='18'))
