@@ -1,0 +1,89 @@
+"""Property-based kernel invariants (hypothesis).
+
+The reference has no randomized tests (SURVEY.md §5); these pin the
+engine-level contracts the Spark operators rely on: span soundness,
+non-overlap of resolved matches, tokenize-once equivalence, and
+end-to-end determinism (required for idempotent bucket re-commits).
+"""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from yargy_spark import Parser, rule, and_, or_
+from yargy_spark.kernel.tokenize import TokenSpec
+from yargy_spark.predicates import gte, lte, gram, dictionary
+
+WORDS = ['иван', 'ульянов', 'саша', 'директор', 'июня', 'площадь',
+         'стали', 'сирота', 'vk', 'com', 'x', 'hello']
+PIECES = st.one_of(
+    st.sampled_from(WORDS),
+    st.integers(0, 3000).map(str),
+    st.sampled_from(['.', ',', '-', '$', '«', '»', '(', ')']),
+)
+TEXTS = st.lists(PIECES, min_size=0, max_size=25).map(' '.join)
+
+DATE = or_(
+    rule(and_(gte(1), lte(31)), dictionary({'июнь', 'июль'}),
+         and_(gte(1900), lte(2100))),
+    rule(and_(gte(1900), lte(2100)), 'г', '.'))
+NAME = rule(gram('Name'), gram('Surn'))
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_token_span_soundness(text):
+    toks = list(TokenSpec()(text))
+    prev_stop = 0
+    for t in toks:
+        assert 0 <= t.start < t.stop <= len(text)
+        assert t.start >= prev_stop          # ordered, non-overlapping
+        assert text[t.start:t.stop] == t.value
+        prev_stop = t.stop
+    # every non-whitespace char is covered by exactly one token
+    covered = sum(t.stop - t.start for t in toks)
+    assert covered == len(re.sub(r'\s', '', text))
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS)
+def test_findall_non_overlapping_sorted(text):
+    for parser in (Parser(DATE), Parser(NAME)):
+        spans = [m.span for m in parser.findall(text)]
+        assert spans == sorted(spans)
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0                  # resolve_spans guarantee
+        for s0, s1 in spans:
+            assert 0 <= s0 < s1 <= len(text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS)
+def test_pretokenized_equivalence(text):
+    """The tokenize-once source path (IdTokenizer pattern) produces
+    identical matches to tokenizing inside findall."""
+    parser = Parser(DATE)
+    direct = [(m.span, [t.value for t in m.tokens])
+              for m in parser.findall(text)]
+    shared = [(m.span, [t.value for t in m.tokens])
+              for m in parser.findall(text,
+                                      tokens=parser.tokenize(text))]
+    assert direct == shared
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXTS)
+def test_extraction_deterministic(text):
+    """Same turn -> byte-identical result rows (idempotent re-commit
+    contract, SURVEY.md §7.1 R5)."""
+    from yargy_spark.extractors import CompiledBank
+    bank = test_extraction_deterministic.bank
+    assert list(bank.run(text)) == list(bank.run(text))
+
+
+test_extraction_deterministic.bank = None
+
+
+def setup_module(module):
+    from yargy_spark.extractors import CompiledBank
+    test_extraction_deterministic.bank = CompiledBank()
