@@ -65,17 +65,22 @@ class PassTagger(Tagger):
 # ===================================================================
 
 class TreeNode:
-    __slots__ = ('rule', 'production', 'rank', 'children')
+    __slots__ = ('rule', 'production', 'rank', 'children', 'ckey')
 
-    def __init__(self, rule, production, rank, children):
+    def __init__(self, rule, production, rank, children, ckey=None):
         self.rule = rule
         self.production = production
         self.rank = rank
         self.children = children
+        # child-identity tuple, grown incrementally: the state-dedup
+        # key component (avoids re-walking children on every push)
+        self.ckey = (tuple(id(c) for c in children)
+                     if ckey is None else ckey)
 
     def grown(self, child) -> 'TreeNode':
         return TreeNode(self.rule, self.production, self.rank,
-                        self.children + [child])
+                        self.children + [child],
+                        self.ckey + (id(child),))
 
     @property
     def head_token(self):
@@ -102,6 +107,7 @@ class TreeLeaf(TreeNode):
         self.predicate = predicate
         self.token = token
         self.children = []
+        self.ckey = ()
 
     interpretator = None
     relation = None
@@ -226,7 +232,7 @@ def _interpret(node: TreeNode):
 
 class _State:
     __slots__ = ('rule', 'production', 'dot', 'start', 'stop', 'node',
-                 'done', 'ahead')
+                 'done', 'ahead', 'ahead_is_rule')
 
     def __init__(self, rule, production, dot, start, stop, node):
         self.rule = rule
@@ -236,13 +242,18 @@ class _State:
         self.stop = stop        # _Col
         self.node = node
         terms = production.terms
-        self.done = dot >= len(terms)
-        self.ahead = None if self.done else terms[dot]
+        if dot >= len(terms):
+            self.done = True
+            self.ahead = None
+            self.ahead_is_rule = False
+        else:
+            self.done = False
+            ahead = self.ahead = terms[dot]
+            self.ahead_is_rule = isinstance(ahead, GrammarRule)
 
     def key(self):
         return (id(self.rule), id(self.production), self.dot,
-                self.start.index, self.stop.index,
-                tuple(id(c) for c in self.node.children))
+                self.start.index, self.stop.index, self.node.ckey)
 
 
 class _Col:
@@ -264,11 +275,18 @@ class _Col:
             return False
         self.seen.add(key)
         self.states.append(state)
-        if not state.done:
-            ahead = state.ahead
-            if is_grammar_rule(ahead):
-                self.waiting.setdefault(id(ahead), []).append(state)
+        if state.ahead_is_rule:
+            self.waiting.setdefault(id(state.ahead), []).append(state)
         return True
+
+    def push_new(self, state: _State) -> None:
+        """Append without the dedup check: predicted (dot-0) states are
+        created exactly once per (rule, column) by construction — the
+        predict guard — and no other path creates dot-0 states, so
+        they can never collide."""
+        self.states.append(state)
+        if state.ahead_is_rule:
+            self.waiting.setdefault(id(state.ahead), []).append(state)
 
 
 class Match:
@@ -349,12 +367,19 @@ class Parser:
                 if budget is not None and n_states > budget:
                     raise ParseBudgetExceeded(n_states)
 
+        def push_new(col, state):
+            nonlocal n_states
+            col.push_new(state)
+            n_states += 1
+            if budget is not None and n_states > budget:
+                raise ParseBudgetExceeded(n_states)
+
         size = len(cols)
         for ci in range(size):
             col = cols[ci]
             nxt = cols[ci + 1] if ci + 1 < size else None
             if ci == 0 or everywhere:
-                self._predict(col, nxt, self.rule, push)
+                self._predict(col, nxt, self.rule, push_new)
             for state in col.states:           # states grows while iterating
                 if state.done:
                     # completion: join against parents waiting on this
@@ -365,12 +390,10 @@ class Parser:
                             parent.rule, parent.production,
                             parent.dot + 1, parent.start, col,
                             parent.node.grown(state.node)))
-                else:
-                    ahead = state.ahead
-                    if is_grammar_rule(ahead):
-                        self._predict(col, nxt, ahead, push)
-                    elif nxt is not None:
-                        self._scan(nxt, ahead, state, push)
+                elif state.ahead_is_rule:
+                    self._predict(col, nxt, state.ahead, push_new)
+                elif nxt is not None:
+                    self._scan(nxt, state.ahead, state, push)
         return cols
 
     def _predict(self, col, nxt, rule, push):
@@ -404,7 +427,10 @@ class Parser:
                         hit = memo[fkey] = bool(first(next_token))
                     if not hit:
                         continue
-            node = TreeNode(rule, production, rank, [])
+            cache = production.init_nodes
+            node = cache.get(rank)
+            if node is None:
+                node = cache[rank] = TreeNode(rule, production, rank, [])
             push(col, _State(rule, production, 0, col, col, node))
 
     def _scan(self, nxt, predicate, state, push):

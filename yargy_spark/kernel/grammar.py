@@ -111,9 +111,12 @@ class Prod:
     """One production: a term sequence plus head-term index (``main``,
     default leftmost — rule/constructors.py:12-25)."""
 
-    __slots__ = ('terms', 'main')
+    __slots__ = ('terms', 'main', 'init_nodes')
 
     def __init__(self, items, main: int = 0):
+        # rank -> shared dot-0 TreeNode (filled by the parser's
+        # predict; safe to share because tree nodes are immutable)
+        self.init_nodes = {}
         terms = []
         head = None
         for idx, item in enumerate(items):
