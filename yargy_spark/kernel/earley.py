@@ -391,7 +391,9 @@ class Parser:
                             parent.dot + 1, parent.start, col,
                             parent.node.grown(state.node)))
                 elif state.ahead_is_rule:
-                    self._predict(col, nxt, state.ahead, push_new)
+                    # inline the predict-once guard (hot path)
+                    if id(state.ahead) not in col.predicted:
+                        self._predict(col, nxt, state.ahead, push_new)
                 elif nxt is not None:
                     self._scan(nxt, state.ahead, state, push)
         return cols
