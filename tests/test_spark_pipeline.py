@@ -147,3 +147,33 @@ def test_resumable_pipeline(spark, tmp_path):
     # lineage: per-partition counts recorded
     done = mf.committed_partitions(out)
     assert set(done) == {0, 1, 2, 3}
+
+
+def test_per_turn_text_equality_invariant(spark, golden_mentions):
+    """north_rule/input_hint invariant: each turn's text crosses the
+    Spark boundary byte-identical under stable (conv_id, turn_idx)
+    ordering — every emitted span indexes into the ORIGINAL turn text
+    and reproduces match_text exactly."""
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    turns = golden_only_transcripts(spark).select(
+        'conv_id', 'turn_idx', 'text')
+    joined = golden_mentions.join(turns, ['conv_id', 'turn_idx'])
+    bad = joined.where(
+        F.expr('substring(text, span_start + 1, '
+               'span_stop - span_start)') != F.col('match_text'))
+    assert bad.count() == 0
+    # and the kernel applied to the same text yields the same rows
+    # (driver-side replay of a sample = cross-boundary determinism)
+    from yargy_spark.extractors import CompiledBank
+    bank = CompiledBank()
+    sample = joined.where(F.col('conv_id').isin('g000000', 'g000009')) \
+        .select('conv_id', 'text', 'rule_id', 'span_start',
+                'span_stop').distinct().collect()
+    texts = {r['conv_id']: r['text'] for r in sample}
+    spark_rows = {(r['conv_id'], r['rule_id'],
+                   r['span_start'], r['span_stop']) for r in sample}
+    local_rows = {(conv, row['rule_id'], row['span_start'],
+                   row['span_stop'])
+                  for conv, text in texts.items()
+                  for row in bank.run(text)}
+    assert spark_rows == local_rows
