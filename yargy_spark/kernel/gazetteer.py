@@ -56,10 +56,9 @@ class GazRule(GrammarRule):
         yield token.value
 
     def predict(self, token):
-        out = []
-        for key in self._token_keys(token):
-            out.extend(self.index.get(key, ()))
-        return out
+        # hot path: called once per (rule, column); specialized per
+        # subclass to skip generator machinery on the common miss
+        return self.index.get(token.value, ())
 
     def render(self) -> str:
         return '%s -> %s' % (self.label, self.abbr)
@@ -70,6 +69,9 @@ class CaselessGazRule(GazRule):
 
     def _token_keys(self, token):
         yield token.value.lower()
+
+    def predict(self, token):
+        return self.index.get(token.value.lower(), ())
 
 
 class MorphGazRule(GazRule):
@@ -89,6 +91,22 @@ class MorphGazRule(GazRule):
                     yield form.lemma
         else:
             yield token.value.lower()
+
+    def predict(self, token):
+        forms = token.forms
+        index = self.index
+        if not forms:
+            return index.get(token.value.lower(), ())
+        out = []
+        seen = set()
+        for form in forms:
+            lemma = form.lemma
+            if lemma not in seen:
+                seen.add(lemma)
+                hits = index.get(lemma)
+                if hits:
+                    out.extend(hits)
+        return out
 
 
 class GazScheme:
