@@ -177,3 +177,21 @@ def test_per_turn_text_equality_invariant(spark, golden_mentions):
                   for conv, text in texts.items()
                   for row in bank.run(text)}
     assert spark_rows == local_rows
+
+
+def test_supplementary_plane_span_agreement(spark):
+    """Emoji (4-byte UTF-8 / surrogate pairs in UTF-16) before a match
+    must not skew char offsets between Python and the JVM: both count
+    code points."""
+    from yargy_spark.operators.extract import extract_mentions
+    text = ('🎉🎉 управляющий директор Иван Ульянов 🚀 '
+            'приехал 8 июня 2015 года')
+    df = spark.createDataFrame(
+        [('e0', 0, 'user', text, None)],
+        'conv_id string, turn_idx int, role string, text string, '
+        'tool string')
+    rows = extract_mentions(df).select(
+        'rule_id', 'span_start', 'span_stop', 'match_text').collect()
+    assert {r['rule_id'] for r in rows} == {'person', 'name', 'date'}
+    for r in rows:
+        assert text[r['span_start']:r['span_stop']] == r['match_text']
