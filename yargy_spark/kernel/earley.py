@@ -230,6 +230,24 @@ def _interpret(node: TreeNode):
 # Chart
 # ===================================================================
 
+def _first_ok(items, token, memo):
+    """Any FIRST item accepts the token?  Items are terminal
+    predicates or opaque gazetteer rules (index lookup); results
+    share the per-column scan memo."""
+    for it in items:
+        k = id(it)
+        hit = memo.get(k)
+        if hit is None:
+            if isinstance(it, GrammarRule):
+                hit = bool(it.predict(token))
+            else:
+                hit = bool(it(token))
+            memo[k] = hit
+        if hit:
+            return True
+    return False
+
+
 class _State:
     __slots__ = ('rule', 'production', 'dot', 'start', 'stop', 'node',
                  'done', 'ahead', 'ahead_is_rule')
@@ -414,20 +432,28 @@ class Parser:
         if key in col.predicted:
             return
         col.predicted.add(key)
-        productions = (rule.predict(nxt.token) if nxt is not None
-                       else rule.productions)
-        next_token = nxt.token if nxt is not None else None
-        memo = nxt.scan_memo if nxt is not None else None
+        if nxt is not None:
+            productions = rule.predict(nxt.token)
+            next_token = nxt.token
+            memo = nxt.scan_memo
+        else:
+            productions = rule.productions
+            next_token = None
+            memo = None
         for rank, production in enumerate(productions):
-            terms = production.terms
-            if terms and next_token is not None:
-                first = terms[0]
-                if not isinstance(first, GrammarRule):
-                    fkey = id(first)
-                    hit = memo.get(fkey)
-                    if hit is None:
-                        hit = memo[fkey] = bool(first(next_token))
-                    if not hit:
+            # FIRST-set lookahead: a non-nullable production whose
+            # FIRST items all reject the upcoming token can never
+            # advance — don't materialize its state at all.  At the
+            # last column (no upcoming token) only nullable
+            # productions can still complete.
+            if not production.nullable:
+                if next_token is None:
+                    if production.nullable is not None:
+                        continue
+                else:
+                    firsts = production.first_items
+                    if firsts is not None and not _first_ok(
+                            firsts, next_token, memo):
                         continue
             cache = production.init_nodes
             node = cache.get(rank)

@@ -41,6 +41,7 @@ class GazRule(GrammarRule):
     only productions whose first term can match the incoming token."""
 
     abbr = 'pipeline'
+    opaque_first = True   # FIRST test = index lookup, not predicate set
 
     def __init__(self, productions):
         super().__init__(list(productions))

@@ -111,12 +111,18 @@ class Prod:
     """One production: a term sequence plus head-term index (``main``,
     default leftmost — rule/constructors.py:12-25)."""
 
-    __slots__ = ('terms', 'main', 'init_nodes')
+    __slots__ = ('terms', 'main', 'init_nodes', 'nullable',
+                 'first_items')
 
     def __init__(self, items, main: int = 0):
         # rank -> shared dot-0 TreeNode (filled by the parser's
         # predict; safe to share because tree nodes are immutable)
         self.init_nodes = {}
+        # lookahead annotations, filled by BNF._annotate_first:
+        # nullable = can derive epsilon; first_items = terminal
+        # predicates / opaque gazetteer rules that can begin a match
+        self.nullable = None
+        self.first_items = None
         terms = []
         head = None
         for idx, item in enumerate(items):
@@ -607,12 +613,18 @@ class GrammarRule(RuleBase):
     """Executable nonterminal: productions + optional name /
     interpretator / relation (rule/bnf.py:45-86)."""
 
+    # True for gazetteer rules: their first-token index replaces
+    # FIRST-set expansion (which would enumerate every phrase)
+    opaque_first = False
+
     def __init__(self, productions, name=None, interpretator=None,
                  relation=None):
         self.productions = list(productions)
         self.name = name
         self.interpretator = interpretator
         self.relation = relation
+        self.nullable = None
+        self.first_items = None
 
     def children(self):
         return self.productions
@@ -730,6 +742,70 @@ def _strip_forwards(root: GrammarRule) -> None:
                     queue.append(t)
 
 
+def _annotate_first(rules):
+    """Nullable + FIRST-item fixpoint over the grammar — the
+    compile-time side of Earley lookahead pruning (no analog in the
+    reference, which predicts blindly; its gazetteer first-token index
+    pipelines.py:24-75 is the special case we generalize).  A FIRST
+    item is a terminal predicate, or an opaque gazetteer rule whose
+    first-token index answers "can any phrase start here" in O(1)."""
+    prods = [p for r in rules for p in r.productions]
+    for r in rules:
+        r.nullable = False
+        r.first_items = {}
+    for p in prods:
+        p.nullable = not p.terms
+        p.first_items = {}
+
+    changed = True
+    while changed:                                   # nullability
+        changed = False
+        for r in rules:
+            for p in r.productions:
+                if not p.nullable and all(
+                        is_grammar_rule(t) and t.nullable
+                        for t in p.terms):
+                    p.nullable = True
+                    changed = True
+            if not r.nullable and any(p.nullable
+                                      for p in r.productions):
+                r.nullable = True
+                changed = True
+
+    changed = True
+    while changed:                                   # FIRST sets
+        changed = False
+        for r in rules:
+            for p in r.productions:
+                acc = p.first_items
+                before = len(acc)
+                for t in p.terms:
+                    if not is_grammar_rule(t):       # terminal
+                        acc[id(t)] = t
+                        break
+                    if t.opaque_first:
+                        acc[id(t)] = t
+                        if not t.nullable:
+                            break
+                    else:
+                        acc.update(t.first_items)
+                        if not t.nullable:
+                            break
+                if len(acc) != before:
+                    changed = True
+            acc = r.first_items
+            before = len(acc)
+            for p in r.productions:
+                acc.update(p.first_items)
+            if len(acc) != before:
+                changed = True
+
+    for r in rules:
+        r.first_items = tuple(r.first_items.values())
+        for p in r.productions:
+            p.first_items = tuple(p.first_items.values())
+
+
 class BNF:
     """Named grammar: rules in BFS order from the start rule; unnamed
     rules get R0, R1, ... (rule/bnf.py:14-40)."""
@@ -742,6 +818,7 @@ class BNF:
                 rule.name = 'R%d' % count
                 count += 1
         self.rules = rules
+        _annotate_first(rules)
 
     @property
     def start(self) -> GrammarRule:
