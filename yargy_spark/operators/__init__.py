@@ -1,0 +1,19 @@
+"""Corpus-level Spark operators (one module per family; see
+COVERAGE.md for the operator -> test -> query map)."""
+
+from .extract import extract_mentions            # noqa: F401
+from .linking import (connected_components,      # noqa: F401
+                      link_entities, mention_edges)
+from .triples import materialize_triples         # noqa: F401
+from .tokens import (annotate_lemmas,            # noqa: F401
+                     lexicon_table, token_table)
+from .events import asof_join                    # noqa: F401
+from .dedup import (exact_dedup,                 # noqa: F401
+                    embedding_dup_pairs, minhash_lsh_pairs,
+                    minhash_signatures, ngram_jaccard_pairs,
+                    simhash_docs, word_shingles)
+from .similarity import cosine_topk, ivf_topk    # noqa: F401
+from .textstats import (doc_fingerprints,        # noqa: F401
+                        lang_id, quality_scores, token_counts)
+from .multimodal import (extract_features,       # noqa: F401
+                         media_metadata, synth_media)
