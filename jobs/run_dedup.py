@@ -1,0 +1,84 @@
+"""spark-submit entry point: resumable corpus deduplication.
+
+    spark-submit --master <cluster> \
+        --py-files dist/yargy_spark.zip \
+        jobs/run_dedup.py <out_dir> [docs_parquet] [n_buckets]
+
+Runs exact + MinHash/LSH dedup over a documents table and writes one
+bucketed near-dup-pair snapshot through the same manifest/resume layer
+as the KG job (bucket = hash of the pair's left doc id): re-running
+after success is a no-op; after a partial failure only the unfinished
+buckets are recomputed and committed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/dedup_pairs'
+    docs_path = (sys.argv[2] if len(sys.argv) > 2
+                 else '/root/testdata/sf0.001/documents.parquet')
+    n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    spark = (SparkSession.builder
+             .appName('yargy-spark-dedup')
+             .config('spark.sql.adaptive.enabled', 'true')
+             .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+             .getOrCreate())
+    spark.sparkContext.setLogLevel('WARN')
+
+    from yargy_spark.operators.dedup import (exact_dedup,
+                                             minhash_lsh_pairs)
+    from yargy_spark.sources import manifest as mf
+
+    pending = mf.pending_buckets(out_dir, n_buckets)
+    if not pending:
+        print(json.dumps({'status': 'noop',
+                          'reason': 'all buckets committed'}))
+        spark.stop()
+        return
+
+    t0 = time.time()
+    docs = spark.read.parquet(docs_path)
+    near = minhash_lsh_pairs(docs).select(
+        F.lit('minhash').alias('kind'),
+        F.col('a'), F.col('b'),
+        F.col('jaccard_x10000').alias('score'))
+    exact = exact_dedup(docs).where(F.col('group_size') > 1).select(
+        F.lit('exact').alias('kind'),
+        F.col('rep_id').alias('a'),
+        F.lit(None).cast('long').alias('b'),
+        F.col('group_size').alias('score'))
+    pairs = near.unionByName(exact)
+
+    bucketed = (mf.with_bucket(pairs, n_buckets, key='a')
+                .where(F.col(mf.BUCKET_COL).isin(pending))
+                .persist())
+    counters = {
+        'docs_in': docs.count(),
+        'pairs': bucketed.count(),
+        'wall_sec': round(time.time() - t0, 3),
+        'buckets': pending,
+    }
+    snap = mf.commit_append(bucketed, out_dir, note='dedup-pairs',
+                            counters=counters)
+    for b in pending:
+        snap['partitions'].setdefault(b, {'rows': 0})
+    from yargy_spark.pipeline import _rewrite_manifest
+    _rewrite_manifest(out_dir, snap)
+    print(json.dumps({'status': 'committed',
+                      'snapshot': snap['snapshot_id'],
+                      'counters': counters,
+                      'totals': snap['totals']}))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
