@@ -42,3 +42,45 @@ def test_check_gram(morph):
         morph.check_gram('verb')
     with pytest.raises(ValueError):
         morph.check_gram('UNK2')
+
+
+def test_dictionary_as_data_roundtrip(tmp_path):
+    """The full-dictionary path: dump the embedded lexicon to parquet,
+    reload via Morphology.from_parquet, get identical analyses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from yargy_spark.kernel.lexicon import (RAW, PARADIGM_RAW,
+                                            lexicon_rows)
+    from yargy_spark.kernel.morphology import (Morphology,
+                                               default_morphology)
+
+    rows = list(lexicon_rows())
+    entries = pa.table({
+        'word': [r[0] for r in rows],
+        'form_idx': [r[1] for r in rows],
+        'lemma': [r[2] for r in rows],
+        'grams': [r[3] for r in rows],
+    })
+    prows = [(lemma, i, word, sorted(grams.split()))
+             for lemma, prs in sorted(PARADIGM_RAW.items())
+             for i, (word, grams) in enumerate(prs)]
+    paradigms = pa.table({
+        'lemma': [r[0] for r in prows],
+        'row_idx': [r[1] for r in prows],
+        'word': [r[2] for r in prows],
+        'grams': [r[3] for r in prows],
+    })
+    ep, pp = str(tmp_path / 'e.parquet'), str(tmp_path / 'p.parquet')
+    pq.write_table(entries, ep)
+    pq.write_table(paradigms, pp)
+
+    loaded = Morphology.from_parquet(ep, pp)
+    ref = default_morphology()
+    for word in RAW:
+        assert loaded(word) == ref(word), word
+        assert loaded.normalized(word) == ref.normalized(word)
+    for lemma in PARADIGM_RAW:
+        t = frozenset({'nomn', 'sing'})
+        assert loaded.inflect(lemma, t) == ref.inflect(lemma, t)
+    # out-of-vocabulary contract preserved
+    assert [f.lemma for f in loaded('nosuchword')] == ['nosuchword']

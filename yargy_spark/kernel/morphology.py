@@ -166,6 +166,46 @@ class Morphology:
                 return word
         return None
 
+    @classmethod
+    def from_rows(cls, entry_rows, paradigm_rows) -> 'Morphology':
+        """Build from flat row iterables — the dictionary-as-data path
+        a full OpenCorpora build drops into.
+
+        ``entry_rows``:    (word, form_idx, lemma, grams:list)
+        ``paradigm_rows``: (lemma, row_idx, word, grams:list)
+        Row order within a word/lemma follows the *_idx column (the
+        reading order contract: forms[0] supplies ``normalized``).
+        """
+        entries: Dict[str, list] = {}
+        for word, idx, lemma, grams in sorted(
+                entry_rows, key=lambda r: (r[0], r[1])):
+            entries.setdefault(word, []).append(
+                (lemma, frozenset(grams)))
+        paradigms: Dict[str, list] = {}
+        for lemma, idx, word, grams in sorted(
+                paradigm_rows, key=lambda r: (r[0], r[1])):
+            paradigms.setdefault(lemma, []).append(
+                (word, frozenset(grams)))
+        return cls(entries, paradigms)
+
+    @classmethod
+    def from_parquet(cls, entries_path: str,
+                     paradigms_path: Optional[str] = None) -> 'Morphology':
+        """Load a dictionary shipped as parquet (columns per
+        ``from_rows``); pyarrow only — no Spark needed on the worker."""
+        import pyarrow.parquet as pq
+
+        def rows(path, cols):
+            tbl = pq.read_table(path, columns=cols)
+            return zip(*(tbl.column(c).to_pylist() for c in cols))
+
+        entry_rows = rows(entries_path,
+                          ['word', 'form_idx', 'lemma', 'grams'])
+        paradigm_rows = (rows(paradigms_path,
+                              ['lemma', 'row_idx', 'word', 'grams'])
+                         if paradigms_path else ())
+        return cls.from_rows(entry_rows, paradigm_rows)
+
 
 _DEFAULT: Optional[Morphology] = None
 
