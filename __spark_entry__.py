@@ -174,6 +174,19 @@ def q_events_asof(spark, sf_dir) -> DataFrame:
                       F.col('r_event_id').alias('last_error_id'))
 
 
+def q_kg_entity_cooccurrence(spark, sf_dir) -> DataFrame:
+    """Entity-graph materialization: canonical entity pairs
+    co-mentioned in the same group (golden convs folded into 4 groups
+    so pairs exist at this corpus size)."""
+    from yargy_spark.operators.linking import (entity_cooccurrence,
+                                               link_entities)
+    m = _golden_mentions(spark).withColumn(
+        'grp', F.pmod(F.substring('conv_id', 2, 6).cast('int'),
+                      F.lit(4)))
+    e = link_entities(m)
+    return entity_cooccurrence(m, e, group_col='grp')
+
+
 def q_stream_mention_rollup(spark, sf_dir) -> DataFrame:
     """Structured Streaming: file source -> extraction kernel ->
     watermarked event-time rollup, drained with availableNow."""
@@ -348,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_geo_triples': q_kg_geo_triples,
         'kg_fact_spans': q_kg_fact_spans,
         'kg_lemma_tokens': q_kg_lemma_tokens,
+        'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
         'events_asof': q_events_asof,
         'stream_mention_rollup': q_stream_mention_rollup,
         'exact_dedup': q_exact_dedup,
@@ -523,6 +537,16 @@ def oracle_sql() -> dict[str, str]:
             lemma_rows.append((conv, i, tok.value, ','.join(lemmas)))
     oracles['kg_lemma_tokens'] = _values_rows(
         lemma_rows, ['conv_id', 'tok_idx', 'value', 'lemmas'])
+
+    # co-occurrence oracle: conv -> canonical entity (from the
+    # kg_entities golden), folded into grp = conv_idx % 4:
+    #   grp0 {ульянов(0,16), путин(12)}  grp1 {иванов(1), быков(13)}
+    #   grp2 {иванова(2), ульянов(14)}   grp3 {ульянов(15)} -> no pair
+    oracles['kg_entity_cooccurrence'] = _values_rows([
+        ('владимир|путин', 'иван|ульянов', 1),
+        ('иван|ульянов', 'саша|иванова', 1),
+        ('саша|быков', 'саша|иванов', 1),
+    ], ['a', 'b', 'n_groups'])
 
     oracles['events_asof'] = """
 WITH err AS (

@@ -195,3 +195,19 @@ def test_supplementary_plane_span_agreement(spark):
     assert {r['rule_id'] for r in rows} == {'person', 'name', 'date'}
     for r in rows:
         assert text[r['span_start']:r['span_stop']] == r['match_text']
+
+
+def test_entity_cooccurrence(spark, golden_mentions):
+    """Entity-graph materialization: pairs bounded by distinct
+    (group, entity), not mention count."""
+    from yargy_spark.operators.linking import (entity_cooccurrence,
+                                               link_entities)
+    m = golden_mentions.withColumn(
+        'grp', F.pmod(F.substring('conv_id', 2, 6).cast('int'),
+                      F.lit(4)))
+    e = link_entities(m)
+    got = {(r['a'], r['b']): r['n_groups']
+           for r in entity_cooccurrence(m, e, 'grp').collect()}
+    assert got == {('владимир|путин', 'иван|ульянов'): 1,
+                   ('иван|ульянов', 'саша|иванова'): 1,
+                   ('саша|быков', 'саша|иванов'): 1}

@@ -170,3 +170,25 @@ def link_entities(mentions: DataFrame) -> DataFrame:
             .withColumn('entity_id',
                         F.format_string('ent_%d', F.col('component')))
             .select('mention_id', 'entity_id', 'canonical'))
+
+
+# ------------------------------------------------------- graph edges
+
+def entity_cooccurrence(mentions: DataFrame, entities: DataFrame,
+                        group_col: str = 'conv_id') -> DataFrame:
+    """Entity co-occurrence edges: (a, b, n_groups) for canonical
+    entity pairs mentioned in the same group (conversation by
+    default) — the KG's entity-graph materialization.
+
+    Scale shape: the self-join runs on the DISTINCT (group, entity)
+    table, which is bounded by group count x entities-per-group, not
+    by mention count; hot groups are handled by AQE skew-join."""
+    ge = (mentions.join(entities, 'mention_id')
+          .select(F.col(group_col).alias('grp'), 'canonical')
+          .distinct())
+    left = ge.select('grp', F.col('canonical').alias('a'))
+    right = ge.select('grp', F.col('canonical').alias('b'))
+    return (left.join(right, 'grp')
+            .where(F.col('a') < F.col('b'))
+            .groupBy('a', 'b')
+            .agg(F.countDistinct('grp').alias('n_groups')))
