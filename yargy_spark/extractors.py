@@ -192,16 +192,27 @@ class Extractor:
     def __init__(self, name: str, fact_type: str, builder: Callable,
                  trigger: Optional[str] = None,
                  key_fn: Optional[Callable] = None,
-                 cap: int = 100_000):
+                 cap: int = 100_000,
+                 tokenizer=None, tagger=None):
         self.name = name
         self.fact_type = fact_type
         self.builder = builder
         self.trigger = trigger
         self.key_fn = key_fn
         self.cap = cap
+        self.tokenizer = tokenizer
+        self.tagger = tagger
+
+    @property
+    def shares_tokens(self) -> bool:
+        """Default tokenizer+tagger extractors share one token list
+        per turn (cookbook pre-tokenized pattern); custom ones
+        tokenize/tag themselves."""
+        return self.tokenizer is None and self.tagger is None
 
     def compile(self) -> Parser:
-        return Parser(self.builder(), cap=self.cap)
+        return Parser(self.builder(), tokenizer=self.tokenizer,
+                      tagger=self.tagger, cap=self.cap)
 
 
 # Digits appear in every date/money golden shape, so the trigger is a
@@ -239,7 +250,8 @@ class CompiledBank:
         self.triggers = [pool[n].trigger for n in names]
         self.parsers = [
             (n, pool[n].fact_type, pool[n].compile(), pool[n].key_fn,
-             re.compile(pool[n].trigger) if pool[n].trigger else None)
+             re.compile(pool[n].trigger) if pool[n].trigger else None,
+             pool[n].shares_tokens)
             for n in names]
 
     @property
@@ -262,15 +274,19 @@ class CompiledBank:
         parses.  Per-extractor triggers short-circuit before parsing.
         """
         tokens = None
-        for name, fact_type, parser, key_fn, trigger in self.parsers:
+        for (name, fact_type, parser, key_fn, trigger,
+             shares) in self.parsers:
             if trigger is not None and not trigger.search(text):
                 continue
-            if tokens is None:
-                tokens = self.parsers[0][2].tokenize(text)
+            if shares and tokens is None:
+                tokens = parser.tokenize(text)
             try:
                 # materialize: findall is lazy, the budget trips
-                # during iteration
-                matches = list(parser.findall(text, tokens=tokens))
+                # during iteration; custom-tokenizer/tagger extractors
+                # tokenize themselves (tokens= only for the default
+                # sharing group)
+                matches = list(parser.findall(
+                    text, tokens=tokens if shares else None))
             except Exception:
                 # parse budget / pathological turn: skip the rule for
                 # this turn (poison-turn guard); surfaced via metrics
