@@ -187,6 +187,17 @@ def q_kg_entity_cooccurrence(spark, sf_dir) -> DataFrame:
     return entity_cooccurrence(m, e, group_col='grp')
 
 
+def q_transcripts_tool_stats(spark, sf_dir) -> DataFrame:
+    """Input-schema rollup over the deterministic transcript source
+    (role/tool/conv columns); the oracle replays the id-derived
+    generator expressions in SQL."""
+    from yargy_spark.sources.transcripts import synth_transcripts
+    t = synth_transcripts(spark, n_turns=1024, partitions=8)
+    return (t.groupBy('role', 'tool')
+            .agg(F.count('*').alias('n_turns'),
+                 F.countDistinct('conv_id').alias('n_convs')))
+
+
 def q_stream_mention_rollup(spark, sf_dir) -> DataFrame:
     """Structured Streaming: file source -> extraction kernel ->
     watermarked event-time rollup, drained with availableNow."""
@@ -363,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_lemma_tokens': q_kg_lemma_tokens,
         'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
         'events_asof': q_events_asof,
+        'transcripts_tool_stats': q_transcripts_tool_stats,
         'stream_mention_rollup': q_stream_mention_rollup,
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
@@ -559,6 +571,21 @@ SELECT c.event_id, c.user_id, e.err_id AS last_error_id
 FROM clicks c
 ASOF LEFT JOIN err e
   ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+    oracles['transcripts_tool_stats'] = """
+WITH t AS (
+  SELECT i AS id, (i % 8) % 3 AS role_idx, i // 8 AS conv
+  FROM (SELECT unnest(generate_series(0, 1023)) AS i)),
+r AS (
+  SELECT conv,
+    ['user','assistant','tool'][role_idx + 1] AS role,
+    CASE WHEN role_idx = 2
+         THEN ['search','calculator','db'][id % 3 + 1] END AS tool
+  FROM t)
+SELECT role, tool, count(*) AS n_turns,
+       count(DISTINCT conv) AS n_convs
+FROM r GROUP BY role, tool
 """
 
     # streaming rollup oracle: event-time windows computed from the
