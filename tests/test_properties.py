@@ -87,3 +87,40 @@ test_extraction_deterministic.bank = None
 def setup_module(module):
     from yargy_spark.extractors import CompiledBank
     test_extraction_deterministic.bank = CompiledBank()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 999), min_size=1, max_size=12))
+def test_rightmost_wins_vs_repeatable(values):
+    """Interpretation laws over arbitrary token streams: a plain
+    attribute keeps the RIGHTMOST occurrence (ref.ipynb cells 41-44),
+    a .repeatable() attribute accumulates ALL (cells 45-48)."""
+    from yargy_spark.interpretation import attribute, fact
+    from yargy_spark.predicates import type_
+    text = ' '.join(str(v) for v in values)
+
+    Last = fact('Last', ['x'])
+    RULE = type_('INT').interpretation(
+        Last.x).repeatable().interpretation(Last)
+    match = Parser(RULE).match(text)
+    assert match is not None and match.fact == Last(x=str(values[-1]))
+
+    All = fact('All', [attribute('xs').repeatable()])
+    RULE = type_('INT').interpretation(
+        All.xs).repeatable().interpretation(All)
+    match = Parser(RULE).match(text)
+    assert match.fact == All(xs=[str(v) for v in values])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(['саша', 'иванов', 'и', '3']),
+                min_size=1, max_size=8))
+def test_match_iff_whole_text_findall_span(words):
+    """match() succeeds exactly when findall() yields a match spanning
+    the whole token range (parser.py:275-281 vs 288-292)."""
+    text = ' '.join(words)
+    parser = Parser(NAME)
+    whole = parser.match(text)
+    spans = [m.span for m in parser.findall(text)]
+    covers = any(s == 0 and e == len(text) for s, e in spans)
+    assert (whole is not None) == covers
