@@ -75,3 +75,58 @@ def test_windowed_rollup(spark, tmp_path):
     # multiple event-time windows materialized
     assert spark.sql('select count(distinct window) c from rollup') \
         .first()['c'] >= 2
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed rollup across two availableNow runs
+    sharing one checkpoint: the watermark persists, finalized windows
+    emit exactly once, and a row arriving behind the watermark is
+    dropped."""
+    import glob
+    from yargy_spark.sources.transcripts import GOLDEN_SENTENCES
+    from yargy_spark.streaming.ingest import (stream_transcripts,
+                                              windowed_mention_counts)
+
+    src = tmp_path / 'late_in'
+    src.mkdir()
+    out = str(tmp_path / 'late_out')
+    ckpt = str(tmp_path / 'late_ckpt')
+    date = GOLDEN_SENTENCES[3]            # one Date mention per turn
+
+    def write(name, rows):
+        with open(src / name, 'w', encoding='utf-8') as fh:
+            for i, ts in enumerate(rows):
+                fh.write(json.dumps(
+                    {'conv_id': 'w%04d' % i, 'turn_idx': 0,
+                     'role': 'user', 'text': date, 'tool': None,
+                     'ts': ts}, ensure_ascii=False) + '\n')
+
+    def run():
+        agg = windowed_mention_counts(
+            stream_transcripts(spark, str(src)),
+            watermark='10 minutes', window='10 minutes')
+        q = (agg.writeStream.format('parquet')
+             .option('path', out).option('checkpointLocation', ckpt)
+             .outputMode('append').trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # run 1: rows at 00:05 and 00:35 -> watermark 00:25, the
+    # [00:00,00:10) window finalizes with count 1
+    write('b1.json', ['2026-01-01T00:05:00.000Z',
+                      '2026-01-01T00:35:00.000Z'])
+    run()
+    got1 = {(r['window']['start'].minute, r['n_mentions'])
+            for r in spark.read.parquet(out).collect()} \
+        if glob.glob(out + '/*.parquet') else set()
+    assert got1 == {(0, 1)}
+
+    # run 2: a LATE row at 00:02 (behind the 00:25 watermark -> must
+    # be dropped, its window already emitted) plus 00:55 (advances the
+    # watermark to 00:45 > 00:40, finalizing [00:30,00:40) which holds
+    # run 1's 00:35 row)
+    write('b2.json', ['2026-01-01T00:02:00.000Z',
+                      '2026-01-01T00:55:00.000Z'])
+    run()
+    got2 = {(r['window']['start'].minute, r['n_mentions'])
+            for r in spark.read.parquet(out).collect()}
+    assert got2 == {(0, 1), (30, 1)}   # no re-emit, late row gone
