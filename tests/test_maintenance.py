@@ -1,0 +1,61 @@
+"""Table maintenance: snapshot expiry + bucket compaction keep the
+resume contract and row content intact."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yargy_spark.sources import manifest as mf
+
+pytestmark = pytest.mark.spark
+
+
+def _commit(spark, root, bucket, rows):
+    df = spark.createDataFrame(
+        [(bucket, 'c%d' % i) for i in range(rows)],
+        '%s int, conv_id string' % mf.BUCKET_COL)
+    return mf.commit_append(df, root, note='t')
+
+
+def test_expire_snapshots_preserves_resume(spark, tmp_path):
+    import time
+    root = str(tmp_path / 'tbl')
+    for b in range(3):
+        _commit(spark, root, b, rows=b + 1)
+        time.sleep(0.01)             # distinct snapshot ids
+    assert len(mf.snapshots(root)) == 3
+    assert mf.pending_buckets(root, 4) == [3]
+
+    removed = mf.expire_snapshots(root, keep_last=1)
+    assert removed == 1
+    snaps = mf.snapshots(root)
+    assert len(snaps) == 2           # base + newest
+    assert 'base' in snaps[0]['note']
+    # resume contract unchanged: buckets 0-2 still committed
+    assert mf.pending_buckets(root, 4) == [3]
+    assert mf.committed_partitions(root)[1] == {'rows': 2}
+    # data untouched
+    assert mf.read_table(spark, root).count() == 1 + 2 + 3
+
+
+def test_compact_bucket_row_preserving(spark, tmp_path):
+    root = str(tmp_path / 'tbl2')
+    # several small commits into the same bucket -> many files
+    for _ in range(4):
+        _commit(spark, root, 0, rows=10)
+    files = glob.glob(os.path.join(root, 'data', 'bucket=0',
+                                   '*.parquet'))
+    assert len(files) >= 4
+    before = (mf.read_table(spark, root)
+              .groupBy('conv_id').count().collect())
+
+    n = mf.compact_bucket(spark, root, 0)
+    assert n == 40
+    files = glob.glob(os.path.join(root, 'data', 'bucket=0',
+                                   '*.parquet'))
+    assert len(files) == 1
+    after = (mf.read_table(spark, root)
+             .groupBy('conv_id').count().collect())
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

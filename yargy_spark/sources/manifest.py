@@ -112,3 +112,76 @@ def commit_append(df: DataFrame, root: str,
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, 'data'))
+
+
+# -------------------------------------------------- table maintenance
+
+def snapshots(root: str) -> List[dict]:
+    """Committed manifests in commit order (oldest first)."""
+    mdir = _manifest_dir(root)
+    out = []
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith('snap-'):
+            with open(os.path.join(mdir, name), 'r',
+                      encoding='utf-8') as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> int:
+    """Collapse manifests older than the newest ``keep_last`` into one
+    base manifest (partition lineage merged, later stats win), so the
+    manifest dir stays O(keep_last) on long-running tables while the
+    resume contract (``pending_buckets``) is preserved.  Returns the
+    number of manifests removed."""
+    mdir = _manifest_dir(root)
+    names = sorted(n for n in os.listdir(mdir)
+                   if n.startswith('snap-')) if os.path.isdir(mdir) \
+        else []
+    if len(names) <= keep_last + 1:
+        return 0
+    old, _kept = names[:-keep_last], names[-keep_last:]
+    merged_parts: Dict[str, dict] = {}
+    total_rows = 0
+    for name in old:
+        with open(os.path.join(mdir, name), 'r',
+                  encoding='utf-8') as fh:
+            snap = json.load(fh)
+        for bucket, stats in snap.get('partitions', {}).items():
+            merged_parts[bucket] = stats
+        total_rows += snap.get('totals', {}).get('rows', 0)
+    base = {
+        'snapshot_id': old[0][:-5],   # keeps sort position
+        'parent_id': None,
+        'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                     time.gmtime()),
+        'partitions': merged_parts,
+        'totals': {'rows': total_rows,
+                   'partitions': len(merged_parts)},
+        'counters': {'expired_snapshots': len(old)},
+        'note': 'base (expired %d snapshots)' % len(old),
+    }
+    with open(os.path.join(mdir, old[0]), 'w', encoding='utf-8') as fh:
+        json.dump(base, fh, ensure_ascii=False, indent=1)
+    for name in old[1:]:
+        os.remove(os.path.join(mdir, name))
+    return len(old) - 1
+
+
+def compact_bucket(spark: SparkSession, root: str, bucket: int,
+                   target_files: int = 1) -> int:
+    """Rewrite one bucket partition into ``target_files`` files
+    (small-file compaction) via dynamic partition overwrite; row
+    content is unchanged.  Returns the bucket's row count."""
+    path = os.path.join(root, 'data')
+    df = (spark.read.parquet(path)
+          .where(F.col(BUCKET_COL) == bucket))
+    n = df.count()
+    (df.coalesce(target_files)
+       .write.mode('overwrite')
+       .option('partitionOverwriteMode', 'dynamic')
+       .partitionBy(BUCKET_COL)
+       .parquet(path))
+    return n
