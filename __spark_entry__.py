@@ -286,6 +286,11 @@ def q_token_counts(spark, sf_dir) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_top_ngrams(spark, sf_dir) -> DataFrame:
+    from yargy_spark.operators.textstats import top_ngrams
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.textstats import doc_fingerprints
     return doc_fingerprints(_docs(spark, sf_dir))
@@ -386,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id': q_lang_id,
         'quality_scores': q_quality_scores,
         'token_counts': q_token_counts,
+        'top_ngrams': q_top_ngrams,
         'doc_fingerprints': q_doc_fingerprints,
         'multimodal_meta': q_multimodal_meta,
         'pricing_summary': q_pricing_summary,
@@ -770,6 +776,20 @@ SELECT doc_id,
   len(regexp_extract_all(lower(text), '{pat}')) AS re_tokens
 FROM documents
 """.format(pat=TOKEN_PATTERN)
+
+    oracles['top_ngrams'] = """
+WITH norm AS (SELECT doc_id, string_split({norm}, ' ') AS w
+              FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM norm WHERE len(w) >= 2)),
+counts AS (SELECT ngram, count(*) AS df FROM grams GROUP BY ngram),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY df DESC, ngram ASC) AS rank
+  FROM counts)
+SELECT rank, ngram, df FROM ranked WHERE rank <= 20
+""".format(norm=_NORM)
 
     oracles['doc_fingerprints'] = """
 WITH {sh},

@@ -53,3 +53,19 @@ def test_default_bank_unchanged(spark):
            for r in extract_mentions(
                golden_only_transcripts(spark)).collect()}
     assert got == expected_set()
+
+
+def test_bank_modes():
+    """Parser entry-point parity at the bank level: extract is a
+    superset of findall (ambiguity mode, cookbook cell 3); match
+    accepts only whole-turn parses."""
+    bank = CompiledBank(['name'])
+    text = 'пришли Саша Быков и Саша Иванов'
+    fa = [(r['span_start'], r['span_stop'])
+          for r in bank.run(text, mode='findall')]
+    ex = [(r['span_start'], r['span_stop'])
+          for r in bank.run(text, mode='extract')]
+    assert set(fa) <= set(ex) and len(fa) == 2
+    assert list(bank.run(text, mode='match')) == []     # not whole-turn
+    whole = list(bank.run('Саша Быков', mode='match'))
+    assert len(whole) == 1 and whole[0]['match_text'] == 'Саша Быков'

@@ -263,7 +263,7 @@ class CompiledBank:
         return '|'.join('(?:%s)' % t
                         for t in dict.fromkeys(self.triggers))
 
-    def run(self, text: str, stats=None):
+    def run(self, text: str, stats=None, mode: str = 'findall'):
         """All extractors over one turn; yields result dicts.
 
         The turn is tokenized+morph-tagged ONCE and the token list is
@@ -281,12 +281,23 @@ class CompiledBank:
             if shares and tokens is None:
                 tokens = parser.tokenize(text)
             try:
-                # materialize: findall is lazy, the budget trips
-                # during iteration; custom-tokenizer/tagger extractors
-                # tokenize themselves (tokens= only for the default
-                # sharing group)
-                matches = list(parser.findall(
-                    text, tokens=tokens if shares else None))
+                # materialize: the entry points are lazy, the budget
+                # trips during iteration; custom-tokenizer/tagger
+                # extractors tokenize themselves (tokens= only for the
+                # default sharing group).  mode mirrors the parser
+                # entry points (parser.py:283-303): findall = resolved
+                # non-overlapping spans, extract = every completed
+                # parse, match = whole-turn parse only.
+                shared = tokens if shares else None
+                if mode == 'findall':
+                    matches = list(parser.findall(text, tokens=shared))
+                elif mode == 'extract':
+                    matches = list(parser.extract(text, tokens=shared))
+                elif mode == 'match':
+                    m = parser.match(text, tokens=shared)
+                    matches = [m] if m is not None else []
+                else:
+                    raise ValueError(mode)
             except Exception:
                 # parse budget / pathological turn: skip the rule for
                 # this turn (poison-turn guard); surfaced via metrics

@@ -80,7 +80,8 @@ def make_extract_metrics(spark) -> dict:
 
 
 def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
-              passthrough, metrics=None) -> Iterator[pd.DataFrame]:
+              passthrough, metrics=None,
+              mode: str = 'findall') -> Iterator[pd.DataFrame]:
     columns = [f.name for f in MENTION_SCHEMA.fields] + list(passthrough)
     for pdf in batches:
         out = []
@@ -91,7 +92,7 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
                 pdf['text'].values)):
             if not text:
                 continue
-            for row in bank.run(text, stats):
+            for row in bank.run(text, stats, mode):
                 row['conv_id'] = conv_id
                 row['turn_idx'] = int(turn_idx)
                 row['mention_id'] = mention_id(
@@ -115,12 +116,17 @@ def extract_mentions(transcripts: DataFrame,
                      use_trigger: bool = True,
                      passthrough=(),
                      bank: Optional[CompiledBank] = None,
-                     metrics: Optional[dict] = None) -> DataFrame:
+                     metrics: Optional[dict] = None,
+                     mode: str = 'findall') -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> mentions table.
 
     One pass over the corpus evaluates every extractor in the bank
     (tokenize once, parse many rules — the reference's pre-tokenized
-    source pattern, docs/cookbook.ipynb cells 14-16).
+    source pattern, docs/cookbook.ipynb cells 14-16).  ``mode``
+    selects the parser entry point per turn: 'findall' (default,
+    resolved non-overlapping spans), 'extract' (every completed
+    parse, the debug/ambiguity mode), or 'match' (whole-turn parses
+    only).
     """
     spark = transcripts.sparkSession
     if bank is None:
@@ -145,7 +151,7 @@ def extract_mentions(transcripts: DataFrame,
         if cached is None:
             cached = payload.value
             _BANK_CACHE[key] = cached
-        return _run_bank(cached, batches, passthrough, metrics)
+        return _run_bank(cached, batches, passthrough, metrics, mode)
 
     schema = StructType(MENTION_SCHEMA.fields
                         + [transcripts.schema[c] for c in passthrough])

@@ -94,3 +94,17 @@ def doc_fingerprints(docs: DataFrame, n: int = 4,
     return (sh.withColumn('fp_rank', F.row_number().over(w))
             .where(F.col('fp_rank') <= n)
             .select('doc_id', 'fp_rank', 'fp_hash'))
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams by document frequency
+    (language-model-style corpus statistics).  Deterministic: ties
+    break lexicographically.  One shuffle on the n-gram key with
+    map-side partial counts; the final top-k is a tiny sort."""
+    grams = word_shingles(docs, k=n)          # distinct per doc
+    counts = (grams.groupBy('shingle')
+              .agg(F.count('*').alias('df')))
+    w = Window.orderBy(F.desc('df'), F.asc('shingle'))
+    return (counts.withColumn('rank', F.row_number().over(w))
+            .where(F.col('rank') <= k)
+            .select('rank', F.col('shingle').alias('ngram'), 'df'))
