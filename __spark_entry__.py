@@ -456,8 +456,9 @@ _HASH_FAMILY_VALUES = None  # built lazily in oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:
-    from yargy_spark.operators.dedup import (HASH_FAMILY, MERSENNE,
-                                             ROWS_PER_BAND)
+    from yargy_spark.operators.dedup import (HASH_FAMILY,
+                                             LSH_DEFAULT_THRESHOLD,
+                                             MERSENNE, ROWS_PER_BAND)
     from yargy_spark.operators.textstats import EN_STOP, TOKEN_PATTERN
 
     kg = _kg_expected()
@@ -647,9 +648,11 @@ WITH {sh},
       ON l.band = r.band AND l.sig_key = r.sig_key
     WHERE l.doc_id < r.doc_id),
   {jv}
-SELECT a, b, jaccard_x10000 FROM verified WHERE jaccard_x10000 >= 2000
+SELECT a, b, jaccard_x10000 FROM verified
+WHERE jaccard_x10000 >= {thr}
 """.format(sh=_SHINGLES, fam=family_rows, m=MERSENNE,
            rpb=ROWS_PER_BAND, jv=_JACCARD_VERIFY,
+           thr=LSH_DEFAULT_THRESHOLD,
            h=_H60.format(x='shingle'))
 
     oracles['simhash_docs'] = """

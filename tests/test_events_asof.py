@@ -52,3 +52,35 @@ def test_asof_single_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert 'CartesianProduct' not in plan
     assert 'BroadcastNestedLoopJoin' not in plan
+
+
+def test_asof_right_row_is_atomic(spark):
+    """A null field in the LATEST right row must not backfill from an
+    older right row — the attached right row is all-or-nothing."""
+    from yargy_spark.operators.events import asof_join
+    left = spark.createDataFrame(
+        [(1, 'u1', _ts(3))],
+        'event_id long, user_id string, ts timestamp')
+    right = spark.createDataFrame(
+        [('u1', _ts(1), 'A', 500),
+         ('u1', _ts(2), None, 200)],
+        'user_id string, ts timestamp, err string, code long')
+    out = asof_join(left, right, on='user_id',
+                    right_cols=('err', 'code')).collect()[0]
+    assert out['r_code'] == 200 and out['r_err'] is None
+
+
+def test_asof_null_semantics(spark):
+    """Null-key/null-ts right rows never match; null-key/null-ts left
+    rows pass through unmatched (SQL join / merge_asof semantics)."""
+    from yargy_spark.operators.events import asof_join
+    left = spark.createDataFrame(
+        [(1, 'u1', _ts(5)), (2, None, _ts(5)), (3, 'u1', None)],
+        'event_id long, user_id string, ts timestamp')
+    right = spark.createDataFrame(
+        [('u1', _ts(1), 101), (None, _ts(1), 102), ('u1', None, 103)],
+        'user_id string, ts timestamp, event_id long')
+    got = {r['event_id']: r['r_event_id']
+           for r in asof_join(left, right, on='user_id',
+                              right_cols=('event_id',)).collect()}
+    assert got == {1: 101, 2: None, 3: None}

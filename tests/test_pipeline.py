@@ -53,3 +53,16 @@ def test_caseless_pipeline_names():
     assert got == [
         ['Абд', 'Аль', '-', 'Азиз', 'Бин', 'Мухаммад'],
         ['АБД', 'АР', '-', 'РАХМАН', 'НАСР', 'АС', '-', 'СА', 'ДИ']]
+
+
+def test_morph_gazetteer_predicts_once_per_production():
+    """A token whose several lemmas hit the same dictionary line must
+    predict that production once — extract() (no span dedup) would
+    otherwise yield duplicate parses."""
+    from yargy_spark import Parser
+    from yargy_spark.pipelines import morph_pipeline
+    # 'стали' analyses to lemmas {'сталь','стать'}; index the line
+    # under both by using the ambiguous word itself
+    RULE = morph_pipeline(['стали'])
+    matches = list(Parser(RULE).extract('мы стали лучше'))
+    assert len(matches) == 1

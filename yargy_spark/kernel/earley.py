@@ -130,10 +130,11 @@ def node_before(a: TreeNode, b: TreeNode) -> bool:
             continue
         if ca.rank != cb.rank:
             return ca.rank < cb.rank
-        if node_before(ca, cb):
-            return True
-        if node_before(cb, ca):
-            return False
+        # parity: the reference returns the recursion result at the
+        # FIRST differing equal-rank pair, even when it ties False
+        # (tree/constructors.py:121-132) — it never falls through to
+        # later child pairs
+        return node_before(ca, cb)
     return False
 
 
@@ -176,15 +177,26 @@ class ParseTree:
         return graph
 
     def constrained(self, graph: TokenAgreementGraph) -> 'ParseTree':
-        for node in self.walk():
-            if isinstance(node, TreeLeaf):
-                node.token = graph.constrain(node.token)
-        return self
+        """New tree with agreement-narrowed leaf tokens.  MUST NOT
+        mutate in place: chart completion shares subtree (and leaf)
+        objects across candidate trees, so narrowing one candidate's
+        leaves would contaminate overlapping candidates (the reference
+        also rebuilds — ApplyRelationsTransformator,
+        tree/transformators.py:121-126)."""
+        return ParseTree(_constrain(self.root, graph), self.range)
 
     def interpret(self):
         if self.root.interpretator is None:
             raise ValueError('no .interpretation(...) for root rule')
         return _interpret(_keep_interp_nodes(self.root))
+
+
+def _constrain(node: TreeNode,
+               graph: TokenAgreementGraph) -> TreeNode:
+    if isinstance(node, TreeLeaf):
+        return TreeLeaf(node.predicate, graph.constrain(node.token))
+    return TreeNode(node.rule, node.production, node.rank,
+                    [_constrain(c, graph) for c in node.children])
 
 
 def _prune(node: TreeNode) -> Optional[TreeNode]:

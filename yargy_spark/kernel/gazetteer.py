@@ -100,13 +100,22 @@ class MorphGazRule(GazRule):
             return index.get(token.value.lower(), ())
         out = []
         seen = set()
+        emitted = set()
         for form in forms:
             lemma = form.lemma
             if lemma not in seen:
                 seen.add(lemma)
                 hits = index.get(lemma)
                 if hits:
-                    out.extend(hits)
+                    # a production indexed under several of this
+                    # token's lemmas must predict ONCE: the parser's
+                    # dedup-free dot-0 push relies on unique
+                    # productions (the reference yields dups here and
+                    # relies on chart dedup, pipelines.py:64-69)
+                    for p in hits:
+                        if id(p) not in emitted:
+                            emitted.add(id(p))
+                            out.append(p)
         return out
 
 

@@ -43,6 +43,13 @@ HASH_FAMILY = [
     (214_015, 8_888), (69_071, 16_161),
 ]
 N_BANDS, ROWS_PER_BAND = 8, 2
+# 8 bands x 2 rows puts the LSH S-curve midpoint at (1/8)^(1/2)≈0.35:
+# P(candidate) at Jaccard j is 1-(1-j^2)^8 (j=0.35 -> ~0.65,
+# j=0.5 -> ~0.90, j=0.7 -> ~0.997).  The default verify threshold
+# sits at that midpoint so pairs the banding reliably surfaces are
+# the pairs the operator claims; ngram_jaccard_pairs is the exact
+# (full-recall) baseline for lower thresholds.
+LSH_DEFAULT_THRESHOLD = 3500
 
 
 def _norm_text(col):
@@ -160,7 +167,8 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
-                      threshold_x10000: int = 2000) -> DataFrame:
+                      threshold_x10000: int = LSH_DEFAULT_THRESHOLD
+                      ) -> DataFrame:
     """MinHash+LSH near-dup pairs: banded signatures bucket candidate
     pairs, exact Jaccard verifies them (a < b).  The banded bucket join
     is the 100 TB path — no all-pairs comparison ever happens."""
@@ -186,29 +194,28 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
 
 
 def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document over word tokens."""
+    """32-bit SimHash per document over word tokens.
+
+    All ``bits`` vote sums run in ONE wide aggregation with literal
+    shift amounts (map-side partial agg), so the shuffle carries
+    |docs| x bits values instead of |tokens| x bits exploded rows —
+    the same shape as ``minhash_signatures``."""
     toks = (docs
             .select('doc_id',
                     F.explode(F.split(_norm_text(F.col('text')), ' '))
                     .alias('w'))
             .select('doc_id', md5_int(F.col('w')).alias('h')))
-    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
-    # vote +1 when bit set, -1 otherwise (shift amounts are columns, so
-    # SQL-expression form is required)
-    per_bit = (toks
-               .select('doc_id', 'h', F.explode(bit_ids).alias('bit'))
-               .select('doc_id', 'bit',
-                       F.expr('CASE WHEN shiftrightunsigned(h, bit) % 2 '
-                              '= 1 THEN 1 ELSE -1 END').alias('vote')))
-    return (per_bit
-            .groupBy('doc_id', 'bit')
-            .agg(F.sum('vote').alias('s'))
-            .withColumn('bitval',
-                        F.expr('CASE WHEN s > 0 THEN '
-                               'shiftleft(CAST(1 AS BIGINT), bit) '
-                               'ELSE CAST(0 AS BIGINT) END'))
-            .groupBy('doc_id')
-            .agg(F.sum('bitval').alias('simhash')))
+    votes = [
+        F.sum(F.expr('CASE WHEN shiftrightunsigned(h, %d) %% 2 = 1 '
+                     'THEN 1 ELSE -1 END' % b)).alias('s%d' % b)
+        for b in range(bits)]
+    wide = toks.groupBy('doc_id').agg(*votes)
+    bitval = sum(
+        (F.when(F.col('s%d' % b) > 0,
+                F.lit(1 << b).cast('long')).otherwise(F.lit(0))
+         for b in range(bits)),
+        F.lit(0).cast('long'))
+    return wide.select('doc_id', bitval.alias('simhash'))
 
 
 def embedding_dup_pairs(embeddings: DataFrame,

@@ -31,29 +31,43 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     ``right`` must be unique per (on, right_ts); callers dedupe first
     so the matched row is deterministic.
+
+    Null semantics match SQL joins / pandas ``merge_asof``: right rows
+    with a null key or null timestamp can never match and are dropped;
+    left rows with a null key or null timestamp come through with null
+    right columns.
     """
     right_cols = list(right_cols)
-    # left rows ride the union as a struct payload; right rows carry
-    # the join columns.  At equal ts the right row sorts first
+    # left rows ride the union as a struct payload; each right row
+    # carries its columns as ONE struct so the window always attaches
+    # a complete right row — carrying columns independently would let
+    # a null field in the latest right row backfill from an OLDER row,
+    # fabricating a mixed row.  At equal ts the right row sorts first
     # (_side 0 < 1) so backward as-of includes same-instant matches.
     left_payload = F.struct(*[F.col(c) for c in left.columns])
+    right_payload = F.struct(*[F.col(c) for c in right_cols])
+    ru = (right
+          .where(F.col(on).isNotNull()
+                 & F.col(right_ts).isNotNull())
+          .select(F.col(on).alias('_on'),
+                  F.col(right_ts).alias('_ts'),
+                  F.lit(0).alias('_side'),
+                  right_payload.alias('_rrow')))
     lu = left.select(
         F.col(on).alias('_on'), F.col(left_ts).alias('_ts'),
-        F.lit(1).alias('_side'), left_payload.alias('_row'),
-        *[F.lit(None).cast(right.schema[c].dataType)
-          .alias(suffix + c) for c in right_cols])
-    ru = right.select(
-        F.col(on).alias('_on'), F.col(right_ts).alias('_ts'),
-        F.lit(0).alias('_side'),
-        F.lit(None).cast(lu.schema['_row'].dataType).alias('_row'),
-        *[F.col(c).alias(suffix + c) for c in right_cols])
+        F.lit(1).alias('_side'),
+        F.lit(None).cast(ru.schema['_rrow'].dataType).alias('_rrow'),
+        left_payload.alias('_row'))
+    ru = ru.withColumn(
+        '_row', F.lit(None).cast(lu.schema['_row'].dataType))
 
     w = (Window.partitionBy('_on').orderBy('_ts', '_side')
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lu.unionByName(ru).select(
-        '_side', '_row',
-        *[F.last(suffix + c, ignorenulls=True).over(w)
-          .alias(suffix + c) for c in right_cols])
+        '_side', '_row', '_ts',
+        F.last('_rrow', ignorenulls=True).over(w).alias('_rrow'))
+    matched = F.when(F.col('_ts').isNotNull(), F.col('_rrow'))
     return (carried.where(F.col('_side') == 1)
             .select(F.col('_row.*'),
-                    *[suffix + c for c in right_cols]))
+                    *[matched[c].alias(suffix + c)
+                      for c in right_cols]))

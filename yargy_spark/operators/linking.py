@@ -64,10 +64,15 @@ def mention_edges(mentions: DataFrame) -> DataFrame:
 
     # both blocking families run through ONE two-phase aggregation:
     # keys are disjoint by prefix, so a single union'd pass halves the
-    # shuffle/job count vs aggregating each family separately
+    # shuffle/job count vs aggregating each family separately.
+    # Mentions with no surname lemma are excluded from the
+    # conversation family: concat_ws would silently drop the NULL and
+    # collapse every such mention in a conversation onto one key,
+    # star-edging unrelated mentions into one entity.
     keyed = (pm.select(F.concat_ws('#', F.lit('k'), 'norm_key')
                        .alias('bkey'), 'mention_id')
-             .union(pm.select(
+             .union(pm.where(F.col('last_lemma').isNotNull())
+                    .select(
                  F.concat_ws('#', F.lit('c'), 'conv_id', 'last_lemma')
                  .alias('bkey'), 'mention_id')))
     return _anchor_edges(keyed, 'bkey', 'mention_id')
@@ -113,6 +118,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20
 
     current = edges
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         sym = current.union(
             current.select(F.col('dst').alias('src'),
@@ -126,8 +132,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20
                    .distinct().localCheckpoint(eager=False))
         sig = signature(current)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # silent exit would emit SPLIT components (nodes mapped to
+        # non-minimal local anchors) with no signal downstream
+        raise RuntimeError(
+            'connected_components did not converge in %d rounds; '
+            'raise max_iter' % max_iter)
 
     # after convergence every edge points node -> component min
     membership = (current
@@ -188,7 +201,10 @@ def entity_cooccurrence(mentions: DataFrame, entities: DataFrame,
           .distinct())
     left = ge.select('grp', F.col('canonical').alias('a'))
     right = ge.select('grp', F.col('canonical').alias('b'))
+    # ge is distinct per (grp, entity), so the joined (grp, a, b)
+    # triples are already distinct — plain count equals countDistinct
+    # without the two-phase distinct-aggregate expansion
     return (left.join(right, 'grp')
             .where(F.col('a') < F.col('b'))
             .groupBy('a', 'b')
-            .agg(F.countDistinct('grp').alias('n_groups')))
+            .agg(F.count('*').alias('n_groups')))
