@@ -1,8 +1,10 @@
-"""Table maintenance: snapshot expiry + bucket compaction keep the
-resume contract and row content intact."""
+"""Table maintenance: atomic commits, orphan vacuum, snapshot expiry
+and bucket compaction keep the resume contract and row content
+intact."""
 
 import glob
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -20,11 +22,9 @@ def _commit(spark, root, bucket, rows):
 
 
 def test_expire_snapshots_preserves_resume(spark, tmp_path):
-    import time
     root = str(tmp_path / 'tbl')
     for b in range(3):
-        _commit(spark, root, b, rows=b + 1)
-        time.sleep(0.01)             # distinct snapshot ids
+        _commit(spark, root, b, rows=b + 1)   # ns ids: no collisions
     assert len(mf.snapshots(root)) == 3
     assert mf.pending_buckets(root, 4) == [3]
 
@@ -36,8 +36,26 @@ def test_expire_snapshots_preserves_resume(spark, tmp_path):
     # resume contract unchanged: buckets 0-2 still committed
     assert mf.pending_buckets(root, 4) == [3]
     assert mf.committed_partitions(root)[1] == {'rows': 2}
-    # data untouched
+    # base manifest carries the collapsed data dirs: data untouched
+    assert len(snaps[0]['data_dirs']) == 2
     assert mf.read_table(spark, root).count() == 1 + 2 + 3
+
+
+def test_crashed_commit_is_invisible(spark, tmp_path):
+    """The manifest write is the commit point: a data directory
+    without a manifest (crash window) is never read and resume
+    re-lists its buckets; vacuum removes it."""
+    root = str(tmp_path / 'tbl3')
+    _commit(spark, root, 0, rows=5)
+    # simulate a crash: data written, manifest missing
+    snap = _commit(spark, root, 1, rows=7)
+    os.remove(os.path.join(root, '_manifests',
+                           snap['snapshot_id'] + '.json'))
+    assert mf.read_table(spark, root).count() == 5
+    assert mf.pending_buckets(root, 2) == [1]
+    removed = mf.vacuum_orphans(root)
+    assert removed == [snap['snapshot_id']]
+    assert mf.read_table(spark, root).count() == 5
 
 
 def test_compact_bucket_row_preserving(spark, tmp_path):
@@ -45,17 +63,15 @@ def test_compact_bucket_row_preserving(spark, tmp_path):
     # several small commits into the same bucket -> many files
     for _ in range(4):
         _commit(spark, root, 0, rows=10)
-    files = glob.glob(os.path.join(root, 'data', 'bucket=0',
-                                   '*.parquet'))
-    assert len(files) >= 4
+    pattern = os.path.join(root, 'data', '*', 'bucket=0', '*.parquet')
+    before_files = len(glob.glob(pattern))
+    assert before_files > 4
     before = (mf.read_table(spark, root)
               .groupBy('conv_id').count().collect())
 
     n = mf.compact_bucket(spark, root, 0)
     assert n == 40
-    files = glob.glob(os.path.join(root, 'data', 'bucket=0',
-                                   '*.parquet'))
-    assert len(files) == 1
+    assert len(glob.glob(pattern)) == 4   # one file per snapshot dir
     after = (mf.read_table(spark, root)
              .groupBy('conv_id').count().collect())
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))

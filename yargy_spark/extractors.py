@@ -307,9 +307,12 @@ class CompiledBank:
                 continue
             for m in matches:
                 data = None
+                fact_spans = []
                 try:
                     result = m.tree.interpret()
                     data = result.as_json
+                    fact_spans = [{'start': s, 'stop': t}
+                                  for s, t in result.spans]
                 except (TypeError, ValueError):
                     pass
                 if data is None:
@@ -330,6 +333,5 @@ class CompiledBank:
                     'attrs': flatten_fact(data),
                     # span sink: filled-attribute char offsets
                     # (Fact.spans, interpretation/fact.py:36-41)
-                    'fact_spans': [{'start': s, 'stop': t}
-                                   for s, t in result.spans],
+                    'fact_spans': fact_spans,
                 }

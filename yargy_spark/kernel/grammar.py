@@ -367,11 +367,18 @@ class _Pass:
         return self.visit(root)
 
     def visit(self, node):
+        # memo by identity, RETAINING the key object: without the
+        # node reference a temporary (e.g. the RepOpt objects _Squash
+        # synthesizes) can be garbage-collected and its recycled id()
+        # would alias a later node onto the wrong rewrite —
+        # deterministically miscompiling grammars with two
+        # stacked-quantifier sites
         key = id(node)
-        if key in self.memo:
-            return self.memo[key]
+        hit = self.memo.get(key)
+        if hit is not None:
+            return hit[1]
         out = self.dispatch(node)
-        self.memo[key] = out
+        self.memo[key] = (node, out)
         return out
 
     def term(self, item):

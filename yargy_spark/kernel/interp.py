@@ -352,7 +352,10 @@ class Chain:
 
     @property
     def spans(self):
-        yield (self.tokens[0].start, self.tokens[-1].stop)
+        # a const() over purely structured children carries no tokens;
+        # such a value contributes no span (it has no surface form)
+        if self.tokens:
+            yield (self.tokens[0].start, self.tokens[-1].stop)
 
     @property
     def as_json(self):
@@ -563,9 +566,9 @@ class NormInterp(Interpretator):
     def __call__(self, items, key=None):
         norm = self.normalizer
         if isinstance(norm, ConstVal):
-            return NormResult(norm.value, Chain([t for t in items
-                                                 if isinstance(t, Tok)] or
-                                                [], key))
+            return NormResult(norm.value,
+                              Chain([t for t in items
+                                     if isinstance(t, Tok)], key))
         source = _gather(items, key)
         if isinstance(norm, ApplyFn):
             value = norm.apply(source.normalized)

@@ -56,8 +56,6 @@ MENTION_SCHEMA = StructType([
     StructField('mention_id', LongType()),
 ])
 
-# process-wide cache: the broadcast bank is unpickled once per worker
-_BANK_CACHE: dict = {}
 
 
 def mention_id(conv_id: str, turn_idx: int, start: int, stop: int,
@@ -92,12 +90,22 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
                 pdf['text'].values)):
             if not text:
                 continue
+            alt_seen: dict = {}
             for row in bank.run(text, stats, mode):
                 row['conv_id'] = conv_id
                 row['turn_idx'] = int(turn_idx)
+                # mode='extract' can emit several (ambiguity-distinct)
+                # parses of one (span, rule); an ordinal keeps ids
+                # unique while findall/match ids stay unchanged
+                span_key = (row['rule_id'], row['span_start'],
+                            row['span_stop'])
+                alt = alt_seen.get(span_key, 0)
+                alt_seen[span_key] = alt + 1
+                rid = (row['rule_id'] if alt == 0
+                       else '%s~%d' % (row['rule_id'], alt))
                 row['mention_id'] = mention_id(
                     conv_id, int(turn_idx), row['span_start'],
-                    row['span_stop'], row['rule_id'])
+                    row['span_stop'], rid)
                 for c, vals in zip(passthrough, extras):
                     row[c] = vals[i]
                 out.append(row)
@@ -134,6 +142,12 @@ def extract_mentions(transcripts: DataFrame,
 
     passthrough = [c for c in passthrough
                    if c not in ('conv_id', 'turn_idx', 'text')]
+    reserved = {f.name for f in MENTION_SCHEMA.fields}
+    clash = sorted(set(passthrough) & reserved)
+    if clash:
+        raise ValueError(
+            'passthrough columns collide with mention schema: %s'
+            % clash)
     src = transcripts.select('conv_id', 'turn_idx', 'text',
                              *passthrough)
     trigger = bank.trigger_regex if use_trigger else None
@@ -146,12 +160,12 @@ def extract_mentions(transcripts: DataFrame,
     payload = spark.sparkContext.broadcast(bank)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        key = id(payload)
-        cached = _BANK_CACHE.get(key)
-        if cached is None:
-            cached = payload.value
-            _BANK_CACHE[key] = cached
-        return _run_bank(cached, batches, passthrough, metrics, mode)
+        # Broadcast.value resolves through the worker's broadcast
+        # registry and is unpickled once per worker process — an extra
+        # id()-keyed module cache would leak banks across calls and
+        # could alias a recycled address onto a stale grammar
+        return _run_bank(payload.value, batches, passthrough, metrics,
+                         mode)
 
     schema = StructType(MENTION_SCHEMA.fields
                         + [transcripts.schema[c] for c in passthrough])

@@ -77,23 +77,31 @@ def current_snapshot(root: str) -> Optional[str]:
 
 def commit_append(df: DataFrame, root: str,
                   note: str = '', counters: Optional[dict] = None) -> dict:
-    """Append df (must carry the bucket column) as a new snapshot:
-    write data partitioned by bucket, then write the manifest with
-    per-partition row counts (lineage) and job counters."""
-    stats_rows = df.groupBy(BUCKET_COL).count().collect()
+    """Append df (must carry the bucket column) as a new snapshot.
+
+    Atomicity: data lands in its OWN snapshot directory first; the
+    manifest write is the commit point.  A crash between the two
+    leaves an orphan directory that no reader ever sees (clean up
+    with ``vacuum_orphans``) — never duplicate rows on resume.
+    Per-partition stats are read back from the written files, so the
+    upstream lineage executes exactly once."""
+    snapshot_id = 'snap-%d' % time.time_ns()
+    data_dir = os.path.join(root, 'data', snapshot_id)
+    (df.write.mode('error')
+       .partitionBy(BUCKET_COL)
+       .parquet(data_dir))
+
+    written = df.sparkSession.read.parquet(data_dir)
+    stats_rows = written.groupBy(BUCKET_COL).count().collect()
     partitions = {int(r[BUCKET_COL]): {'rows': int(r['count'])}
                   for r in stats_rows}
 
-    (df.write.mode('append')
-       .partitionBy(BUCKET_COL)
-       .parquet(os.path.join(root, 'data')))
-
     parent = current_snapshot(root)
-    snapshot_id = 'snap-%d' % (int(time.time() * 1000))
     manifest = {
         'snapshot_id': snapshot_id,
         'parent_id': parent,
         'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
+        'data_dirs': [snapshot_id],
         'partitions': partitions,
         'totals': {'rows': sum(p['rows'] for p in partitions.values()),
                    'partitions': len(partitions)},
@@ -110,8 +118,45 @@ def commit_append(df: DataFrame, root: str,
     return manifest
 
 
+def committed_data_dirs(root: str) -> List[str]:
+    """Snapshot data directories referenced by committed manifests."""
+    dirs: List[str] = []
+    for snap in snapshots(root):
+        for d in snap.get('data_dirs', []):
+            if d not in dirs:
+                dirs.append(d)
+    return dirs
+
+
 def read_table(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(root, 'data'))
+    """Union of all COMMITTED snapshot directories (orphans from
+    crashed commits are invisible).  Each directory is read as its own
+    partitioned root — a multi-path read would trip Spark's common-
+    base partition discovery — and bucket filters still prune into
+    every scan."""
+    from functools import reduce
+    dirs = [os.path.join(root, 'data', d)
+            for d in committed_data_dirs(root)]
+    if not dirs:
+        raise FileNotFoundError('no committed snapshots under %s' % root)
+    return reduce(DataFrame.unionByName,
+                  (spark.read.parquet(d) for d in dirs))
+
+
+def vacuum_orphans(root: str) -> List[str]:
+    """Delete data directories no manifest references (crashed
+    commits); returns the removed directory names."""
+    import shutil
+    data_root = os.path.join(root, 'data')
+    if not os.path.isdir(data_root):
+        return []
+    committed = set(committed_data_dirs(root))
+    removed = []
+    for name in sorted(os.listdir(data_root)):
+        if name not in committed:
+            shutil.rmtree(os.path.join(data_root, name))
+            removed.append(name)
+    return removed
 
 
 # -------------------------------------------------- table maintenance
@@ -144,6 +189,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
         return 0
     old, _kept = names[:-keep_last], names[-keep_last:]
     merged_parts: Dict[str, dict] = {}
+    merged_dirs: List[str] = []
     total_rows = 0
     for name in old:
         with open(os.path.join(mdir, name), 'r',
@@ -151,12 +197,16 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
             snap = json.load(fh)
         for bucket, stats in snap.get('partitions', {}).items():
             merged_parts[bucket] = stats
+        for d in snap.get('data_dirs', []):
+            if d not in merged_dirs:
+                merged_dirs.append(d)
         total_rows += snap.get('totals', {}).get('rows', 0)
     base = {
         'snapshot_id': old[0][:-5],   # keeps sort position
         'parent_id': None,
         'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ',
                                      time.gmtime()),
+        'data_dirs': merged_dirs,
         'partitions': merged_parts,
         'totals': {'rows': total_rows,
                    'partitions': len(merged_parts)},
@@ -172,16 +222,22 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
 
 def compact_bucket(spark: SparkSession, root: str, bucket: int,
                    target_files: int = 1) -> int:
-    """Rewrite one bucket partition into ``target_files`` files
-    (small-file compaction) via dynamic partition overwrite; row
-    content is unchanged.  Returns the bucket's row count."""
-    path = os.path.join(root, 'data')
-    df = (spark.read.parquet(path)
-          .where(F.col(BUCKET_COL) == bucket))
-    n = df.count()
-    (df.coalesce(target_files)
-       .write.mode('overwrite')
-       .option('partitionOverwriteMode', 'dynamic')
-       .partitionBy(BUCKET_COL)
-       .parquet(path))
-    return n
+    """Rewrite one bucket partition into ``target_files`` files per
+    committed snapshot directory (small-file compaction) via dynamic
+    partition overwrite; row content and manifests are unchanged.
+    Returns the bucket's total row count."""
+    total = 0
+    for d in committed_data_dirs(root):
+        path = os.path.join(root, 'data', d)
+        df = (spark.read.parquet(path)
+              .where(F.col(BUCKET_COL) == bucket))
+        n = df.count()
+        if n == 0:
+            continue
+        total += n
+        (df.coalesce(target_files)
+           .write.mode('overwrite')
+           .option('partitionOverwriteMode', 'dynamic')
+           .partitionBy(BUCKET_COL)
+           .parquet(path))
+    return total

@@ -3,9 +3,12 @@
 ``applyInPandasWithState`` over the streaming mention table keeps one
 state record per conversation (running mention total + distinct
 person blocking keys) and emits an updated summary row whenever the
-conversation receives new mentions; idle conversations are evicted
-via processing-time timeout (bounded state — the streaming analog of
-the batch linker's blocking step).
+conversation receives new mentions.  State is SESSION-scoped: an idle
+gap longer than the timeout finalizes the session (the stored summary
+is emitted once more, then evicted — bounded state), and a
+conversation that resumes later starts a fresh session from zero.
+Sinks that need lifetime totals should key on (conv_id, session) or
+aggregate the emitted session summaries downstream.
 
 The reference has no streaming at all (SURVEY.md §1.3); this is the
 Spark-native extension for the custom-stateful-operator pattern.
@@ -38,6 +41,18 @@ def _update(key: Tuple[str], batches: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
     (conv_id,) = key
     if state.hasTimedOut:
+        # session end: surface the final summary once, then evict —
+        # silent removal would let a later resumed session's smaller
+        # totals overwrite the finished session's row in update sinks
+        # with no trace of the completed session
+        if state.exists:
+            n, keys = state.get
+            yield pd.DataFrame([{
+                'conv_id': conv_id,
+                'n_mentions': n,
+                'n_person_keys': len(keys),
+                'person_keys': list(keys),
+            }])
         state.remove()
         return
     n, keys = (state.get if state.exists else (0, []))
