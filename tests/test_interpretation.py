@@ -184,3 +184,19 @@ def test_pipeline_key():
 
     parser = Parser(pipe.interpretation(normalized()))
     assert parser.match('заводе').fact == 'завод'
+
+
+def test_const_over_structured_children_has_no_span():
+    """Regression: const() whose children are all structured results
+    must not crash span extraction; it contributes no span."""
+    from yargy_spark import Parser, rule
+    from yargy_spark.interpretation import fact
+    F_ = fact('F', ['a', 'b'])
+    RULE = rule(rule('y').interpretation(F_.a)).interpretation(
+        F_.b.const('FLAG')).interpretation(F_)
+    m = Parser(RULE).match('y')
+    # attr-under-attr: the inner attribute disappears
+    # (interpretator.py:167-168), so only the const survives — and a
+    # const carries no surface span
+    assert m.fact == F_(a=None, b='FLAG')
+    assert list(m.fact.spans) == []

@@ -102,3 +102,17 @@ def test_bounded():
                "R0 -> 'a' R1", "R1 -> 'a' R1 | 'a'")
     assert_bnf(A.repeatable(min=2, max=3),
                "R0 -> 'a' R1", "R1 -> 'a' 'a' | 'a'")
+
+
+def test_stacked_quantifiers_two_sites_stay_distinct():
+    """Regression: the rewrite-pass memo must not alias a later
+    stacked-quantifier site onto an earlier one (recycled-id bug
+    compiled R0 -> R1 R1 with the second branch vanishing)."""
+    from yargy_spark import Parser, rule
+    parser = Parser(rule(rule('LEFT').optional().repeatable(),
+                         rule('RIGHT').repeatable().optional()))
+    src = parser.grammar_source
+    assert src[0] == 'R0 -> R1 R2'
+    assert parser.match('LEFT RIGHT') is not None
+    assert parser.match('RIGHT') is not None
+    assert parser.match('LEFT') is not None
