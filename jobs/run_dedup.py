@@ -71,8 +71,7 @@ def main():
                             counters=counters)
     for b in pending:
         snap['partitions'].setdefault(b, {'rows': 0})
-    from yargy_spark.pipeline import _rewrite_manifest
-    _rewrite_manifest(out_dir, snap)
+    mf.write_manifest(out_dir, snap)
     print(json.dumps({'status': 'committed',
                       'snapshot': snap['snapshot_id'],
                       'counters': counters,

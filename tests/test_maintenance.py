@@ -75,3 +75,21 @@ def test_compact_bucket_row_preserving(spark, tmp_path):
     after = (mf.read_table(spark, root)
              .groupBy('conv_id').count().collect())
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_empty_commit_and_zero_row_lineage(spark, tmp_path):
+    """A commit whose DataFrame is empty must still produce a valid
+    manifest (no schema-inference crash), and zero-row bucket entries
+    keep resume from livelooping on buckets that yield nothing."""
+    root = str(tmp_path / 'tbl4')
+    empty = spark.createDataFrame(
+        [], '%s int, conv_id string' % mf.BUCKET_COL)
+    snap = mf.commit_append(empty, root, note='empty')
+    assert snap['partitions'] == {} and snap['data_dirs'] == []
+    # caller records the attempted buckets as zero-row lineage
+    for b in (0, 1):
+        snap['partitions'].setdefault(b, {'rows': 0})
+    mf.write_manifest(root, snap)
+    assert mf.pending_buckets(root, 2) == []   # no reprocessing loop
+    _commit(spark, root, 1, rows=3)
+    assert mf.read_table(spark, root).count() == 3

@@ -35,7 +35,10 @@ class Pred:
 
     @property
     def label(self) -> str:
-        return type(self).__name__ + '(...)'
+        # NOT `type(self)`: this module exports a builtin-shadowing
+        # module-global `type` for reference API parity, which would
+        # resolve here and crash
+        return self.__class__.__name__ + '(...)'
 
     # --- rule-building sugar (predicates/constructors.py:12-33) -----
     def _as_rule(self):

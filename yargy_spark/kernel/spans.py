@@ -40,8 +40,10 @@ def pick_max_coverage(spans: List[Span]) -> Iterator[Span]:
 
     Equivalent to ``resolve_spans`` (span.py:42-82): a right-to-left DP
     where ``best[i]`` is the max coverage using spans[i:] and the chosen
-    index set is propagated; on a strict tie the previously computed
-    (i+1) solution wins, matching reference preference.
+    index set is propagated; on an exact coverage tie the solution
+    that INCLUDES spans[i] wins (the code keeps ``take`` unless it is
+    strictly smaller), matching the reference's ``cover < previous``
+    comparison (span.py:60-66).
     """
     if not spans:
         return
@@ -70,8 +72,3 @@ def pick_max_coverage(spans: List[Span]) -> Iterator[Span]:
 
     for i in sorted(chosen[0]):
         yield spans[i]
-
-
-def enclosing_span(spans: Iterable[Span]) -> Span:
-    spans = list(spans)
-    return (spans[0][0], spans[-1][1])

@@ -97,6 +97,12 @@ class Tok:
                 and self.forms == other.forms
                 and self.tag == other.tag)
 
+    def __hash__(self):
+        # the reference Token is hashable (record.py:21); keep
+        # set/dict usability (forms excluded: lists are unhashable
+        # and (value, span, type) identifies a token in one text)
+        return hash((self.value, self.span, self.type, self.tag))
+
 
 class TokenSpec:
     """Compiled tokenizer spec (rule list -> one alternation regex)."""

@@ -31,8 +31,13 @@ def _norm(a):
 
 
 def cosine_x10000(a, b):
-    return F.floor(F.lit(10000.0) * _dot(a, b)
-                   / (_norm(a) * _norm(b))).cast('long')
+    # zero-norm vectors have no direction: define cosine = 0 rather
+    # than NaN (which would cast to null and float through window
+    # ranks with engine-dependent placement)
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0,
+                  F.floor(F.lit(10000.0) * _dot(a, b) / denom)
+                  .cast('long')).otherwise(F.lit(0).cast('long'))
 
 
 def cosine_topk(embeddings: DataFrame, k: int = 5,
@@ -55,15 +60,20 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
             .select('query_id', 'neighbor_id', 'rank', 'cos_x10000'))
 
 
-def ivf_assign(embeddings: DataFrame,
-               n_centroids: int = 16) -> DataFrame:
-    """Assign every vector to its nearest centroid.  Centroids are the
-    first ``n_centroids`` vectors — a deterministic stand-in for a
-    k-means fit (which would be an offline job at scale); the
-    assignment join broadcasts the centroid dimension."""
-    cent = (embeddings.where(F.col('vec_id') < n_centroids)
+def _centroids(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """The ONE centroid definition (first n vectors — deterministic
+    stand-in for an offline k-means fit); shared by assignment and
+    probing so they can never drift apart."""
+    return (embeddings.where(F.col('vec_id') < n_centroids)
             .select(F.col('vec_id').alias('centroid_id'),
                     F.col('embedding').alias('centv')))
+
+
+def ivf_assign(embeddings: DataFrame,
+               n_centroids: int = 16) -> DataFrame:
+    """Assign every vector to its nearest centroid; the assignment
+    join broadcasts the centroid dimension."""
+    cent = _centroids(embeddings, n_centroids)
     scored = (embeddings.crossJoin(F.broadcast(cent))
               .select('vec_id', 'embedding', 'centroid_id',
                       cosine_x10000(F.col('embedding'), F.col('centv'))
@@ -80,9 +90,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     """IVF-lite approximate top-k: search only vectors assigned to the
     query's ``n_probe`` nearest centroids."""
     assigned = ivf_assign(embeddings, n_centroids)
-    cent = (embeddings.where(F.col('vec_id') < n_centroids)
-            .select(F.col('vec_id').alias('centroid_id'),
-                    F.col('embedding').alias('centv')))
+    cent = _centroids(embeddings, n_centroids)
 
     q = (embeddings.where(F.col('vec_id') < n_queries)
          .select(F.col('vec_id').alias('query_id'),

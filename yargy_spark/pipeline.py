@@ -52,35 +52,32 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
     src = src.where(F.col(mf.BUCKET_COL).isin(pending))
 
     t0 = time.time()
+    # turns_in scans only the columns the bucket filter needs (conv_id)
+    # thanks to column pruning; the data columns are read once, by the
+    # extraction pass below
     n_turns = src.count()
     flows = run_pipeline(src.drop(mf.BUCKET_COL), extractor_names)
     triples = mf.with_bucket(flows['triples'], n_buckets).persist()
-
-    counters = {
-        'turns_in': n_turns,
-        'mentions': flows['mentions'].count(),
-        'entities': flows['entities'].select('entity_id')
-                                     .distinct().count(),
-        'triples': triples.count(),
-        'wall_sec': round(time.time() - t0, 3),
-        'buckets': pending,
-    }
-    # every pending bucket must appear in the manifest even when it
-    # produced zero triples, else resume would reprocess it forever
-    snap = mf.commit_append(triples, out_root, note='triples',
-                            counters=counters)
-    for b in pending:
-        snap['partitions'].setdefault(b, {'rows': 0})
-    _rewrite_manifest(out_root, snap)
-    flows['mentions'].unpersist()
-    flows['entities'].unpersist()
-    triples.unpersist()
+    try:
+        counters = {
+            'turns_in': n_turns,
+            'mentions': flows['mentions'].count(),
+            'entities': flows['entities'].select('entity_id')
+                                         .distinct().count(),
+            'triples': triples.count(),
+            'wall_sec': round(time.time() - t0, 3),
+            'buckets': pending,
+        }
+        # every pending bucket must appear in the manifest even when
+        # it produced zero triples, else resume would reprocess it
+        # forever
+        snap = mf.commit_append(triples, out_root, note='triples',
+                                counters=counters)
+        for b in pending:
+            snap['partitions'].setdefault(b, {'rows': 0})
+        mf.write_manifest(out_root, snap)   # atomic replace
+    finally:
+        flows['mentions'].unpersist()
+        flows['entities'].unpersist()
+        triples.unpersist()
     return snap
-
-
-def _rewrite_manifest(root: str, snap: dict) -> None:
-    import json
-    import os
-    path = os.path.join(root, '_manifests', snap['snapshot_id'] + '.json')
-    with open(path, 'w', encoding='utf-8') as fh:
-        json.dump(snap, fh, ensure_ascii=False, indent=1)

@@ -53,7 +53,7 @@ def committed_partitions(root: str) -> Dict[int, dict]:
     if not os.path.isdir(mdir):
         return done
     for name in sorted(os.listdir(mdir)):
-        if not name.startswith('snap-'):
+        if not (name.startswith('snap-') and name.endswith('.json')):
             continue
         with open(os.path.join(mdir, name), 'r', encoding='utf-8') as fh:
             snap = json.load(fh)
@@ -91,17 +91,25 @@ def commit_append(df: DataFrame, root: str,
        .partitionBy(BUCKET_COL)
        .parquet(data_dir))
 
-    written = df.sparkSession.read.parquet(data_dir)
-    stats_rows = written.groupBy(BUCKET_COL).count().collect()
-    partitions = {int(r[BUCKET_COL]): {'rows': int(r['count'])}
-                  for r in stats_rows}
+    # an all-empty commit writes only _SUCCESS; reading it back would
+    # fail schema inference — the manifest simply records no
+    # partitions (callers add zero-row bucket entries for lineage)
+    has_files = any(name.startswith('bucket=')
+                    for name in os.listdir(data_dir))
+    if has_files:
+        written = df.sparkSession.read.parquet(data_dir)
+        stats_rows = written.groupBy(BUCKET_COL).count().collect()
+        partitions = {int(r[BUCKET_COL]): {'rows': int(r['count'])}
+                      for r in stats_rows}
+    else:
+        partitions = {}
 
     parent = current_snapshot(root)
     manifest = {
         'snapshot_id': snapshot_id,
         'parent_id': parent,
         'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
-        'data_dirs': [snapshot_id],
+        'data_dirs': [snapshot_id] if has_files else [],
         'partitions': partitions,
         'totals': {'rows': sum(p['rows'] for p in partitions.values()),
                    'partitions': len(partitions)},
@@ -110,12 +118,23 @@ def commit_append(df: DataFrame, root: str,
     }
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
-    with open(os.path.join(mdir, snapshot_id + '.json'), 'w',
-              encoding='utf-8') as fh:
-        json.dump(manifest, fh, ensure_ascii=False, indent=1)
+    write_manifest(root, manifest)
     with open(os.path.join(mdir, 'current'), 'w', encoding='utf-8') as fh:
         fh.write(snapshot_id)
     return manifest
+
+
+def write_manifest(root: str, manifest: dict) -> None:
+    """Atomically (tmp + rename) write/replace a snapshot manifest —
+    the manifest IS the commit point, so a torn write would make
+    committed data unreadable and crash every later resume."""
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, manifest['snapshot_id'] + '.json')
+    tmp = path + '.tmp'
+    with open(tmp, 'w', encoding='utf-8') as fh:
+        json.dump(manifest, fh, ensure_ascii=False, indent=1)
+    os.replace(tmp, path)
 
 
 def committed_data_dirs(root: str) -> List[str]:
@@ -168,7 +187,7 @@ def snapshots(root: str) -> List[dict]:
     if not os.path.isdir(mdir):
         return out
     for name in sorted(os.listdir(mdir)):
-        if name.startswith('snap-'):
+        if name.startswith('snap-') and name.endswith('.json'):
             with open(os.path.join(mdir, name), 'r',
                       encoding='utf-8') as fh:
                 out.append(json.load(fh))
@@ -183,8 +202,8 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
     number of manifests removed."""
     mdir = _manifest_dir(root)
     names = sorted(n for n in os.listdir(mdir)
-                   if n.startswith('snap-')) if os.path.isdir(mdir) \
-        else []
+                   if n.startswith('snap-') and n.endswith('.json')) \
+        if os.path.isdir(mdir) else []
     if len(names) <= keep_last + 1:
         return 0
     old, _kept = names[:-keep_last], names[-keep_last:]
@@ -213,8 +232,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
         'counters': {'expired_snapshots': len(old)},
         'note': 'base (expired %d snapshots)' % len(old),
     }
-    with open(os.path.join(mdir, old[0]), 'w', encoding='utf-8') as fh:
-        json.dump(base, fh, ensure_ascii=False, indent=1)
+    write_manifest(root, base)
     for name in old[1:]:
         os.remove(os.path.join(mdir, name))
     return len(old) - 1
