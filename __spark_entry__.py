@@ -751,9 +751,9 @@ WITH base AS (
   SELECT doc_id,
          length(text) AS n_chars_txt,
          len(string_split(trim(lower(text)), ' ')) AS n_words,
-         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+         length(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]', '', 'g'))
            AS alpha_len,
-         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+         length(regexp_replace(lower(text), '[\\p{{L}}\\p{{N}} ]', '', 'g'))
            AS punct,
          len(list_filter(string_split(trim(lower(text)), ' '),
              w -> w IN ({stops}))) AS stop_hits

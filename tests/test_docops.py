@@ -89,3 +89,30 @@ def test_multimodal_plumbing(spark, docs):
     again = extract_features(media).collect()
     assert {r['doc_id']: r['byte_mean_x100'] for r in feats} == \
         {r['doc_id']: r['byte_mean_x100'] for r in again}
+
+
+def test_quality_scores_unicode(spark):
+    """Regression: non-Latin text must not be scored as punctuation
+    (the primary corpus is Russian)."""
+    from yargy_spark.operators.textstats import quality_scores
+    ru = ('пользователь задал длинный вопрос о статусе заявки и '
+          'попросил уточнить сроки обработки документов в ближайшие '
+          'рабочие дни')
+    df = spark.createDataFrame([(1, ru)], 'doc_id long, text string')
+    row = quality_scores(df).collect()[0]
+    assert row['punct_ratio_x10000'] == 0
+    assert row['keep'] == 1
+
+
+def test_may_dates_carry_month(spark):
+    """Regression: 'N мая YYYY' must produce month=5 (the month map is
+    keyed by nominative lemma, not the genitive surface)."""
+    import json as _json
+    from yargy_spark.operators.extract import extract_mentions
+    df = spark.createDataFrame(
+        [('m1', 0, 'user', 'встреча 8 мая 2015 года', None)],
+        'conv_id string, turn_idx int, role string, text string, '
+        'tool string')
+    rows = extract_mentions(df, ['date']).collect()
+    assert _json.loads(rows[0]['fact_json']) == {
+        'day': 8, 'month': 5, 'year': 2015}

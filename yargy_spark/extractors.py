@@ -46,11 +46,15 @@ Money = fact('Money', ['value', 'currency'])
 Geo = fact('Geo', ['name'])
 Era = fact('Era', ['value'])
 
-MONTH_WORDS = {'январь', 'февраль', 'март', 'апрель', 'мая', 'июнь',
+# keyed by NOMINATIVE LEMMA: the dictionary predicate matches any
+# inflection via lemma expansion, and .normalized() hands the lemma
+# to month_number — a surface key like 'мая' would match but then
+# drop the month number ('мая' lemmatizes to 'май')
+MONTH_WORDS = {'январь', 'февраль', 'март', 'апрель', 'май', 'июнь',
                'июль', 'август', 'сентябрь', 'октябрь', 'ноябрь',
                'декабрь'}
 MONTH_NUMBERS = {'январь': 1, 'февраль': 2, 'март': 3, 'апрель': 4,
-                 'мая': 5, 'июнь': 6, 'июль': 7, 'август': 8,
+                 'май': 5, 'июнь': 6, 'июль': 7, 'август': 8,
                  'сентябрь': 9, 'октябрь': 10, 'ноябрь': 11,
                  'декабрь': 12}
 
@@ -273,6 +277,10 @@ class CompiledBank:
         biggest per-turn win since tokenize+morph dominates short
         parses.  Per-extractor triggers short-circuit before parsing.
         """
+        if mode not in ('findall', 'extract', 'match'):
+            # validate OUTSIDE the poison-turn guard: a caller typo
+            # must fail loudly, not read as corpus-wide budget aborts
+            raise ValueError('unknown mode %r' % mode)
         tokens = None
         for (name, fact_type, parser, key_fn, trigger,
              shares) in self.parsers:
@@ -293,11 +301,9 @@ class CompiledBank:
                     matches = list(parser.findall(text, tokens=shared))
                 elif mode == 'extract':
                     matches = list(parser.extract(text, tokens=shared))
-                elif mode == 'match':
+                else:
                     m = parser.match(text, tokens=shared)
                     matches = [m] if m is not None else []
-                else:
-                    raise ValueError(mode)
             except Exception:
                 # parse budget / pathological turn: skip the rule for
                 # this turn (poison-turn guard); surfaced via metrics

@@ -179,7 +179,9 @@ class Morphology:
         entries: Dict[str, list] = {}
         for word, idx, lemma, grams in sorted(
                 entry_rows, key=lambda r: (r[0], r[1])):
-            entries.setdefault(word, []).append(
+            # lookups go through word.lower() (__call__); normalize
+            # the key so capitalized dictionary surfaces stay reachable
+            entries.setdefault(word.lower(), []).append(
                 (lemma, frozenset(grams)))
         paradigms: Dict[str, list] = {}
         for lemma, idx, word, grams in sorted(

@@ -85,6 +85,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf['doc_id'].values,
                                        pdf['payload'].values):
+                if payload is None:   # null text upstream -> null
+                    continue          # payload; skip like the text UDFs
                 arr = fake_decode(payload)
                 hist = np.histogram(arr, bins=16, range=(0, 256))[0]
                 hist = (hist / max(len(arr), 1)).astype('float32')

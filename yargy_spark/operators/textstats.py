@@ -49,8 +49,11 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     words = F.split(F.trim(text), ' ')
     n_words = F.size(words)
     n_chars = F.length('text')
-    punct = F.length(F.regexp_replace(text, '[a-z0-9 ]', ''))
-    alpha_len = F.length(F.regexp_replace(text, '[^a-z0-9]', ''))
+    # Unicode letter/digit classes: [a-z0-9] would score every
+    # Cyrillic (or any non-Latin) document as ~100% punctuation and
+    # auto-drop it — fatal for the project's primary Russian corpus
+    punct = F.length(F.regexp_replace(text, r'[\p{L}\p{N} ]', ''))
+    alpha_len = F.length(F.regexp_replace(text, r'[^\p{L}\p{N}]', ''))
     mean_wl = F.floor(F.lit(100.0) * alpha_len
                       / F.greatest(n_words, F.lit(1)))
     stop_hits = F.aggregate(
@@ -104,7 +107,11 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     grams = word_shingles(docs, k=n)          # distinct per doc
     counts = (grams.groupBy('shingle')
               .agg(F.count('*').alias('df')))
+    # distributed top-k (TakeOrderedAndProject) FIRST — an
+    # unpartitioned row_number window would drag the whole distinct
+    # n-gram vocabulary through one task; the rank window then runs
+    # over only k rows
+    top = counts.orderBy(F.desc('df'), F.asc('shingle')).limit(k)
     w = Window.orderBy(F.desc('df'), F.asc('shingle'))
-    return (counts.withColumn('rank', F.row_number().over(w))
-            .where(F.col('rank') <= k)
+    return (top.withColumn('rank', F.row_number().over(w))
             .select('rank', F.col('shingle').alias('ngram'), 'df'))

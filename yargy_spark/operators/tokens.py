@@ -76,7 +76,9 @@ def annotate_lemmas(tokens: DataFrame,
     """Attach the lemma set per RU token via a broadcast hash join on
     the lowercased surface; out-of-vocabulary words fall back to their
     lowercased surface (same contract as the in-UDF analyzer)."""
-    lemma_sets = (lexicon.groupBy('word')
+    lemma_sets = (lexicon
+                  .select(F.lower('word').alias('word'), 'lemma')
+                  .groupBy('word')
                   .agg(F.array_sort(F.collect_set('lemma'))
                        .alias('lemmas')))
     low = F.lower(F.col('value'))
