@@ -452,9 +452,6 @@ _JACCARD_VERIFY = """
     JOIN sizes zb ON zb.doc_id = i.b)
 """
 
-_HASH_FAMILY_VALUES = None  # built lazily in oracle_sql()
-
-
 def oracle_sql() -> dict[str, str]:
     from yargy_spark.operators.dedup import (HASH_FAMILY,
                                              LSH_DEFAULT_THRESHOLD,
@@ -638,10 +635,12 @@ WITH {sh},
            min((fam.a * xs.x + fam.b) % {m}) AS minhash
     FROM xs CROSS JOIN fam GROUP BY doc_id, fam.i),
   bands AS (
-    SELECT doc_id, CAST(hash_idx / {rpb} AS INT) AS band,
+    -- integer floor division: CAST(x / 2 AS INT) would ROUND in
+    -- DuckDB and run a different banding than Spark's
+    SELECT doc_id, CAST(hash_idx // {rpb} AS INT) AS band,
            string_agg(CAST(minhash AS VARCHAR), '_'
                       ORDER BY hash_idx) AS sig_key
-    FROM sig GROUP BY doc_id, CAST(hash_idx / {rpb} AS INT)),
+    FROM sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
   cands AS (
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM bands l JOIN bands r
@@ -839,9 +838,10 @@ FROM ranked WHERE rnk <= 3
 """
 
     oracles['idle_customers'] = """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE c_custkey NOT IN (
-    SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
 """
 
     oracles['orders_rollup'] = """
@@ -853,9 +853,13 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
     oracles['event_sessions'] = """
 WITH marked AS (
+  -- floor to whole seconds like Spark's unix_timestamp: fractional
+  -- epoch would flip sessions at the +/-1s gap boundary
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                   > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))

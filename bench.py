@@ -94,10 +94,14 @@ def main():
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
-    kg_sec = timings['kg_extract'] + timings['kg_link_triples']
+    kg_sec = round(timings['kg_extract']
+                   + timings['kg_link_triples'], 3)
     result = {
-        'metric': 'kg_pipeline_total',
+        # value = the whole suite (KG spine + operator queries);
+        # the KG spine alone is kg_sec / turns_per_sec
+        'metric': 'suite_total',
         'value': total,
+        'kg_sec': kg_sec,
         'unit': 'sec',
         'queries': timings,
         'sf': sf,

@@ -68,10 +68,8 @@ def main():
         'buckets': pending,
     }
     snap = mf.commit_append(bucketed, out_dir, note='dedup-pairs',
-                            counters=counters)
-    for b in pending:
-        snap['partitions'].setdefault(b, {'rows': 0})
-    mf.write_manifest(out_dir, snap)
+                            counters=counters,
+                            expected_buckets=pending)
     print(json.dumps({'status': 'committed',
                       'snapshot': snap['snapshot_id'],
                       'counters': counters,

@@ -84,12 +84,10 @@ def test_empty_commit_and_zero_row_lineage(spark, tmp_path):
     root = str(tmp_path / 'tbl4')
     empty = spark.createDataFrame(
         [], '%s int, conv_id string' % mf.BUCKET_COL)
-    snap = mf.commit_append(empty, root, note='empty')
-    assert snap['partitions'] == {} and snap['data_dirs'] == []
-    # caller records the attempted buckets as zero-row lineage
-    for b in (0, 1):
-        snap['partitions'].setdefault(b, {'rows': 0})
-    mf.write_manifest(root, snap)
+    snap = mf.commit_append(empty, root, note='empty',
+                            expected_buckets=[0, 1])
+    assert snap['data_dirs'] == []
+    assert snap['partitions'] == {0: {'rows': 0}, 1: {'rows': 0}}
     assert mf.pending_buckets(root, 2) == []   # no reprocessing loop
     _commit(spark, root, 1, rows=3)
     assert mf.read_table(spark, root).count() == 3

@@ -45,6 +45,12 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # a typo'd name silently verifying nothing would report success
+        print('unknown queries: %s' % unknown)
+        sys.exit(2)
+
     spark = build_session(app='verify-entry', master='local[8]',
                           shuffle_partitions=8)
     spark.sparkContext.setLogLevel('ERROR')

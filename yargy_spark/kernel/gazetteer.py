@@ -32,9 +32,6 @@ class GazProd(Prod):
         self.value = value
         super().__init__(terms)
 
-    def render(self) -> str:
-        return super().render()
-
 
 class GazRule(GrammarRule):
     """Pipeline BNF rule with a first-token index; ``predict`` yields
@@ -53,9 +50,6 @@ class GazRule(GrammarRule):
     def _first_keys(self, production):
         yield production.terms[0].value
 
-    def _token_keys(self, token):
-        yield token.value
-
     def predict(self, token):
         # hot path: called once per (rule, column); specialized per
         # subclass to skip generator machinery on the common miss
@@ -68,9 +62,6 @@ class GazRule(GrammarRule):
 class CaselessGazRule(GazRule):
     abbr = 'caseless_pipeline'
 
-    def _token_keys(self, token):
-        yield token.value.lower()
-
     def predict(self, token):
         return self.index.get(token.value.lower(), ())
 
@@ -82,16 +73,6 @@ class MorphGazRule(GazRule):
         # first term is a LemmaIn over the word's lemma set
         for lemma in production.terms[0].lemmas:
             yield lemma
-
-    def _token_keys(self, token):
-        if token.forms:
-            seen = set()
-            for form in token.forms:
-                if form.lemma not in seen:
-                    seen.add(form.lemma)
-                    yield form.lemma
-        else:
-            yield token.value.lower()
 
     def predict(self, token):
         forms = token.forms

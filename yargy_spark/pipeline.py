@@ -68,14 +68,12 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
             'wall_sec': round(time.time() - t0, 3),
             'buckets': pending,
         }
-        # every pending bucket must appear in the manifest even when
-        # it produced zero triples, else resume would reprocess it
+        # expected_buckets: zero-triple buckets get lineage entries in
+        # the same atomic manifest write, else resume reprocesses them
         # forever
         snap = mf.commit_append(triples, out_root, note='triples',
-                                counters=counters)
-        for b in pending:
-            snap['partitions'].setdefault(b, {'rows': 0})
-        mf.write_manifest(out_root, snap)   # atomic replace
+                                counters=counters,
+                                expected_buckets=pending)
     finally:
         flows['mentions'].unpersist()
         flows['entities'].unpersist()

@@ -76,7 +76,8 @@ def current_snapshot(root: str) -> Optional[str]:
 
 
 def commit_append(df: DataFrame, root: str,
-                  note: str = '', counters: Optional[dict] = None) -> dict:
+                  note: str = '', counters: Optional[dict] = None,
+                  expected_buckets: Optional[List[int]] = None) -> dict:
     """Append df (must carry the bucket column) as a new snapshot.
 
     Atomicity: data lands in its OWN snapshot directory first; the
@@ -84,7 +85,12 @@ def commit_append(df: DataFrame, root: str,
     leaves an orphan directory that no reader ever sees (clean up
     with ``vacuum_orphans``) — never duplicate rows on resume.
     Per-partition stats are read back from the written files, so the
-    upstream lineage executes exactly once."""
+    upstream lineage executes exactly once.
+
+    ``expected_buckets``: buckets this commit COVERS even when they
+    produced zero rows — they get zero-row lineage entries inside the
+    same atomic manifest write, so resume never reprocesses them
+    (the invariant every resumable job needs)."""
     snapshot_id = 'snap-%d' % time.time_ns()
     data_dir = os.path.join(root, 'data', snapshot_id)
     (df.write.mode('error')
@@ -103,6 +109,8 @@ def commit_append(df: DataFrame, root: str,
                       for r in stats_rows}
     else:
         partitions = {}
+    for b in (expected_buckets or []):
+        partitions.setdefault(int(b), {'rows': 0})
 
     parent = current_snapshot(root)
     manifest = {
