@@ -404,11 +404,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ------------------------------------------------------------- oracle SQL
 
-def _values_rows(rows, cols):
+def _values_rows(rows, cols, casts=None):
+    """VALUES-literal oracle.  ``casts`` maps column -> SQL type so the
+    oracle's declared dtype matches the Spark side exactly (bare int
+    literals infer as INTEGER in DuckDB while Spark counts are
+    BIGINT; the driver hashes typed values)."""
     body = ',\n  '.join(
         '(%s)' % ', '.join(_sql_lit(v) for v in row) for row in rows)
-    return 'SELECT * FROM (VALUES\n  %s\n) AS t(%s)' % (
-        body, ', '.join(cols))
+    casts = casts or {}
+    sel = ', '.join(
+        'CAST(%s AS %s) AS %s' % (c, casts[c], c) if c in casts else c
+        for c in cols)
+    return 'SELECT %s FROM (VALUES\n  %s\n) AS t(%s)' % (
+        sel, body, ', '.join(cols))
 
 
 def _sql_lit(v):
@@ -482,7 +490,7 @@ def oracle_sql() -> dict[str, str]:
     oracles['kg_entities'] = _values_rows([
         ('иван|ульянов', 5), ('владимир|путин', 2),
         ('саша|иванов', 1), ('саша|иванова', 1), ('саша|быков', 1),
-    ], ['canonical', 'n_mentions'])
+    ], ['canonical', 'n_mentions'], casts={'n_mentions': 'BIGINT'})
 
     oracles['kg_person_triples'] = _values_rows([
         ('иван|ульянов', 'name.first', 'Иван'),
@@ -562,7 +570,7 @@ def oracle_sql() -> dict[str, str]:
         ('владимир|путин', 'иван|ульянов', 1),
         ('иван|ульянов', 'саша|иванова', 1),
         ('саша|быков', 'саша|иванов', 1),
-    ], ['a', 'b', 'n_groups'])
+    ], ['a', 'b', 'n_groups'], casts={'n_groups': 'BIGINT'})
 
     oracles['events_asof'] = """
 WITH err AS (
@@ -603,7 +611,8 @@ FROM r GROUP BY role, tool
         win_counts[key] = win_counts.get(key, 0) + 1
     oracles['stream_mention_rollup'] = _values_rows(
         [(w, ft, n) for (w, ft), n in sorted(win_counts.items())],
-        ['win_start', 'fact_type', 'n_mentions'])
+        ['win_start', 'fact_type', 'n_mentions'],
+        casts={'win_start': 'BIGINT', 'n_mentions': 'BIGINT'})
 
     oracles['exact_dedup'] = """
 WITH hashed AS (
@@ -665,7 +674,9 @@ per_bit AS (
   FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
   GROUP BY doc_id, bit)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::int64 << bit) ELSE 0 END) AS simhash
+       -- CAST: DuckDB sum(BIGINT) widens to HUGEINT; Spark emits LONG
+       CAST(sum(CASE WHEN s > 0 THEN (1::int64 << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc_id
 """.format(h=_H60.format(x='w'), norm=_NORM)
 
@@ -690,7 +701,9 @@ ranked AS (
       PARTITION BY query_id
       ORDER BY cos_x10000 DESC, neighbor_id ASC) AS rank
   FROM scored)
-SELECT query_id, neighbor_id, rank, cos_x10000
+SELECT query_id, neighbor_id,
+       CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
+       cos_x10000
 FROM ranked WHERE rank <= 5
 """
 
@@ -727,7 +740,9 @@ ranked AS (
       PARTITION BY query_id
       ORDER BY cos_x10000 DESC, neighbor_id ASC) AS rank
   FROM cand)
-SELECT query_id, neighbor_id, rank, cos_x10000
+SELECT query_id, neighbor_id,
+       CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
+       cos_x10000
 FROM ranked WHERE rank <= 5
 """
 
@@ -757,7 +772,9 @@ WITH base AS (
          len(list_filter(string_split(trim(lower(text)), ' '),
              w -> w IN ({stops}))) AS stop_hits
   FROM documents)
-SELECT doc_id, n_chars_txt, n_words,
+SELECT doc_id,
+  CAST(n_chars_txt AS INT) AS n_chars_txt,  -- Spark length() is INT
+  CAST(n_words AS INT) AS n_words,
   CAST(floor(100.0 * alpha_len / greatest(n_words, 1)) AS BIGINT)
     AS mean_word_len_x100,
   CAST(floor(10000.0 * punct / greatest(n_chars_txt, 1)) AS BIGINT)
@@ -774,8 +791,10 @@ FROM base
 
     oracles['token_counts'] = """
 SELECT doc_id,
-  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ws_tokens,
-  len(regexp_extract_all(lower(text), '{pat}')) AS re_tokens
+  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+       AS INT) AS ws_tokens,  -- Spark size() is INT
+  CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT)
+    AS re_tokens
 FROM documents
 """.format(pat=TOKEN_PATTERN)
 
@@ -790,7 +809,9 @@ counts AS (SELECT ngram, count(*) AS df FROM grams GROUP BY ngram),
 ranked AS (
   SELECT *, row_number() OVER (ORDER BY df DESC, ngram ASC) AS rank
   FROM counts)
-SELECT rank, ngram, df FROM ranked WHERE rank <= 20
+SELECT CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
+       ngram, df
+FROM ranked WHERE rank <= 20
 """.format(norm=_NORM)
 
     oracles['doc_fingerprints'] = """
@@ -800,7 +821,10 @@ ranked AS (
   SELECT doc_id, fp_hash, row_number() OVER (
       PARTITION BY doc_id ORDER BY fp_hash ASC) AS fp_rank
   FROM hashed)
-SELECT doc_id, fp_rank, fp_hash FROM ranked WHERE fp_rank <= 4
+SELECT doc_id,
+       CAST(fp_rank AS INT) AS fp_rank,  -- Spark row_number() is INT
+       fp_hash
+FROM ranked WHERE fp_rank <= 4
 """.format(sh=_SHINGLES, h=_H60.format(x='shingle'))
 
     oracles['multimodal_meta'] = """
@@ -815,8 +839,12 @@ FROM documents
 
     oracles['pricing_summary'] = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       -- CAST: DuckDB sum(DECIMAL(18,2)) widens to DECIMAL(38,2);
+       -- Spark's sum over decimal(18,2) yields decimal(28,2)
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            AS DECIMAL(28,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DECIMAL(28,2)) AS sum_price,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -824,7 +852,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
     oracles['top_customers'] = """
 WITH per AS (
   SELECT o_custkey, count(*) AS n_orders,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+         -- CAST to Spark's sum-of-decimal(18,2) result type
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS total_spent
   FROM orders GROUP BY o_custkey),
 ranked AS (
   SELECT c.c_mktsegment, c.c_custkey, p.n_orders, p.total_spent,
@@ -833,7 +863,9 @@ ranked AS (
            ORDER BY p.n_orders DESC, p.total_spent DESC,
                     c.c_custkey ASC) AS rnk
   FROM per p JOIN customer c ON p.o_custkey = c.c_custkey)
-SELECT c_mktsegment, c_custkey, n_orders, total_spent, rnk
+SELECT c_mktsegment, c_custkey, n_orders, total_spent,
+       -- CAST: DuckDB row_number() is BIGINT; Spark's is INT
+       CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 3
 """
 
@@ -863,7 +895,9 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT user_id, sum(new_session) AS n_sessions,
+SELECT user_id,
+       -- CAST: DuckDB sum(INT) widens to HUGEINT; Spark emits LONG
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM marked GROUP BY user_id
 """

@@ -71,10 +71,54 @@ def test_compact_bucket_row_preserving(spark, tmp_path):
 
     n = mf.compact_bucket(spark, root, 0)
     assert n == 40
-    assert len(glob.glob(pattern)) == 4   # one file per snapshot dir
+    # committed dirs are NEVER rewritten: the compacted rows live in a
+    # fresh single-file snapshot dir; old (dir, bucket) pairs are
+    # tombstoned via manifest excludes
+    compact_pattern = os.path.join(root, 'data', '*-compact',
+                                   'bucket=0', '*.parquet')
+    assert len(glob.glob(compact_pattern)) == 1
     after = (mf.read_table(spark, root)
              .groupBy('conv_id').count().collect())
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # resume contract untouched
+    assert mf.pending_buckets(root, 1) == []
+
+    # idempotent re-compaction: reads only the live copy, no doubling
+    n2 = mf.compact_bucket(spark, root, 0)
+    assert n2 == 40
+    assert mf.read_table(spark, root).count() == 40
+
+    # expiry merges the exclude tombstones into the base manifest
+    mf.expire_snapshots(root, keep_last=1)
+    assert mf.read_table(spark, root).count() == 40
+
+
+def test_compact_crash_before_manifest_keeps_old_data(spark, tmp_path,
+                                                      monkeypatch):
+    """A crash between the compacted-data write and the manifest write
+    must leave the table exactly as before (the new dir is an orphan
+    no reader sees; vacuum removes it; retry succeeds)."""
+    root = str(tmp_path / 'tbl5')
+    for _ in range(3):
+        _commit(spark, root, 0, rows=10)
+    before = sorted(map(tuple, mf.read_table(spark, root).collect()))
+
+    def boom(*a, **k):
+        raise OSError('simulated crash before manifest write')
+
+    monkeypatch.setattr(mf, 'write_manifest', boom)
+    with pytest.raises(OSError):
+        mf.compact_bucket(spark, root, 0)
+    monkeypatch.undo()
+
+    # table unchanged; orphan compact dir invisible and vacuumable
+    assert sorted(map(tuple, mf.read_table(spark, root).collect())) \
+        == before
+    removed = mf.vacuum_orphans(root)
+    assert any(d.endswith('-compact') for d in removed)
+    assert mf.compact_bucket(spark, root, 0) == 30
+    assert sorted(map(tuple, mf.read_table(spark, root).collect())) \
+        == before
 
 
 def test_empty_commit_and_zero_row_lineage(spark, tmp_path):

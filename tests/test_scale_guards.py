@@ -61,6 +61,34 @@ def test_poison_turn_budget(spark):
     assert metrics['turns'].value == 2  # stage completed both turns
 
 
+def test_kernel_fault_is_not_a_budget_abort(spark):
+    """A non-budget kernel exception must surface in the ``errors``
+    metric — never as ``budget_aborts`` — and must not disturb other
+    extractors' findall results; strict mode re-raises."""
+    from yargy_spark.extractors import CompiledBank
+    from yargy_spark.operators.extract import (extract_mentions,
+                                               make_extract_metrics)
+    from yargy_spark.testing import FaultyParser
+
+    bank = CompiledBank(names=['date'])
+    bank.parsers.append(
+        ('faulty', 'Faulty', FaultyParser(), None, None, False))
+
+    turns = spark.createDataFrame(
+        [('f0', 0, 'с 8 июня 2015 года')],
+        'conv_id string, turn_idx int, text string')
+    metrics = make_extract_metrics(spark)
+    out = extract_mentions(turns, bank=bank, use_trigger=False,
+                           metrics=metrics).collect()
+    assert [r['rule_id'] for r in out] == ['date']  # date unaffected
+    assert metrics['errors'].value == 1
+    assert metrics['budget_aborts'].value == 0
+
+    with pytest.raises(Exception, match='injected kernel fault'):
+        extract_mentions(turns, bank=bank, use_trigger=False,
+                         strict=True).collect()
+
+
 def test_bucket_partition_pruning(spark, tmp_path):
     """Reading one bucket of the iceberg-like table scans only that
     partition directory (partition pruning in the plan)."""

@@ -19,13 +19,57 @@ TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
 
 
 def norm_value(v):
+    # Deliberately NO Decimal normalization: the driver hashes raw
+    # values, so '2.50' vs '2.5' (scale drift) must surface as FAIL.
     if isinstance(v, Decimal):
-        return format(v.normalize(), 'f')
+        return str(v)
     if isinstance(v, float):
         return '%.9g' % v
     if isinstance(v, bool):
         return int(v)
     return v
+
+
+# DuckDB declared type -> Spark simpleString dtype. Width drift such as
+# HUGEINT (int128) or DECIMAL(38,2)-vs-decimal(28,2) is invisible at the
+# Python-value level (both fetch as int / Decimal('2.50')) but the
+# driver hashes typed values, so declared types must line up too.
+_DUCK_TO_SPARK = {
+    'BIGINT': 'bigint', 'INTEGER': 'int', 'SMALLINT': 'smallint',
+    'TINYINT': 'tinyint', 'HUGEINT': 'hugeint',  # no Spark equivalent
+    'UBIGINT': 'uhugeint', 'DOUBLE': 'double', 'FLOAT': 'float',
+    'VARCHAR': 'string', 'BOOLEAN': 'boolean', 'DATE': 'date',
+    'TIMESTAMP': 'timestamp', 'BLOB': 'binary',
+}
+
+
+def duck_dtype_to_spark(name):
+    name = name.strip().upper()
+    if name.startswith('DECIMAL'):
+        return name.lower().replace(' ', '')
+    return _DUCK_TO_SPARK.get(name, name.lower())
+
+
+def dtype_mismatches(s_dtypes, o_cols, o_types):
+    """Compare Spark dtypes with DuckDB declared types by column name.
+
+    Complex (array/struct/map) types are skipped — their textual forms
+    differ legitimately between engines; scalars must match exactly.
+    """
+    spark_by_col = dict(s_dtypes)
+    out = []
+    for col, duck_raw in zip(o_cols, o_types):
+        duck = duck_dtype_to_spark(str(duck_raw))
+        spark = spark_by_col.get(col)
+        if spark is None:
+            continue  # column-set mismatch is reported separately
+        if any(t in spark for t in ('array', 'struct', 'map')):
+            continue
+        if '[' in duck or 'struct' in duck:
+            continue
+        if spark != duck:
+            out.append('%s: spark=%s oracle=%s' % (col, spark, duck))
+    return out
 
 
 def norm_rows(columns, rows):
@@ -69,6 +113,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print('%-22s SPARK ERROR: %s' % (name, str(exc)[:200]))
@@ -79,9 +124,10 @@ def main():
             print('%-22s rows-only: %d rows' % (name, len(s_rows)))
             continue
         try:
-            res = con.execute(sql)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            rel = con.sql(sql)
+            o_cols = list(rel.columns)
+            o_types = [str(t) for t in rel.types]
+            o_rows = rel.fetchall()
         except Exception as exc:
             print('%-22s ORACLE ERROR: %s' % (name, str(exc)[:200]))
             failures.append(name)
@@ -91,9 +137,15 @@ def main():
         ok_schema = sc == oc
         ok_count = len(sr) == len(orr)
         ok_vals = sr == orr
-        status = 'OK' if (ok_schema and ok_count and ok_vals) else 'FAIL'
-        print('%-22s %s  rows=%d/%d schema=%s values=%s'
-              % (name, status, len(sr), len(orr), ok_schema, ok_vals))
+        bad_dtypes = dtype_mismatches(s_dtypes, o_cols, o_types)
+        ok_types = not bad_dtypes
+        status = ('OK' if (ok_schema and ok_count and ok_vals and ok_types)
+                  else 'FAIL')
+        print('%-22s %s  rows=%d/%d schema=%s values=%s dtypes=%s'
+              % (name, status, len(sr), len(orr), ok_schema, ok_vals,
+                 ok_types))
+        if bad_dtypes:
+            print('   dtype drift:', '; '.join(bad_dtypes))
         if status == 'FAIL':
             failures.append(name)
             if not ok_schema:

@@ -30,6 +30,7 @@ import re
 from typing import Callable, Dict, List, Optional, Tuple
 
 from . import rule, or_, and_, not_, Parser
+from .kernel.earley import ParseBudgetExceeded
 from .interpretation import fact
 from .predicates import (dictionary, eq, gram, gte, is_capitalized,
                          lte, normalized, type_)
@@ -267,7 +268,8 @@ class CompiledBank:
         return '|'.join('(?:%s)' % t
                         for t in dict.fromkeys(self.triggers))
 
-    def run(self, text: str, stats=None, mode: str = 'findall'):
+    def run(self, text: str, stats=None, mode: str = 'findall',
+            strict: bool = False):
         """All extractors over one turn; yields result dicts.
 
         The turn is tokenized+morph-tagged ONCE and the token list is
@@ -304,12 +306,23 @@ class CompiledBank:
                 else:
                     m = parser.match(text, tokens=shared)
                     matches = [m] if m is not None else []
-            except Exception:
-                # parse budget / pathological turn: skip the rule for
-                # this turn (poison-turn guard); surfaced via metrics
+            except ParseBudgetExceeded:
+                # pathological turn hit the chart cap: skip the rule
+                # for this turn (poison-turn guard); surfaced via the
+                # budget_aborts metric
                 if stats is not None:
                     stats['budget_aborts'] = stats.get(
                         'budget_aborts', 0) + 1
+                continue
+            except Exception:
+                # any OTHER kernel exception is a bug, not a budget
+                # trip: count it distinctly so a systematic fault
+                # cannot masquerade as budget aborts, and re-raise in
+                # strict mode so it fails the job loudly
+                if strict:
+                    raise
+                if stats is not None:
+                    stats['errors'] = stats.get('errors', 0) + 1
                 continue
             for m in matches:
                 data = None
@@ -319,7 +332,11 @@ class CompiledBank:
                     data = result.as_json
                     fact_spans = [{'start': s, 'stop': t}
                                   for s, t in result.spans]
-                except (TypeError, ValueError):
+                except TypeError:
+                    # reference parity: mixed-type attr interpretation
+                    # raises TypeError and the fact is dropped
+                    # (interpretation/attribute.py semantics); any
+                    # other exception class propagates loudly
                     pass
                 if data is None:
                     continue

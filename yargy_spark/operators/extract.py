@@ -74,12 +74,16 @@ def make_extract_metrics(spark) -> dict:
     sc = spark.sparkContext
     return {'turns': sc.accumulator(0),
             'mentions': sc.accumulator(0),
-            'budget_aborts': sc.accumulator(0)}
+            'budget_aborts': sc.accumulator(0),
+            # non-budget kernel exceptions: a systematic fault must
+            # surface distinctly, never as "budget aborts"
+            'errors': sc.accumulator(0)}
 
 
 def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
               passthrough, metrics=None,
-              mode: str = 'findall') -> Iterator[pd.DataFrame]:
+              mode: str = 'findall',
+              strict: bool = False) -> Iterator[pd.DataFrame]:
     columns = [f.name for f in MENTION_SCHEMA.fields] + list(passthrough)
     for pdf in batches:
         out = []
@@ -91,7 +95,7 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
             if not text:
                 continue
             alt_seen: dict = {}
-            for row in bank.run(text, stats, mode):
+            for row in bank.run(text, stats, mode, strict=strict):
                 row['conv_id'] = conv_id
                 row['turn_idx'] = int(turn_idx)
                 # mode='extract' can emit several (ambiguity-distinct)
@@ -113,6 +117,8 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
             metrics['turns'] += len(pdf)
             metrics['mentions'] += len(out)
             metrics['budget_aborts'] += stats.get('budget_aborts', 0)
+            if 'errors' in metrics:
+                metrics['errors'] += stats.get('errors', 0)
         if out:
             yield pd.DataFrame(out, columns=columns)
         # empty outputs yield no batch: object-typed empty frames
@@ -125,7 +131,8 @@ def extract_mentions(transcripts: DataFrame,
                      passthrough=(),
                      bank: Optional[CompiledBank] = None,
                      metrics: Optional[dict] = None,
-                     mode: str = 'findall') -> DataFrame:
+                     mode: str = 'findall',
+                     strict: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> mentions table.
 
     One pass over the corpus evaluates every extractor in the bank
@@ -165,7 +172,7 @@ def extract_mentions(transcripts: DataFrame,
         # id()-keyed module cache would leak banks across calls and
         # could alias a recycled address onto a stale grammar
         return _run_bank(payload.value, batches, passthrough, metrics,
-                         mode)
+                         mode, strict)
 
     schema = StructType(MENTION_SCHEMA.fields
                         + [transcripts.schema[c] for c in passthrough])

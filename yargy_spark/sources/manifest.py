@@ -155,19 +155,42 @@ def committed_data_dirs(root: str) -> List[str]:
     return dirs
 
 
+def excluded_buckets(root: str) -> Dict[str, List[int]]:
+    """dir -> buckets superseded by a later compaction snapshot.
+
+    ``compact_bucket`` never rewrites committed directories; it writes
+    the bucket's rows into a fresh snapshot dir and records the old
+    (dir, bucket) pairs under the manifest's ``excludes`` key.  Readers
+    must skip those pairs or they would double-read compacted rows."""
+    out: Dict[str, List[int]] = {}
+    for snap in snapshots(root):
+        for d, buckets in snap.get('excludes', {}).items():
+            cur = out.setdefault(d, [])
+            for b in buckets:
+                if int(b) not in cur:
+                    cur.append(int(b))
+    return out
+
+
 def read_table(spark: SparkSession, root: str) -> DataFrame:
     """Union of all COMMITTED snapshot directories (orphans from
     crashed commits are invisible).  Each directory is read as its own
     partitioned root — a multi-path read would trip Spark's common-
     base partition discovery — and bucket filters still prune into
-    every scan."""
+    every scan.  Buckets superseded by compaction snapshots are
+    filtered out per-directory (partition-pruned, not row-scanned)."""
     from functools import reduce
-    dirs = [os.path.join(root, 'data', d)
-            for d in committed_data_dirs(root)]
-    if not dirs:
+    excludes = excluded_buckets(root)
+    parts = []
+    for d in committed_data_dirs(root):
+        df = spark.read.parquet(os.path.join(root, 'data', d))
+        skip = excludes.get(d)
+        if skip:
+            df = df.where(~F.col(BUCKET_COL).isin(skip))
+        parts.append(df)
+    if not parts:
         raise FileNotFoundError('no committed snapshots under %s' % root)
-    return reduce(DataFrame.unionByName,
-                  (spark.read.parquet(d) for d in dirs))
+    return reduce(DataFrame.unionByName, parts)
 
 
 def vacuum_orphans(root: str) -> List[str]:
@@ -217,16 +240,26 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
     old, _kept = names[:-keep_last], names[-keep_last:]
     merged_parts: Dict[str, dict] = {}
     merged_dirs: List[str] = []
+    merged_excl: Dict[str, List[int]] = {}
     total_rows = 0
     for name in old:
         with open(os.path.join(mdir, name), 'r',
                   encoding='utf-8') as fh:
             snap = json.load(fh)
         for bucket, stats in snap.get('partitions', {}).items():
-            merged_parts[bucket] = stats
+            # SUM per-bucket rows: the same bucket may be appended in
+            # several expired snapshots; later-wins would understate
+            # the base manifest vs its own totals.rows
+            cur = merged_parts.setdefault(bucket, {'rows': 0})
+            cur['rows'] += stats.get('rows', 0)
         for d in snap.get('data_dirs', []):
             if d not in merged_dirs:
                 merged_dirs.append(d)
+        for d, buckets in snap.get('excludes', {}).items():
+            cur_b = merged_excl.setdefault(d, [])
+            for b in buckets:
+                if int(b) not in cur_b:
+                    cur_b.append(int(b))
         total_rows += snap.get('totals', {}).get('rows', 0)
     base = {
         'snapshot_id': old[0][:-5],   # keeps sort position
@@ -235,6 +268,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
                                      time.gmtime()),
         'data_dirs': merged_dirs,
         'partitions': merged_parts,
+        'excludes': merged_excl,
         'totals': {'rows': total_rows,
                    'partitions': len(merged_parts)},
         'counters': {'expired_snapshots': len(old)},
@@ -248,22 +282,58 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
 
 def compact_bucket(spark: SparkSession, root: str, bucket: int,
                    target_files: int = 1) -> int:
-    """Rewrite one bucket partition into ``target_files`` files per
-    committed snapshot directory (small-file compaction) via dynamic
-    partition overwrite; row content and manifests are unchanged.
-    Returns the bucket's total row count."""
-    total = 0
+    """Coalesce one bucket's rows (scattered across snapshot
+    directories as small files) into ``target_files`` files.
+
+    Crash-safe: committed directories are NEVER rewritten.  The
+    bucket's rows land in a fresh snapshot directory first; the
+    atomic manifest write (recording the new dir plus ``excludes``
+    tombstones for the old (dir, bucket) pairs) is the commit point.
+    A crash before the manifest leaves an invisible orphan dir
+    (``vacuum_orphans`` removes it) and readers keep seeing the old
+    data.  Returns the bucket's total row count."""
+    from functools import reduce
+    excludes = excluded_buckets(root)
+    src_dirs = []
+    parts = []
     for d in committed_data_dirs(root):
-        path = os.path.join(root, 'data', d)
-        df = (spark.read.parquet(path)
+        if bucket in excludes.get(d, []):
+            continue  # already superseded by an earlier compaction
+        df = (spark.read.parquet(os.path.join(root, 'data', d))
               .where(F.col(BUCKET_COL) == bucket))
-        n = df.count()
-        if n == 0:
-            continue
-        total += n
-        (df.coalesce(target_files)
-           .write.mode('overwrite')
-           .option('partitionOverwriteMode', 'dynamic')
-           .partitionBy(BUCKET_COL)
-           .parquet(path))
-    return total
+        src_dirs.append(d)
+        parts.append(df)
+    if not parts:
+        return 0
+    merged = reduce(DataFrame.unionByName, parts)
+    n = merged.count()
+    if n == 0:
+        return 0
+
+    snapshot_id = 'snap-%d-compact' % time.time_ns()
+    data_dir = os.path.join(root, 'data', snapshot_id)
+    (merged.coalesce(target_files)
+     .write.mode('error')
+     .partitionBy(BUCKET_COL)
+     .parquet(data_dir))
+
+    manifest = {
+        'snapshot_id': snapshot_id,
+        'parent_id': current_snapshot(root),
+        'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                     time.gmtime()),
+        'data_dirs': [snapshot_id],
+        # no new lineage: the bucket stays committed via its original
+        # manifests; this snapshot only moves bytes
+        'partitions': {},
+        'excludes': {d: [bucket] for d in src_dirs},
+        'totals': {'rows': 0, 'partitions': 0},
+        'counters': {'compacted_bucket': bucket, 'compacted_rows': n},
+        'note': 'compaction of bucket %d' % bucket,
+    }
+    write_manifest(root, manifest)
+    mdir = _manifest_dir(root)
+    with open(os.path.join(mdir, 'current'), 'w',
+              encoding='utf-8') as fh:
+        fh.write(snapshot_id)
+    return n
