@@ -140,6 +140,32 @@ def q_kg_fact_spans(spark, sf_dir) -> DataFrame:
                     F.col('sp.stop').alias('stop')))
 
 
+# Sentences whose name words are OUTSIDE the embedded golden lexicon
+# (several outside the generated dictionary too): coverage comes from
+# the suffix-based OOV predictor (kernel/predictor.py) + the generated
+# multi-thousand-lemma dictionary (tools/gen_lexicon.py) — the
+# pymorphy2 production behavior the reference relies on
+# (morph.py:118-130).
+_OOV_TURNS = (
+    ('v000000', 0, 'вчера приехала Эльвира Зубкова'),
+    ('v000001', 0, 'письмо от Аделаиды Брусникиной'),
+    ('v000002', 0, 'договор подписан Трофимом Зюзиным'),
+    ('v000003', 0, 'встреча с Максимом Кочергиным'),
+    ('v000004', 0, 'отчет для Эльвиры Зубковой'),
+)
+
+
+def q_kg_oov_person(spark, sf_dir) -> DataFrame:
+    """Name extraction over OOV vocabulary: every (first, last) pair
+    normalizes to nominative lemmas even though the surface forms are
+    oblique and absent from the shipped lexicons."""
+    from yargy_spark.operators.extract import extract_mentions
+    t = spark.createDataFrame(
+        list(_OOV_TURNS), 'conv_id string, turn_idx int, text string')
+    m = extract_mentions(t, extractor_names=['name'])
+    return m.select('conv_id', 'rule_id', 'fact_json')
+
+
 def q_kg_lemma_tokens(spark, sf_dir) -> DataFrame:
     """Morphology as a broadcast-joined dimension table (the
     'A-alternative' of SURVEY.md §2.2/§2.3)."""
@@ -202,19 +228,15 @@ def q_stream_mention_rollup(spark, sf_dir) -> DataFrame:
     """Structured Streaming: file source -> extraction kernel ->
     watermarked event-time rollup, drained with availableNow."""
     import tempfile
-    from yargy_spark.sources.transcripts import GOLDEN_SENTENCES
+    from yargy_spark.sources.transcripts import write_stream_fixture
     from yargy_spark.streaming.ingest import (stream_transcripts,
                                               windowed_mention_counts)
     base = tempfile.mkdtemp(prefix='ys_stream_q_')
     src = os.path.join(base, 'src')
-    os.makedirs(src)
-    with open(os.path.join(src, 'b.json'), 'w', encoding='utf-8') as fh:
-        for i, s in enumerate(GOLDEN_SENTENCES):
-            fh.write(json.dumps(
-                {'conv_id': 'g%06d' % i, 'turn_idx': 0, 'role': 'user',
-                 'text': s, 'tool': None,
-                 'ts': '2026-01-01T00:%02d:00.000Z' % (i % 20)},
-                ensure_ascii=False) + '\n')
+    # corpus + timestamps come from the ONE shared fixture definition
+    # (sources/transcripts.golden_stream_rows) — the oracle reads the
+    # same rows, so query and oracle cannot drift
+    write_stream_fixture(src)
     agg = windowed_mention_counts(stream_transcripts(spark, src),
                                   watermark='30 minutes',
                                   window='10 minutes')
@@ -256,9 +278,17 @@ def q_simhash_docs(spark, sf_dir) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark, sf_dir) -> DataFrame:
+    """IVF-blocked default (no cross join in the plan)."""
     from yargy_spark.operators.dedup import embedding_dup_pairs
     return embedding_dup_pairs(_emb(spark, sf_dir),
                                threshold_x10000=4000)
+
+
+def q_embedding_dup_exact(spark, sf_dir) -> DataFrame:
+    """Quadratic all-pairs baseline kept as the recall oracle."""
+    from yargy_spark.operators.dedup import embedding_dup_pairs_exact
+    return embedding_dup_pairs_exact(_emb(spark, sf_dir),
+                                     threshold_x10000=4000)
 
 
 def q_ann_cosine_topk(spark, sf_dir) -> DataFrame:
@@ -376,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_money_triples': q_kg_money_triples,
         'kg_geo_triples': q_kg_geo_triples,
         'kg_fact_spans': q_kg_fact_spans,
+        'kg_oov_person': q_kg_oov_person,
         'kg_lemma_tokens': q_kg_lemma_tokens,
         'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
         'events_asof': q_events_asof,
@@ -386,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_lsh_dups': q_minhash_lsh_dups,
         'simhash_docs': q_simhash_docs,
         'embedding_dup_pairs': q_embedding_dup_pairs,
+        'embedding_dup_exact': q_embedding_dup_exact,
         'ann_cosine_topk': q_ann_cosine_topk,
         'ann_ivf_topk': q_ann_ivf_topk,
         'lang_id': q_lang_id,
@@ -491,6 +523,19 @@ def oracle_sql() -> dict[str, str]:
         ('иван|ульянов', 5), ('владимир|путин', 2),
         ('саша|иванов', 1), ('саша|иванова', 1), ('саша|быков', 1),
     ], ['canonical', 'n_mentions'], casts={'n_mentions': 'BIGINT'})
+
+    oracles['kg_oov_person'] = _values_rows([
+        ('v000000', 'name',
+         '{"first": "эльвира", "last": "зубкова"}'),
+        ('v000001', 'name',
+         '{"first": "аделаида", "last": "брусникина"}'),
+        ('v000002', 'name',
+         '{"first": "трофим", "last": "зюзин"}'),
+        ('v000003', 'name',
+         '{"first": "максим", "last": "кочергин"}'),
+        ('v000004', 'name',
+         '{"first": "эльвира", "last": "зубкова"}'),
+    ], ['conv_id', 'rule_id', 'fact_json'])
 
     oracles['kg_person_triples'] = _values_rows([
         ('иван|ульянов', 'name.first', 'Иван'),
@@ -601,12 +646,14 @@ FROM r GROUP BY role, tool
 """
 
     # streaming rollup oracle: event-time windows computed from the
-    # deterministic per-index timestamps the query writes
-    base_epoch = 1767225600  # 2026-01-01T00:00:00Z
+    # SAME fixture rows the query streams (sources/transcripts.
+    # golden_stream_rows) — one source of truth for the timestamps
+    from yargy_spark.sources.transcripts import golden_stream_rows
+    epoch_by_conv = {row['conv_id']: row['epoch']
+                     for row in golden_stream_rows()}
     win_counts: dict = {}
     for c, r, _f in kg:
-        i = int(c[1:])
-        win = base_epoch + ((i % 20) // 10) * 600
+        win = epoch_by_conv[c] // 600 * 600
         key = (win, _FACT_TYPES[r])
         win_counts[key] = win_counts.get(key, 0) + 1
     oracles['stream_mention_rollup'] = _values_rows(
@@ -680,7 +727,41 @@ SELECT doc_id,
 FROM per_bit GROUP BY doc_id
 """.format(h=_H60.format(x='w'), norm=_NORM)
 
-    oracles['embedding_dup_pairs'] = """
+    # Deterministic k-means replay (similarity._centroids): hash-
+    # sampled seeds + one Lloyd round over integer-quantized
+    # components — centroid coordinates are exact int-sums divided as
+    # doubles, so both engines compute bit-identical values.
+    kmeans_ctes = """
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id,
+         embedding AS centv
+  FROM (SELECT vec_id, embedding,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                 ::int64 AS h
+        FROM embeddings)
+  ORDER BY h, vec_id LIMIT 16),
+assign0 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(10000.0 * list_cosine_similarity(
+                 e.embedding, s.centv)) DESC, s.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE r = 1),
+comp AS (
+  SELECT centroid_id, i AS pos,
+         CAST(floor(embedding[i] * 10000.0) AS BIGINT) AS q
+  FROM assign0,
+       unnest(generate_series(1, len(embedding))) AS t(i)),
+cent AS (
+  SELECT centroid_id, list(val ORDER BY pos) AS centv
+  FROM (SELECT centroid_id, pos,
+               CAST(sum(q) AS DOUBLE) / count(*) / 10000.0 AS val
+        FROM comp GROUP BY centroid_id, pos)
+  GROUP BY centroid_id)"""
+
+    oracles['embedding_dup_exact'] = """
 SELECT a.vec_id AS a, b.vec_id AS b,
        CAST(floor(10000.0 * list_cosine_similarity(
            a.embedding, b.embedding)) AS BIGINT) AS cos_x10000
@@ -688,6 +769,29 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE floor(10000.0 * list_cosine_similarity(a.embedding, b.embedding))
       >= 4000
 """
+
+    oracles['embedding_dup_pairs'] = """
+WITH {km},
+assign4 AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(10000.0 * list_cosine_similarity(
+                 e.embedding, c.centv)) DESC, c.centroid_id ASC) AS r
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE r <= 4),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+         x.embedding AS va, y.embedding AS vb
+  FROM assign4 x JOIN assign4 y USING (centroid_id)
+  WHERE x.vec_id < y.vec_id)
+SELECT a, b,
+       CAST(floor(10000.0 * list_cosine_similarity(va, vb))
+            AS BIGINT) AS cos_x10000
+FROM pairs
+WHERE floor(10000.0 * list_cosine_similarity(va, vb)) >= 4000
+""".format(km=kmeans_ctes)
 
     oracles['ann_cosine_topk'] = """
 WITH scored AS (
@@ -708,9 +812,7 @@ FROM ranked WHERE rank <= 5
 """
 
     oracles['ann_ivf_topk'] = """
-WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS centv
-  FROM embeddings WHERE vec_id < 16),
+WITH {km},
 assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -744,7 +846,7 @@ SELECT query_id, neighbor_id,
        CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
        cos_x10000
 FROM ranked WHERE rank <= 5
-"""
+""".format(km=kmeans_ctes)
 
     oracles['lang_id'] = """
 SELECT doc_id,

@@ -63,6 +63,76 @@ def test_ann_ivf_agrees_with_brute_force_mostly(spark, emb):
     assert len(brute & ivf) >= len(brute) // 2
 
 
+def test_boilerplate_cluster_candidates_linear(spark, monkeypatch):
+    """m exact copies of one text must reach the (expensive) Jaccard
+    verify stage as ONE representative — candidate pairs are
+    O(distinct texts), never O(m^2) — while the expanded output still
+    contains every member pair at jaccard 10000."""
+    from yargy_spark.operators import dedup
+    m = 200
+    boiler = ('общий шаблонный текст страницы каталога номер '
+              'один два три четыре пять')
+    rows = ([(i, boiler) for i in range(m)]
+            + [(1000, 'совсем другой документ про стальные диски '
+                      'и крупные заводы области'),
+               (1001, 'совсем другой документ про стальные диски '
+                      'и крупные цеха области')])
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    seen = {}
+    orig = dedup._pair_jaccard
+
+    def spy(shingles, candidates):
+        seen['cands'] = candidates.count()
+        return orig(shingles, candidates)
+
+    monkeypatch.setattr(dedup, '_pair_jaccard', spy)
+    out = dedup.ngram_jaccard_pairs(docs).collect()
+    assert seen['cands'] == 1            # 1 near-dup rep pair
+    boiler_pairs = {(r['a'], r['b']) for r in out
+                    if r['jaccard_x10000'] == 10000}
+    assert len(boiler_pairs) == m * (m - 1) // 2
+    near = {(r['a'], r['b']) for r in out
+            if r['jaccard_x10000'] < 10000}
+    assert near == {(1000, 1001)}
+
+    # rep-level mode: output is linear too (scale recommendation)
+    rep_out = dedup.minhash_lsh_pairs(
+        docs, threshold_x10000=2000, expand_groups=False).collect()
+    assert {(r['a'], r['b']) for r in rep_out} == {(1000, 1001)}
+
+
+def test_embedding_dup_blocked_vs_exact(spark, emb):
+    """The IVF-blocked default must be a high-recall subset of the
+    exact all-pairs baseline, with identical cosines on shared pairs,
+    and its plan must not contain a cartesian product."""
+    from yargy_spark.operators.dedup import (embedding_dup_pairs,
+                                             embedding_dup_pairs_exact)
+    blocked_df = embedding_dup_pairs(emb, threshold_x10000=4000)
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert 'CartesianProduct' not in plan
+
+    blocked = {(r['a'], r['b']): r['cos_x10000']
+               for r in blocked_df.collect()}
+    exact = {(r['a'], r['b']): r['cos_x10000']
+             for r in embedding_dup_pairs_exact(
+                 emb, threshold_x10000=4000).collect()}
+    assert set(blocked) <= set(exact)
+    assert all(exact[p] == c for p, c in blocked.items())
+    assert len(blocked) >= 0.9 * len(exact)
+
+
+def test_kmeans_centroids_deterministic(spark, emb):
+    """Two evaluations of the k-means subplan produce identical
+    coordinates (integer-quantized sums: no float-order drift)."""
+    from yargy_spark.operators.similarity import _centroids
+    a = {r['centroid_id']: r['centv']
+         for r in _centroids(emb, 16).collect()}
+    b = {r['centroid_id']: r['centv']
+         for r in _centroids(emb.repartition(7), 16).collect()}
+    assert a == b and len(a) == 16
+
+
 def test_quality_and_tokens(spark, docs):
     from yargy_spark.operators.textstats import (quality_scores,
                                                  token_counts)

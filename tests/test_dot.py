@@ -1,0 +1,45 @@
+"""DOT sink goldens: rule DAG and parse-tree dumps (reference
+dot.py:18-170, tree/transformators.py:129-169,
+rule/constructors.py:119-122)."""
+
+
+def test_rule_as_dot_person():
+    from yargy_spark.extractors import build_person
+    src = build_person().as_dot.source
+    assert src.startswith('digraph G {')
+    assert src.rstrip().endswith('}')
+    assert 'Interpretation(Person)' in src
+    assert 'fillcolor="#dbdb8d"' in src      # interp nodes green
+    assert 'label="Pipeline"' in src         # position gazetteer
+    assert 'Relation(gnc)' in src
+    assert '->' in src
+    # deterministic output
+    assert src == build_person().as_dot.source
+
+
+def test_rule_as_dot_quantifiers():
+    from yargy_spark import rule
+    r = rule('a').repeatable(min=2, max=3)
+    src = r.as_dot.source
+    assert 'Repeatable(min=2, max=3)' in src
+    opt = rule('b').optional()
+    assert 'label="Optional"' in opt.as_dot.source
+
+
+def test_tree_as_dot_person():
+    from yargy_spark import Parser
+    from yargy_spark.extractors import build_person
+    p = Parser(build_person())
+    match = list(p.findall('управляющий директор Иван Ульянов'))[0]
+    src = match.tree.as_dot.source
+    # leaves carry token values
+    for word in ('Иван', 'Ульянов', 'директор', 'управляющий'):
+        assert 'label="%s"' % word in src
+    # interpretation nodes green with slot labels
+    assert 'Person.position' in src
+    assert 'Name.first' in src
+    # agreement relations render as dashed undirected edges
+    assert src.count('style="dashed"') == 2
+    assert 'label="gnc"' in src
+    assert src == list(Parser(build_person()).findall(
+        'управляющий директор Иван Ульянов'))[0].tree.as_dot.source

@@ -29,11 +29,55 @@ def test_inflect(morph):
 
 
 def test_unknown_word_fallback(morph):
-    forms = morph('Квазибуква')
+    # OOV with NO matching dictionary suffix: gram-less stand-in
+    forms = morph('вгрхь')
     assert len(forms) == 1
-    assert forms[0].lemma == 'квазибуква'
+    assert forms[0].lemma == 'вгрхь'
     assert forms[0].grams == frozenset()
-    assert forms[0].inflect() == 'квазибуква'
+    assert forms[0].inflect() == 'вгрхь'
+    # non-cyrillic OOV never predicts
+    assert morph('qwerty')[0].grams == frozenset()
+
+
+def test_oov_suffix_prediction(morph):
+    """Unknown words with dictionary-shaped suffixes get predicted
+    readings (pymorphy2 KnownSuffixAnalyzer behavior class,
+    reference morph.py:118-130)."""
+    # OOV feminine surname, oblique case
+    forms = morph('Зубковой')
+    assert any('Surn' in f.grams and 'femn' in f.grams for f in forms)
+    assert forms[0].lemma == 'зубкова'
+    # OOV masculine surname, instrumental
+    forms = morph('Зюзиным')
+    assert any('Surn' in f.grams and 'ablt' in f.grams for f in forms)
+    assert forms[0].lemma == 'зюзин'
+    # OOV first name, accusative
+    forms = morph('Аделаиду')
+    assert any('Name' in f.grams and 'accs' in f.grams for f in forms)
+    assert forms[0].lemma == 'аделаида'
+
+
+def test_oov_prediction_deterministic():
+    """Two independently built analyzers predict identical readings
+    in identical order (broadcast-rebuild safety)."""
+    import pickle
+    from yargy_spark.kernel.lexicon import build_entries, build_paradigms
+    from yargy_spark.kernel.morphology import Morphology
+    a = Morphology(build_entries(), build_paradigms())
+    b = pickle.loads(pickle.dumps(a))
+    for w in ('Зубковой', 'Зюзиным', 'Аделаиду', 'столяровой'):
+        assert a(w) == b(w)
+
+
+def test_generated_lexicon_loaded(morph):
+    """default_morphology merges the generated parquet dictionary;
+    embedded reference-golden readings win on collision."""
+    assert len(morph.entries) > 10_000
+    # generated-only word
+    assert any('NOUN' in f.grams for f in morph('инженером'))
+    # embedded golden preserved byte-for-byte ('стали' order contract)
+    lemmas = [f.lemma for f in morph('стали')]
+    assert lemmas == ['сталь'] * 5 + ['стать']
 
 
 def test_check_gram(morph):

@@ -21,7 +21,10 @@ def build(out: str | None = None) -> str:
             if '__pycache__' in dirpath:
                 continue
             for name in sorted(files):
-                if not name.endswith('.py'):
+                # .parquet: the generated lexicon ships as package data
+                # (yargy_spark/data/); executors load it through
+                # importlib.resources so it must ride in the zip
+                if not name.endswith(('.py', '.parquet')):
                     continue
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, ROOT)

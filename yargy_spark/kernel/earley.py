@@ -154,6 +154,13 @@ class ParseTree:
             return a1 > b1
         return a0 < b0
 
+    @property
+    def as_dot(self):
+        """Graphviz DOT dump of this parse tree (debug sink —
+        tree/transformators.py:129-169)."""
+        from .dot import tree_dot
+        return tree_dot(self)
+
     def walk(self):
         stack = [self.root]
         while stack:

@@ -79,6 +79,13 @@ class RuleBase:
         return node
 
     @property
+    def as_dot(self):
+        """Graphviz DOT dump of the rule DAG (debug sink —
+        rule/constructors.py:119-122, dot.py:18-170)."""
+        from .dot import rule_dot
+        return rule_dot(self)
+
+    @property
     def as_bnf(self) -> 'BNF':
         node = _ToBNF().run(self)
         if isinstance(node, Fwd):

@@ -138,12 +138,42 @@ class Morphology:
 
     def __init__(self,
                  entries: Dict[str, List[Tuple[str, FrozenSet[str]]]],
-                 paradigms: Dict[str, List[Tuple[str, FrozenSet[str]]]]):
+                 paradigms: Dict[str, List[Tuple[str, FrozenSet[str]]]],
+                 predict_oov: bool = True):
         self.entries = entries
         self.paradigms = paradigms
+        self.predict_oov = predict_oov
+        self._predictor = None  # built lazily; derived from entries
+        self._oov_memo: Dict[str, list] = {}
+
+    def __getstate__(self):
+        # the suffix table and OOV memo are derived data: keep them
+        # out of broadcast pickles and rebuild on first OOV miss
+        state = self.__dict__.copy()
+        state['_predictor'] = None
+        state['_oov_memo'] = {}
+        return state
+
+    def _predict(self, word: str):
+        memo = self._oov_memo
+        hit = memo.get(word)
+        if hit is None:
+            if self._predictor is None:
+                from .predictor import SuffixPredictor
+                self._predictor = SuffixPredictor(self.entries)
+            if len(memo) >= 200_000:
+                # bound worker memory on adversarial vocabularies
+                # (the reference uses a 10k LRU, morph.py:136-143)
+                memo.clear()
+            hit = memo[word] = self._predictor.predict(word)
+        return hit
 
     def __call__(self, word: str) -> List[Form]:
         readings = self.entries.get(word.lower())
+        if readings is None and self.predict_oov:
+            # OOV: suffix-predicted readings (pymorphy2's
+            # KnownSuffixAnalyzer behavior class, morph.py:118-130)
+            readings = self._predict(word) or None
         if readings is None:
             return [Form(word.lower(), frozenset(), self)]
         return [Form(lemma, grams, self) for lemma, grams in readings]
@@ -212,10 +242,45 @@ class Morphology:
 _DEFAULT: Optional[Morphology] = None
 
 
+def _load_generated() -> Optional[Morphology]:
+    """Load the generated dictionary from package data.  Uses
+    importlib.resources so it works both from a source checkout and
+    from inside a ``--py-files`` zip on executors (a bare
+    ``os.path`` join would silently miss inside a zipimport and
+    downgrade workers to the small embedded lexicon)."""
+    import io
+    try:
+        from importlib import resources
+        data = resources.files('yargy_spark') / 'data'
+        ent = data / 'lexicon_entries.parquet'
+        if not ent.is_file():
+            return None
+        par = data / 'lexicon_paradigms.parquet'
+        return Morphology.from_parquet(
+            io.BytesIO(ent.read_bytes()),
+            io.BytesIO(par.read_bytes()) if par.is_file() else None)
+    except (ImportError, FileNotFoundError, OSError):
+        return None
+
+
 def default_morphology() -> Morphology:
-    """Singleton over the embedded lexicon (cheap; data imported once)."""
+    """Singleton: embedded reference-golden lexicon merged with the
+    generated multi-thousand-lemma dictionary (tools/gen_lexicon.py,
+    shipped as parquet under yargy_spark/data/).
+
+    Embedded readings WIN on collision — they are transcribed from the
+    reference's committed assertions and pin the golden semantics; the
+    generated dictionary only widens coverage (plus feeds the OOV
+    suffix predictor with realistic statistics)."""
     global _DEFAULT
     if _DEFAULT is None:
         from .lexicon import build_entries, build_paradigms
-        _DEFAULT = Morphology(build_entries(), build_paradigms())
+        entries, paradigms = build_entries(), build_paradigms()
+        gen = _load_generated()
+        if gen is not None:
+            for word, readings in gen.entries.items():
+                entries.setdefault(word, readings)
+            for lemma, rows in gen.paradigms.items():
+                paradigms.setdefault(lemma, rows)
+        _DEFAULT = Morphology(entries, paradigms)
     return _DEFAULT

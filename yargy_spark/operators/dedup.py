@@ -127,13 +127,71 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame
                     .cast('long').alias('jaccard_x10000')))
 
 
+def _exact_groups(docs: DataFrame) -> tuple:
+    """-> (reps, groups): one representative doc per distinct
+    normalized text + the (doc_id, rep_id) membership map.
+
+    This is THE near-dup scale guard: real crawl corpora contain
+    10^5-copy boilerplate clusters, and m identical docs sharing one
+    rare shingle/band would otherwise produce m(m-1)/2 candidate rows
+    before dedup.  Collapsing to representatives first makes candidate
+    generation O(distinct texts); identical copies rejoin at the end
+    via the membership map."""
+    from pyspark.sql import Window
+    hashed = docs.select(
+        'doc_id', 'text',
+        md5_int(_norm_text(F.col('text'))).alias('text_hash'))
+    w = Window.partitionBy('text_hash')
+    tagged = hashed.withColumn('rep_id', F.min('doc_id').over(w))
+    groups = tagged.select('doc_id', 'rep_id')
+    reps = (tagged.where(F.col('doc_id') == F.col('rep_id'))
+            .select('doc_id', 'text'))
+    return reps, groups
+
+
+def _expand_groups(rep_pairs: DataFrame, groups: DataFrame,
+                   reps: DataFrame, k: int,
+                   score_col: str) -> DataFrame:
+    """Rep-level (a, b, score) pairs -> member-level pairs, plus the
+    within-group pairs of exact copies (score 10000 by definition,
+    guarded to docs that actually have >= k words so empty-shingle
+    docs never pair — matching the verify stage's behavior)."""
+    ga = groups.select(F.col('rep_id').alias('a'),
+                       F.col('doc_id').alias('ma'))
+    gb = groups.select(F.col('rep_id').alias('b'),
+                       F.col('doc_id').alias('mb'))
+    cross = (rep_pairs.join(ga, 'a').join(gb, 'b')
+             .select(F.least('ma', 'mb').alias('a'),
+                     F.greatest('ma', 'mb').alias('b'),
+                     score_col))
+    eligible = reps.where(
+        F.size(F.split(_norm_text(F.col('text')), ' ')) >= k
+    ).select(F.col('doc_id').alias('rep_id'))
+    g = groups.join(eligible, 'rep_id')
+    within = (g.alias('x')
+              .join(g.alias('y'), 'rep_id')
+              .where(F.col('x.doc_id') < F.col('y.doc_id'))
+              .select(F.col('x.doc_id').alias('a'),
+                      F.col('y.doc_id').alias('b'),
+                      F.lit(10000).cast('long').alias(score_col)))
+    return cross.unionByName(within)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                         threshold_x10000: int = 2000,
-                        max_df: int = 100) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (a < b).  Candidates come
-    from a shingle equi-join with stop-shingle pruning (df > max_df);
-    Jaccard is then verified on the full shingle sets."""
-    sh = word_shingles(docs, k)
+                        max_df: int = 100,
+                        expand_groups: bool = True) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b).  Exact-duplicate
+    texts collapse to representatives BEFORE candidate generation
+    (see ``_exact_groups``); candidates then come from a shingle
+    equi-join with stop-shingle pruning (df > max_df) over
+    representatives only, and Jaccard is verified on the full shingle
+    sets.  With ``expand_groups=False`` the result stays at rep level
+    (recommended at corpus scale: a 10^5-copy cluster would otherwise
+    materialize ~10^10 output rows; join ``exact_dedup`` for the
+    membership)."""
+    reps, groups = _exact_groups(docs)
+    sh = word_shingles(reps, k)
     df_counts = sh.groupBy('shingle').agg(F.count('*').alias('df'))
     rare = sh.join(df_counts.where(F.col('df') <= max_df), 'shingle')
     left = rare.select(F.col('doc_id').alias('a'), 'shingle')
@@ -142,8 +200,13 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
              .where(F.col('a') < F.col('b'))
              .select('a', 'b').distinct())
     pairs = _pair_jaccard(sh, cands)
-    return (pairs.where(F.col('jaccard_x10000') >= threshold_x10000)
-            .select('a', 'b', 'jaccard_x10000'))
+    rep_pairs = (pairs
+                 .where(F.col('jaccard_x10000') >= threshold_x10000)
+                 .select('a', 'b', 'jaccard_x10000'))
+    if not expand_groups:
+        return rep_pairs
+    return _expand_groups(rep_pairs, groups, reps, k,
+                          'jaccard_x10000')
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -167,12 +230,16 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
-                      threshold_x10000: int = LSH_DEFAULT_THRESHOLD
-                      ) -> DataFrame:
+                      threshold_x10000: int = LSH_DEFAULT_THRESHOLD,
+                      expand_groups: bool = True) -> DataFrame:
     """MinHash+LSH near-dup pairs: banded signatures bucket candidate
     pairs, exact Jaccard verifies them (a < b).  The banded bucket join
-    is the 100 TB path — no all-pairs comparison ever happens."""
-    sig = minhash_signatures(docs, k)
+    is the 100 TB path — no all-pairs comparison ever happens, and
+    exact-duplicate texts collapse to representatives before banding
+    (identical docs share every band; a boilerplate cluster would
+    otherwise blow up the bucket join — see ``_exact_groups``)."""
+    reps, groups = _exact_groups(docs)
+    sig = minhash_signatures(reps, k)
     # band key = '_'-joined minhashes in hash_idx order (collect_list
     # order is nondeterministic, so sort structs before joining)
     bands = (sig
@@ -188,9 +255,14 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
     cands = (left.join(right, ['band', 'sig_key'])
              .where(F.col('a') < F.col('b'))
              .select('a', 'b').distinct())
-    pairs = _pair_jaccard(word_shingles(docs, k), cands)
-    return (pairs.where(F.col('jaccard_x10000') >= threshold_x10000)
-            .select('a', 'b', 'jaccard_x10000'))
+    pairs = _pair_jaccard(word_shingles(reps, k), cands)
+    rep_pairs = (pairs
+                 .where(F.col('jaccard_x10000') >= threshold_x10000)
+                 .select('a', 'b', 'jaccard_x10000'))
+    if not expand_groups:
+        return rep_pairs
+    return _expand_groups(rep_pairs, groups, reps, k,
+                          'jaccard_x10000')
 
 
 def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -218,17 +290,50 @@ def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
     return wide.select('doc_id', bitval.alias('simhash'))
 
 
-def embedding_dup_pairs(embeddings: DataFrame,
-                        threshold_x10000: int = 9500) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) above threshold.
-    Exact all-pairs baseline; the bucketed scale path lives in
-    similarity.ivf_assign (probe within clusters only)."""
+def embedding_dup_pairs_exact(embeddings: DataFrame,
+                              threshold_x10000: int = 9500
+                              ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) above threshold —
+    exact all-pairs BASELINE (quadratic cross join; the oracle for
+    the blocked path, never the 100 TB default)."""
     from .similarity import cosine_x10000
     a = embeddings.select(F.col('vec_id').alias('a'),
                           F.col('embedding').alias('va'))
     b = embeddings.select(F.col('vec_id').alias('b'),
                           F.col('embedding').alias('vb'))
     return (a.join(b, F.col('a') < F.col('b'))
+            .select('a', 'b',
+                    cosine_x10000(F.col('va'), F.col('vb'))
+                    .alias('cos_x10000'))
+            .where(F.col('cos_x10000') >= threshold_x10000))
+
+
+def embedding_dup_pairs(embeddings: DataFrame,
+                        threshold_x10000: int = 9500,
+                        n_centroids: int = 16,
+                        n_assign: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) — IVF-blocked
+    DEFAULT: every vector is assigned to its ``n_assign`` nearest
+    k-means centroids (deterministic — similarity._centroids) and
+    pairs are compared only within shared clusters.  The comparison
+    join is keyed on centroid_id (equi-join, AQE-balanced); expected
+    cost is ~|corpus|^2 * n_assign^2 / n_centroids, so AT SCALE SIZE
+    ``n_centroids`` ~ sqrt(|corpus|) * n_assign (e.g. 16M docs ->
+    ~16k centroids) — the defaults here fit the test corpora.
+    Multi-assign recovers near-boundary pairs (recall 0.97 vs the
+    exact baseline at threshold 0.40 on the synthetic embeddings;
+    1.0 at real near-dup thresholds).  ``embedding_dup_pairs_exact``
+    is the quadratic full-recall baseline."""
+    from .similarity import cosine_x10000, ivf_assign
+    assigned = ivf_assign(embeddings, n_centroids, n_assign)
+    a = assigned.select(F.col('vec_id').alias('a'),
+                        F.col('embedding').alias('va'), 'centroid_id')
+    b = assigned.select(F.col('vec_id').alias('b'),
+                        F.col('embedding').alias('vb'), 'centroid_id')
+    return (a.join(b, 'centroid_id')
+            .where(F.col('a') < F.col('b'))
+            # a pair sharing both assigned clusters appears twice
+            .select('a', 'b', 'va', 'vb').distinct()
             .select('a', 'b',
                     cosine_x10000(F.col('va'), F.col('vb'))
                     .alias('cos_x10000'))

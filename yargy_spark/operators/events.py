@@ -12,7 +12,15 @@ forward with ``last(..., ignorenulls=True)`` over an unbounded-
 preceding window.  One shuffle on the join key, no range explosion,
 no per-row Python; at 100 TB this beats a range join (which Catalyst
 would plan as a broadcast-nested-loop or cartesian) by orders of
-magnitude, and AQE handles hot users.
+magnitude.
+
+Skew caveat: the carry step is a WINDOW partitioned by the join key,
+and AQE skew handling applies to shuffle joins, not window partitions
+— one pathologically hot key still serializes through a single task.
+For such keys, range-bucket the timestamp into the partition key
+(window over (key, ts_bucket) with a per-bucket seed carried from the
+previous bucket) or split the hot key upstream; for typical user-id
+distributions the plain composition is the right default.
 """
 
 from __future__ import annotations

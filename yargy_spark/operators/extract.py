@@ -32,6 +32,10 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType,
 
 from ..extractors import CompiledBank
 
+# SCHEMA VERSIONING: this is the persisted mention-table contract.
+# v2 (round 1) inserted fact_spans before mention_id — tables written
+# by v1 need a unionByName(allowMissingColumns=True) migration, not a
+# positional union.  Add NEW fields at the END.
 MENTION_SCHEMA = StructType([
     StructField('conv_id', StringType()),
     StructField('turn_idx', IntegerType()),

@@ -108,6 +108,36 @@ def synth_transcripts(spark: SparkSession, sf: float = 0.01,
     )
 
 
+STREAM_BASE_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+
+
+def golden_stream_rows() -> list:
+    """Golden sentences as streaming-source JSON rows with
+    deterministic per-index event times — the ONE definition shared by
+    the streaming query and its oracle (so a timestamp-formula drift
+    between them is impossible)."""
+    return [
+        {'conv_id': 'g%06d' % i, 'turn_idx': 0, 'role': 'user',
+         'text': s, 'tool': None,
+         'ts': '2026-01-01T00:%02d:00.000Z' % (i % 20),
+         'epoch': STREAM_BASE_EPOCH + (i % 20) * 60}
+        for i, s in enumerate(GOLDEN_SENTENCES)]
+
+
+def write_stream_fixture(src_dir: str) -> str:
+    """Materialize ``golden_stream_rows`` as a one-file JSON-lines
+    streaming source directory; returns the file path."""
+    import json
+    import os
+    os.makedirs(src_dir, exist_ok=True)
+    path = os.path.join(src_dir, 'batch0.json')
+    with open(path, 'w', encoding='utf-8') as fh:
+        for row in golden_stream_rows():
+            rec = {k: v for k, v in row.items() if k != 'epoch'}
+            fh.write(json.dumps(rec, ensure_ascii=False) + '\n')
+    return path
+
+
 def golden_only_transcripts(spark: SparkSession) -> DataFrame:
     """One turn per golden sentence, unwrapped — the P/R fixture table
     (conv g000..; expected extractions in tests/goldens.py)."""
