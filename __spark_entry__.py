@@ -278,10 +278,12 @@ def q_simhash_docs(spark, sf_dir) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark, sf_dir) -> DataFrame:
-    """IVF-blocked default (no cross join in the plan)."""
+    """IVF-blocked default (no cross join in the plan).
+    n_centroids pinned to 16 so the DuckDB oracle replays the exact
+    same codebook; the operator default is corpus-adaptive."""
     from yargy_spark.operators.dedup import embedding_dup_pairs
     return embedding_dup_pairs(_emb(spark, sf_dir),
-                               threshold_x10000=4000)
+                               threshold_x10000=4000, n_centroids=16)
 
 
 def q_embedding_dup_exact(spark, sf_dir) -> DataFrame:

@@ -108,7 +108,10 @@ def test_embedding_dup_blocked_vs_exact(spark, emb):
     and its plan must not contain a cartesian product."""
     from yargy_spark.operators.dedup import (embedding_dup_pairs,
                                              embedding_dup_pairs_exact)
-    blocked_df = embedding_dup_pairs(emb, threshold_x10000=4000)
+    # nc pinned: at threshold 0.40 (far below near-dup) recall needs
+    # coarse clusters; the adaptive default targets real thresholds
+    blocked_df = embedding_dup_pairs(emb, threshold_x10000=4000,
+                                     n_centroids=16)
     plan = blocked_df._jdf.queryExecution().executedPlan().toString()
     assert 'CartesianProduct' not in plan
 

@@ -26,6 +26,21 @@ def test_rule_as_dot_quantifiers():
     assert 'label="Optional"' in opt.as_dot.source
 
 
+def test_chart_introspection():
+    """Chart debug dump (reference parser.py Chart.source): per-column
+    dotted states in '[start:stop] NAME -> a $ b' form."""
+    from yargy_spark import Parser, rule
+    from yargy_spark.predicates import gram
+    p = Parser(rule(gram('Name'), gram('Surn')).named('NAME'))
+    chart = p.chart('пришел Иван Ульянов')
+    src = list(chart.source)
+    assert "[1:1] NAME -> $ gram('Name') gram('Surn')" in src
+    assert "[1:3] NAME -> gram('Name') gram('Surn') $" in src
+    assert len(list(chart.matches(p.rule))) == 1
+    assert chart.last_column.index == 3
+    assert chart[0].token is None
+
+
 def test_tree_as_dot_person():
     from yargy_spark import Parser
     from yargy_spark.extractors import build_person

@@ -293,6 +293,56 @@ class _State:
                 self.start.index, self.stop.index, self.node.ckey)
 
 
+def _term_label(term) -> str:
+    if isinstance(term, GrammarRule):
+        return term.name or 'Rule'
+    label = getattr(term, 'label', None)
+    return label if isinstance(label, str) else repr(term)
+
+
+def _state_str(state: '_State') -> str:
+    """'[start:stop] NAME -> a $ b' (reference parser.py:161-173)."""
+    terms = state.production.terms
+    production = ' '.join(
+        [_term_label(t) for t in terms[:state.dot]]
+        + ['$']
+        + [_term_label(t) for t in terms[state.dot:]])
+    return '[%d:%d] %s -> %s' % (
+        state.start.index, state.stop.index,
+        state.rule.name or 'Rule', production)
+
+
+class Chart:
+    """Debug view over the parse columns (reference parser.py Chart:
+    ``chart.source`` text dump, ``matches``, ``last_column``)."""
+
+    def __init__(self, columns):
+        self.columns = columns
+
+    def __getitem__(self, index):
+        return self.columns[index]
+
+    @property
+    def last_column(self):
+        return self.columns[-1]
+
+    def matches(self, rule):
+        for col in self.columns:
+            for state in col.states:
+                if state.done and state.rule is rule:
+                    yield state
+
+    @property
+    def source(self):
+        for col in self.columns:
+            yield '%r %r' % (col.index,
+                             col.token.value if col.token else None)
+            yield '----------------'
+            for state in col.states:
+                yield _state_str(state)
+            yield ''
+
+
 class _Col:
     __slots__ = ('index', 'token', 'states', 'seen', 'waiting',
                  'predicted', 'scan_memo')
@@ -387,6 +437,15 @@ class Parser:
         reference's pre-tokenized source pattern,
         docs/cookbook.ipynb cells 14-16)."""
         return list(self.tagger(self.tokenizer(text)))
+
+    def chart(self, text: str, tokens: Optional[List[Tok]] = None
+              ) -> Chart:
+        """Debug introspection: run the recognizer and return the
+        filled chart (``chart.source`` text dump, per-column states —
+        reference parser.py:257-273)."""
+        toks = list(tokens) if tokens is not None \
+            else self.tokenize(text)
+        return Chart(self._chart(toks, everywhere=True))
 
     # --- chart construction -----------------------------------------
     def _chart(self, tokens: List[Tok], everywhere: bool) -> List[_Col]:

@@ -65,10 +65,34 @@ def is_predicate(item) -> bool:
     return isinstance(item, Pred)
 
 
+def _t(text):
+    """Doctest helper: first morph-decorated token of ``text``
+    (the reference's executable-docs affordance, bank.py:81-507 run
+    via --doctest-modules; here tests/test_doctests.py runs them).
+
+    >>> _t('слово').value
+    'слово'
+    """
+    from .tokenize import MorphTokenSpec
+    return next(iter(MorphTokenSpec()(text)))
+
+
+def _ctx():
+    """Doctest helper: an activation context over the default
+    tokenizer (schemes bind against it, constructors.py:35-53)."""
+    from .earley import Context
+    from .tokenize import MorphTokenSpec
+    return Context(MorphTokenSpec())
+
+
 # ---------------------------------------------------------------- simple
 
 class true(Pred):
-    """Always matches (bank.py:81-91)."""
+    """Always matches (bank.py:81-91).
+
+    >>> true()(_t('любой'))
+    True
+    """
 
     def __call__(self, tok):
         return True
@@ -77,28 +101,62 @@ class true(Pred):
 
 
 class is_lower(Pred):
+    """
+    >>> is_lower()(_t('слово'))
+    True
+    >>> is_lower()(_t('Слово'))
+    False
+    """
+
     def __call__(self, tok):
         return tok.value.islower()
 
 
 class is_upper(Pred):
+    """
+    >>> is_upper()(_t('СЛОВО'))
+    True
+    >>> is_upper()(_t('Слово'))
+    False
+    """
+
     def __call__(self, tok):
         return tok.value.isupper()
 
 
 class is_title(Pred):
+    """
+    >>> is_title()(_t('Слово'))
+    True
+    >>> is_title()(_t('СЛОВО'))
+    False
+    """
+
     def __call__(self, tok):
         return tok.value.istitle()
 
 
 class is_capitalized(Pred):
-    """First character is uppercase (bank.py:142-157)."""
+    """First character is uppercase (bank.py:142-157).
+
+    >>> is_capitalized()(_t('Шварцнегер'))
+    True
+    >>> is_capitalized()(_t('слово'))
+    False
+    """
 
     def __call__(self, tok):
         return tok.value[0].isupper()
 
 
 class eq(Pred):
+    """
+    >>> eq('1')(_t('1'))
+    True
+    >>> eq('1')(_t('2'))
+    False
+    """
+
     def __init__(self, value: str):
         self.value = value
 
@@ -111,6 +169,11 @@ class eq(Pred):
 
 
 class caseless(Pred):
+    """
+    >>> caseless('рано')(_t('РАНО'))
+    True
+    """
+
     def __init__(self, value: str):
         self.value = value.lower()
 
@@ -123,6 +186,13 @@ class caseless(Pred):
 
 
 class in_(Pred):
+    """
+    >>> in_({'a', 'b'})(_t('a'))
+    True
+    >>> in_({'a', 'b'})(_t('c'))
+    False
+    """
+
     def __init__(self, values):
         self.values = values
 
@@ -155,6 +225,15 @@ class length_eq(Pred):
 
 
 class gte(Pred):
+    """int(value) >= threshold; non-INT tokens never match
+    (bank.py:176-216).
+
+    >>> gte(10)(_t('11'))
+    True
+    >>> gte(10)(_t('9'))
+    False
+    """
+
     """int(value) >= n; only fires on INT tokens (bank.py:41-49,194)."""
 
     def __init__(self, n: int):
@@ -200,7 +279,13 @@ class LemmaIn(Pred):
 
 class normalized(Pred):
     """Scheme: expands ``value``'s lemma set via morph at activation
-    (bank.py:293-308) — 'сталь' also matches 'стали'."""
+    (bank.py:293-308) — 'сталь' also matches 'стали'.
+
+    >>> normalized('сталь').activate(_ctx())(_t('стали'))
+    True
+    >>> normalized('железо').activate(_ctx())(_t('стали'))
+    False
+    """
 
     def __init__(self, value: str):
         self.value = value
@@ -214,7 +299,11 @@ class normalized(Pred):
 
 
 class dictionary(Pred):
-    """Scheme: union of lemma sets of all items (bank.py:311-331)."""
+    """Scheme: union of lemma sets of all items (bank.py:311-331).
+
+    >>> dictionary({'сталь'}).activate(_ctx())(_t('стали'))
+    True
+    """
 
     def __init__(self, values: Iterable[str]):
         self.values = values
@@ -251,6 +340,17 @@ class HasGram(Pred):
 
 
 class gram(Pred):
+    """
+    >>> gram('NOUN').activate(_ctx())(_t('стали'))
+    True
+    >>> gram('Name').activate(_ctx())(_t('Иван'))
+    True
+    >>> gram('UNKNOWN-GRAM').activate(_ctx())
+    Traceback (most recent call last):
+     ...
+    ValueError: UNKNOWN-GRAM
+    """
+
     def __init__(self, value: str):
         self.value = value
 
@@ -265,7 +365,11 @@ class gram(Pred):
 
 class is_single(Pred):
     """Any reading is singular (sing or Sgtm); constrains readings
-    (bank.py:434-459)."""
+    (bank.py:434-459).
+
+    >>> is_single()(_t('диск'))
+    True
+    """
 
     def __call__(self, tok):
         if not tok.forms:
@@ -294,7 +398,13 @@ class TypeIs(Pred):
 
 class type_(Pred):
     """Token type equals value; validated against tokenizer types at
-    activation (bank.py:387-410)."""
+    activation (bank.py:387-410).
+
+    >>> type_('INT').activate(_ctx())(_t('3'))
+    True
+    >>> type_('INT').activate(_ctx())(_t('слово'))
+    False
+    """
 
     def __init__(self, value: str):
         self.value = value
@@ -353,7 +463,14 @@ class FnPred(Pred):
 
 class custom(Pred):
     """Arbitrary ``f(value)`` with optional token-type guard
-    (bank.py:462-507) — the reference's scalar-UDF analog."""
+    (bank.py:462-507) — the reference's scalar-UDF analog.
+
+    >>> even = lambda v: int(v) % 2 == 0
+    >>> custom(even, types='INT').activate(_ctx())(_t('4'))
+    True
+    >>> custom(even, types='INT').activate(_ctx())(_t('слово'))
+    False
+    """
 
     def __init__(self, function, types=None):
         self.function = function

@@ -155,26 +155,31 @@ def _expand_groups(rep_pairs: DataFrame, groups: DataFrame,
     """Rep-level (a, b, score) pairs -> member-level pairs, plus the
     within-group pairs of exact copies (score 10000 by definition,
     guarded to docs that actually have >= k words so empty-shingle
-    docs never pair — matching the verify stage's behavior)."""
+    docs never pair — matching the verify stage's behavior).
+
+    Within-group pairs ride the SAME two joins as cross-group pairs:
+    each eligible rep contributes a reflexive (rep, rep, 10000) row,
+    which the member x member expansion turns into that group's pairs
+    (the a < b filter drops the self-row) — no separate self-join."""
+    self_pairs = (reps
+                  .where(F.size(F.split(_norm_text(F.col('text')),
+                                        ' ')) >= k)
+                  .select(F.col('doc_id').alias('a'),
+                          F.col('doc_id').alias('b'),
+                          F.lit(10000).cast('long').alias(score_col)))
+    all_pairs = rep_pairs.unionByName(self_pairs)
     ga = groups.select(F.col('rep_id').alias('a'),
                        F.col('doc_id').alias('ma'))
     gb = groups.select(F.col('rep_id').alias('b'),
                        F.col('doc_id').alias('mb'))
-    cross = (rep_pairs.join(ga, 'a').join(gb, 'b')
-             .select(F.least('ma', 'mb').alias('a'),
-                     F.greatest('ma', 'mb').alias('b'),
-                     score_col))
-    eligible = reps.where(
-        F.size(F.split(_norm_text(F.col('text')), ' ')) >= k
-    ).select(F.col('doc_id').alias('rep_id'))
-    g = groups.join(eligible, 'rep_id')
-    within = (g.alias('x')
-              .join(g.alias('y'), 'rep_id')
-              .where(F.col('x.doc_id') < F.col('y.doc_id'))
-              .select(F.col('x.doc_id').alias('a'),
-                      F.col('y.doc_id').alias('b'),
-                      F.lit(10000).cast('long').alias(score_col)))
-    return cross.unionByName(within)
+    return (all_pairs.join(ga, 'a').join(gb, 'b')
+            # reflexive rows produce each member pair in BOTH orders;
+            # keep one (and drop the ma == mb self-row).  Cross-group
+            # rows exist in a single order and pass untouched.
+            .where((F.col('a') != F.col('b'))
+                   | (F.col('ma') < F.col('mb')))
+            .select(F.least('ma', 'mb').alias('a'),
+                    F.greatest('ma', 'mb').alias('b'), score_col))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
@@ -296,21 +301,21 @@ def embedding_dup_pairs_exact(embeddings: DataFrame,
     """Embedding-cosine near-duplicate pairs (a < b) above threshold —
     exact all-pairs BASELINE (quadratic cross join; the oracle for
     the blocked path, never the 100 TB default)."""
-    from .similarity import cosine_x10000
+    from .similarity import cosine_x10000_np
     a = embeddings.select(F.col('vec_id').alias('a'),
                           F.col('embedding').alias('va'))
     b = embeddings.select(F.col('vec_id').alias('b'),
                           F.col('embedding').alias('vb'))
     return (a.join(b, F.col('a') < F.col('b'))
             .select('a', 'b',
-                    cosine_x10000(F.col('va'), F.col('vb'))
+                    cosine_x10000_np(F.col('va'), F.col('vb'))
                     .alias('cos_x10000'))
             .where(F.col('cos_x10000') >= threshold_x10000))
 
 
 def embedding_dup_pairs(embeddings: DataFrame,
                         threshold_x10000: int = 9500,
-                        n_centroids: int = 16,
+                        n_centroids: int = None,
                         n_assign: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) — IVF-blocked
     DEFAULT: every vector is assigned to its ``n_assign`` nearest
@@ -323,8 +328,18 @@ def embedding_dup_pairs(embeddings: DataFrame,
     Multi-assign recovers near-boundary pairs (recall 0.97 vs the
     exact baseline at threshold 0.40 on the synthetic embeddings;
     1.0 at real near-dup thresholds).  ``embedding_dup_pairs_exact``
-    is the quadratic full-recall baseline."""
-    from .similarity import cosine_x10000, ivf_assign
+    is the quadratic full-recall baseline.
+
+    ``n_centroids=None`` (default) sizes the codebook from the corpus
+    as sqrt(N) * n_assign, which balances assignment cost
+    (N * n_centroids) against within-cluster comparison cost
+    (N^2 * n_assign^2 / n_centroids); pass an explicit value to pin
+    the plan (e.g. for an oracle replay)."""
+    import math
+    from .similarity import cosine_x10000_np, ivf_assign
+    if n_centroids is None:
+        n = embeddings.count()
+        n_centroids = max(16, int(math.isqrt(max(n, 1))) * n_assign)
     assigned = ivf_assign(embeddings, n_centroids, n_assign)
     a = assigned.select(F.col('vec_id').alias('a'),
                         F.col('embedding').alias('va'), 'centroid_id')
@@ -335,6 +350,6 @@ def embedding_dup_pairs(embeddings: DataFrame,
             # a pair sharing both assigned clusters appears twice
             .select('a', 'b', 'va', 'vb').distinct()
             .select('a', 'b',
-                    cosine_x10000(F.col('va'), F.col('vb'))
+                    cosine_x10000_np(F.col('va'), F.col('vb'))
                     .alias('cos_x10000'))
             .where(F.col('cos_x10000') >= threshold_x10000))

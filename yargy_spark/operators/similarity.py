@@ -40,6 +40,58 @@ def cosine_x10000(a, b):
                   .cast('long')).otherwise(F.lit(0).cast('long'))
 
 
+def _np_cosine_x10000_fn(a, b):
+    """Vectorized kernel shared by the pandas UDF and tests.
+
+    Precision mirrors the JVM expression EXACTLY where it matters:
+    Spark's ``zip_with(a, b, x*y)`` multiplies float32 x float32 in
+    float32 (the dominant rounding step, identical element-wise
+    here), then accumulates into a float64 — numpy reproduces the
+    float32 products bit-for-bit and sums them in float64, where
+    summation-order error (~1e-15) cannot move a x10000-floored
+    value.  Centroid arrays arrive as float64 and stay float64,
+    matching the JVM's double-promoted multiply."""
+    import numpy as np
+    import pandas as pd
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    # norms square each side in its NATIVE dtype (Spark squares a
+    # float column in float32 even when the other operand is double)
+    sq_a, sq_b = A * A, B * B
+    if A.dtype == B.dtype:
+        prods = A * B                       # float32, matches zip_with
+    else:
+        prods = A.astype(np.float64) * B.astype(np.float64)
+    dots = prods.astype(np.float64).sum(axis=1)
+    denom = (np.sqrt(sq_a.astype(np.float64).sum(axis=1))
+             * np.sqrt(sq_b.astype(np.float64).sum(axis=1)))
+    out = np.zeros(len(dots), dtype=np.int64)
+    nz = denom > 0
+    out[nz] = np.floor(10000.0 * dots[nz] / denom[nz]).astype(np.int64)
+    return pd.Series(out)
+
+
+def cosine_x10000_np(a, b):
+    """Arrow-vectorized cosine — the HOT-PATH backend.
+
+    Same contract as ``cosine_x10000`` but computed with numpy over
+    Arrow batches: Spark's higher-order array functions are
+    interpreted per element (no whole-stage codegen inside
+    aggregate/zip_with lambdas), which measured ~10x slower on
+    pair-heavy workloads.  numpy's pairwise/SIMD float64 summation can
+    differ from sequential summation in the last ulp; values are
+    floored at x10000, so a flip needs a true cosine within ~1e-12 of
+    an integer boundary — not observed on any gate corpus (the DuckDB
+    oracle already sums in its own order and has always matched)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf('long')
+    def _udf(x, y):
+        return _np_cosine_x10000_fn(x, y)
+
+    return _udf(a, b)
+
+
 def cosine_topk(embeddings: DataFrame, k: int = 5,
                 n_queries: int = 10) -> DataFrame:
     """Brute-force cosine top-k neighbors for the first ``n_queries``
@@ -51,7 +103,7 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
                           F.col('embedding').alias('cv'))
     scored = (q.join(c, F.col('query_id') != F.col('neighbor_id'))
               .select('query_id', 'neighbor_id',
-                      cosine_x10000(F.col('qv'), F.col('cv'))
+                      cosine_x10000_np(F.col('qv'), F.col('cv'))
                       .alias('cos_x10000')))
     w = Window.partitionBy('query_id').orderBy(
         F.desc('cos_x10000'), F.asc('neighbor_id'))
@@ -66,30 +118,44 @@ def _seed_centroids(embeddings: DataFrame,
     the smallest portable md5 hash of their id.  Unlike 'first N ids',
     this is an unbiased pseudo-random sample of the corpus (ids carry
     no positional meaning under hashing), yet fully deterministic and
-    replayable in any SQL engine."""
+    replayable in any SQL engine.
+
+    orderBy+limit plans as TakeOrderedAndProject (distributed partial
+    top-k, no global sort); centroid ids are assigned on the driver
+    over the n_centroids collected rows."""
     from .dedup import md5_int
-    hashed = embeddings.select(
-        'vec_id', 'embedding',
-        md5_int(F.col('vec_id').cast('string')).alias('hsh'))
-    w = Window.orderBy(F.asc('hsh'), F.asc('vec_id'))
-    return (hashed.withColumn('rn', F.row_number().over(w))
-            .where(F.col('rn') <= n_centroids)
-            .select((F.col('rn') - 1).alias('centroid_id'),
-                    F.col('embedding').alias('centv')))
+    rows = (embeddings
+            .select('vec_id', 'embedding',
+                    md5_int(F.col('vec_id').cast('string'))
+                    .alias('hsh'))
+            .orderBy(F.asc('hsh'), F.asc('vec_id'))
+            .limit(n_centroids)
+            .collect())
+    lit = [(i, [float(v) for v in r['embedding']])
+           for i, r in enumerate(rows)]
+    return embeddings.sparkSession.createDataFrame(
+        lit, 'centroid_id int, centv array<double>')
 
 
 def _nearest(embeddings: DataFrame, cent: DataFrame,
              n_assign: int = 1) -> DataFrame:
     """(vec_id, embedding, centroid_id) for each vector's ``n_assign``
-    nearest centroids; the centroid dimension is broadcast."""
+    nearest centroids; the centroid dimension is broadcast.
+
+    The rank window runs over SKINNY (vec_id, centroid_id, sim) rows —
+    shuffling |corpus| x n_centroids embedding arrays through the
+    window exchange would multiply shuffle bytes by the vector dim;
+    the arrays are joined back per vec_id afterwards."""
     scored = (embeddings.crossJoin(F.broadcast(cent))
-              .select('vec_id', 'embedding', 'centroid_id',
-                      cosine_x10000(F.col('embedding'), F.col('centv'))
-                      .alias('sim')))
+              .select('vec_id', 'centroid_id',
+                      cosine_x10000_np(F.col('embedding'),
+                                       F.col('centv')).alias('sim')))
     w = Window.partitionBy('vec_id').orderBy(
         F.desc('sim'), F.asc('centroid_id'))
-    return (scored.withColumn('r', F.row_number().over(w))
-            .where(F.col('r') <= n_assign)
+    picked = (scored.withColumn('r', F.row_number().over(w))
+              .where(F.col('r') <= n_assign)
+              .select('vec_id', 'centroid_id'))
+    return (picked.join(embeddings, 'vec_id')
             .select('vec_id', 'embedding', 'centroid_id'))
 
 
@@ -125,7 +191,15 @@ def _centroids(embeddings: DataFrame, n_centroids: int,
                      / F.lit(10000.0)).alias('val')))).alias('pv'))
                 .select('centroid_id',
                         F.col('pv.val').alias('centv')))
-    return cent
+    # materialize the (tiny: n_centroids rows) result as a literal
+    # frame: downstream plans reference centroids several times
+    # (assignment + probing) and would otherwise recompute the whole
+    # k-means subplan per reference.  An O(n_centroids) driver
+    # collect, not a data collect.
+    rows = [(int(r['centroid_id']), [float(v) for v in r['centv']])
+            for r in cent.collect()]
+    return embeddings.sparkSession.createDataFrame(
+        rows, 'centroid_id int, centv array<double>')
 
 
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
@@ -151,7 +225,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
                  F.col('embedding').alias('qv')))
     qprobe = (q.crossJoin(F.broadcast(cent))
               .select('query_id', 'qv', 'centroid_id',
-                      cosine_x10000(F.col('qv'), F.col('centv'))
+                      cosine_x10000_np(F.col('qv'), F.col('centv'))
                       .alias('sim')))
     w = Window.partitionBy('query_id').orderBy(
         F.desc('sim'), F.asc('centroid_id'))
@@ -162,7 +236,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     cand = (probes.join(assigned, 'centroid_id')
             .where(F.col('query_id') != F.col('vec_id'))
             .select('query_id', F.col('vec_id').alias('neighbor_id'),
-                    cosine_x10000(F.col('qv'), F.col('embedding'))
+                    cosine_x10000_np(F.col('qv'), F.col('embedding'))
                     .alias('cos_x10000')))
     w2 = Window.partitionBy('query_id').orderBy(
         F.desc('cos_x10000'), F.asc('neighbor_id'))
