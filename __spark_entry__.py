@@ -494,6 +494,47 @@ _JACCARD_VERIFY = """
     JOIN sizes zb ON zb.doc_id = i.b)
 """
 
+
+# dedup-first replay (operators/dedup._exact_groups/_expand_groups):
+# candidates and Jaccard verification run over one representative per
+# distinct normalized text; member pairs (and within-group pairs of
+# exact copies with >= k words, jaccard 10000) are expanded at the end.
+_DEDUP_FIRST = """
+  grp AS (
+    SELECT doc_id,
+           min(doc_id) OVER (
+             PARTITION BY ('0x' || substr(md5({norm}), 1, 15))::int64
+           ) AS rep_id
+    FROM documents),
+  repdocs AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN grp g ON d.doc_id = g.doc_id AND g.doc_id = g.rep_id)
+""".format(norm=_NORM)
+
+_SHINGLES_REPS = """
+  norm AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM repdocs),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM norm WHERE len(w) >= 3))
+""".format(norm=_NORM)
+
+_EXPAND_GROUPS = """
+  self_pairs AS (
+    SELECT doc_id AS a, doc_id AS b,
+           CAST(10000 AS BIGINT) AS jaccard_x10000
+    FROM norm WHERE len(w) >= 3),
+  allp AS (SELECT a, b, jaccard_x10000 FROM rep_pairs
+           UNION ALL SELECT a, b, jaccard_x10000 FROM self_pairs),
+  ga AS (SELECT rep_id AS a, doc_id AS ma FROM grp),
+  gb AS (SELECT rep_id AS b, doc_id AS mb FROM grp)
+SELECT least(ga.ma, gb.mb) AS a, greatest(ga.ma, gb.mb) AS b,
+       jaccard_x10000
+FROM allp JOIN ga USING (a) JOIN gb USING (b)
+WHERE allp.a != allp.b OR ga.ma < gb.mb
+"""
+
 def oracle_sql() -> dict[str, str]:
     from yargy_spark.operators.dedup import (HASH_FAMILY,
                                              LSH_DEFAULT_THRESHOLD,
@@ -671,7 +712,8 @@ FROM hashed GROUP BY h
 """.format(h=_H60.format(x=_NORM))
 
     oracles['ngram_jaccard_dups'] = """
-WITH {sh},
+WITH {df},
+  {sh},
   dfreq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
   rare AS (SELECT s.doc_id, s.shingle FROM shingles s
            JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
@@ -679,12 +721,16 @@ WITH {sh},
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM rare l JOIN rare r ON l.shingle = r.shingle
     WHERE l.doc_id < r.doc_id),
-  {jv}
-SELECT a, b, jaccard_x10000 FROM verified WHERE jaccard_x10000 >= 2000
-""".format(sh=_SHINGLES, jv=_JACCARD_VERIFY)
+  {jv},
+  rep_pairs AS (SELECT a, b, jaccard_x10000 FROM verified
+                WHERE jaccard_x10000 >= 2000),
+  {exp}
+""".format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, jv=_JACCARD_VERIFY,
+           exp=_EXPAND_GROUPS)
 
     oracles['minhash_lsh_dups'] = """
-WITH {sh},
+WITH {df},
+  {sh},
   fam(i, a, b) AS (VALUES
     {fam}),
   xs AS (SELECT doc_id, {h} % {m} AS x FROM shingles),
@@ -704,12 +750,13 @@ WITH {sh},
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.sig_key = r.sig_key
     WHERE l.doc_id < r.doc_id),
-  {jv}
-SELECT a, b, jaccard_x10000 FROM verified
-WHERE jaccard_x10000 >= {thr}
-""".format(sh=_SHINGLES, fam=family_rows, m=MERSENNE,
-           rpb=ROWS_PER_BAND, jv=_JACCARD_VERIFY,
-           thr=LSH_DEFAULT_THRESHOLD,
+  {jv},
+  rep_pairs AS (SELECT a, b, jaccard_x10000 FROM verified
+                WHERE jaccard_x10000 >= {thr}),
+  {exp}
+""".format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, fam=family_rows,
+           m=MERSENNE, rpb=ROWS_PER_BAND, jv=_JACCARD_VERIFY,
+           thr=LSH_DEFAULT_THRESHOLD, exp=_EXPAND_GROUPS,
            h=_H60.format(x='shingle'))
 
     oracles['simhash_docs'] = """

@@ -102,6 +102,41 @@ def test_boilerplate_cluster_candidates_linear(spark, monkeypatch):
     assert {(r['a'], r['b']) for r in rep_out} == {(1000, 1001)}
 
 
+def test_neardup_oracle_replays_duplicates(spark, tmp_path):
+    """The DuckDB oracle must replay dedup-first semantics on a corpus
+    that CONTAINS exact duplicates (the sf gate corpora have none, so
+    this divergence would otherwise stay latent)."""
+    import duckdb
+    import __spark_entry__ as entry_mod
+    from yargy_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, 'общий шаблонный текст страницы каталога номер один'),
+        (2, 'общий шаблонный текст страницы каталога номер один'),
+        (7, 'общий шаблонный текст страницы каталога номер один'),
+        (3, 'совсем другой документ про стальные диски и заводы'),
+        (4, 'совсем другой документ про стальные диски и цеха'),
+        (5, 'пустой'),       # < k words: never pairs
+        (6, 'пустой'),
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {(r['a'], r['b'], r['jaccard_x10000'])
+           for r in ngram_jaccard_pairs(docs).collect()}
+
+    path = str(tmp_path / 'documents.parquet')
+    docs.toPandas().to_parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM '%s'" % path)
+    oracle = {(r[0], r[1], r[2]) for r in con.execute(
+        entry_mod.oracle_sql()['ngram_jaccard_dups']).fetchall()}
+    assert got == oracle
+    # sanity on content: all boilerplate member pairs + the near pair
+    assert (1, 2, 10000) in got and (2, 7, 10000) in got \
+        and (1, 7, 10000) in got
+    assert any(a == 3 and b == 4 for a, b, _ in got)
+    assert not any(a == 5 or b == 6 for a, b, _ in got)
+
+
 def test_embedding_dup_blocked_vs_exact(spark, emb):
     """The IVF-blocked default must be a high-recall subset of the
     exact all-pairs baseline, with identical cosines on shared pairs,
@@ -123,6 +158,26 @@ def test_embedding_dup_blocked_vs_exact(spark, emb):
     assert set(blocked) <= set(exact)
     assert all(exact[p] == c for p, c in blocked.items())
     assert len(blocked) >= 0.9 * len(exact)
+
+
+def test_np_cosine_null_and_ragged_rows(spark):
+    """JVM parity on degenerate input: a null or length-mismatched
+    embedding yields a NULL cosine (filtered by thresholds), never a
+    task crash inside the pandas UDF."""
+    from pyspark.sql import functions as F
+    from yargy_spark.operators.similarity import cosine_x10000_np
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]),
+         (2, None, [1.0, 0.0]),
+         (3, [1.0, 0.0, 0.0], [1.0, 0.0]),     # ragged
+         (4, [0.0, 0.0], [1.0, 0.0])],         # zero norm
+        'i long, a array<float>, b array<float>')
+    rows = {r['i']: r['c'] for r in df.select(
+        'i', cosine_x10000_np(F.col('a'), F.col('b')).alias('c'))
+        .collect()}
+    assert rows[1] == 10000
+    assert rows[2] is None and rows[3] is None
+    assert rows[4] == 0
 
 
 def test_kmeans_centroids_deterministic(spark, emb):

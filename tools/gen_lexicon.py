@@ -72,7 +72,7 @@ MSF_NAMES = '''саша женя валя шура паша слава лера'
 ANIM_MASC_NOUNS = '''
 директор инженер врач учитель строитель водитель продавец повар
 юрист экономист бухгалтер программист художник писатель журналист
-ученый студент профессор доцент аспирант лаборант техник механик
+студент профессор доцент аспирант лаборант техник механик
 электрик сварщик токарь слесарь плотник столяр маляр кровельщик
 монтажник крановщик машинист пилот штурман капитан матрос боцман
 солдат офицер генерал полковник майор лейтенант сержант курсант
@@ -103,7 +103,7 @@ INAN_MASC_NOUNS = '''
 локатор радар спутник корабль самолет вертолет поезд вагон трамвай
 троллейбус автобус грузовик трактор комбайн бульдозер экскаватор
 кран подъемник лифт эскалатор конвейер станок пресс молот молоток
-топор лом лопата грабли секатор рубанок напильник гаечный ключ болт
+топор лом лопата грабли секатор рубанок напильник ключ болт
 винт гайка шуруп гвоздь дюбель анкер уголок швеллер профиль лист
 прокат слиток рулон моток клубок узел карман рукав воротник пояс
 ремень шнурок ботинок сапог валенок кроссовок костюм пиджак свитер
@@ -116,7 +116,7 @@ INAN_MASC_NOUNS = '''
 FEMN_A_NOUNS = '''
 машина дорога улица площадь школа больница аптека библиотека почта
 фабрика ферма шахта скважина вышка башня стена крыша труба лестница
-дверь комната кухня спальня гостиная веранда терраса беседка калитка
+дверь комната кухня спальня веранда терраса беседка калитка
 ограда тропа поляна роща береза сосна ель осина ива липа рябина
 калина малина смородина клубника земляника черника брусника клюква
 вишня слива груша яблоня айва хурма дыня тыква морковь свекла репа
@@ -127,9 +127,9 @@ FEMN_A_NOUNS = '''
 фанера плита черепица краска кисть грунтовка шпаклевка штукатурка
 известка глина грязь пыль сажа зола вода река озеро лужа волна пена
 роса капля туча молния радуга заря звезда луна планета комета
-галактика орбита ракета станция платформа касса билетная бумага
+галактика орбита ракета станция платформа касса бумага
 газета книга тетрадь ручка линейка папка карта схема таблица анкета
-справка квитанция накладная ведомость зарплата премия надбавка
+справка квитанция ведомость зарплата премия надбавка
 ставка смета оценка отметка грамота медаль лента булавка пуговица
 нитка иголка ножница линза призма пружина шестерня муфта втулка
 прокладка мембрана турбина лопатка форсунка камера кабина панель
@@ -248,15 +248,16 @@ def decl_masc_noun(lemma, anim, extra=''):
 
 
 def decl_soft_masc_noun(lemma, anim, extra=''):
-    """Masculine noun in -ь/-й (soft)."""
+    """Masculine noun in -ь/-й (soft); -ий lemmas take loct -ии."""
     s, a = lemma[:-1], 'anim' if anim else 'inan'
+    loc = 'и' if lemma.endswith('ий') else 'е'
     rows = [
         (lemma, 'NOUN %s masc nomn sing' % a),
         (s + 'я', 'NOUN %s gent masc sing' % a),
         (s + 'ю', 'NOUN %s datv masc sing' % a),
         (s + 'я' if anim else lemma, 'NOUN %s accs masc sing' % a),
         (s + 'ем', 'NOUN %s ablt masc sing' % a),
-        (s + 'е', 'NOUN %s loct masc sing' % a),
+        (s + loc, 'NOUN %s loct masc sing' % a),
         (s + 'и', 'NOUN %s masc nomn plur' % a),
         (s + 'ей', 'NOUN %s gent masc plur' % a),
         (s + 'ям', 'NOUN %s datv masc plur' % a),
@@ -274,13 +275,15 @@ def decl_femn_a(lemma, anim, extra='', gender='femn'):
     y = 'и' if soft else spell_y(s)
     a = 'anim' if anim else 'inan'
     oi = 'ей' if soft else 'ой'
+    # -ия lemmas (мария, станция): dative and locative take -ии
+    e = 'и' if lemma.endswith('ия') else 'е'
     rows_sing = [
         (lemma, 'NOUN %s %s nomn sing' % (a, gender)),
         (s + y, 'NOUN %s gent %s sing' % (a, gender)),
-        (s + 'е', 'NOUN %s datv %s sing' % (a, gender)),
+        (s + e, 'NOUN %s datv %s sing' % (a, gender)),
         (s + ('ю' if soft else 'у'), 'NOUN %s accs %s sing' % (a, gender)),
         (s + oi, 'NOUN %s ablt %s sing' % (a, gender)),
-        (s + 'е', 'NOUN %s %s loct sing' % (a, gender)),
+        (s + e, 'NOUN %s %s loct sing' % (a, gender)),
     ]
     rows_plur = [
         (s + y, 'NOUN %s %s nomn plur' % (a, gender)),

@@ -128,22 +128,19 @@ def _rule_label(item) -> Tuple[str, str]:
 def rule_dot(rule) -> DotGraph:
     """Rule DAG -> DotGraph (``rule.as_dot`` parity,
     rule/transformators.py DotRuleTransformator)."""
+    from collections import deque
     graph = DotGraph()
     seen = set()
-    queue = [rule]
+    queue = deque([rule])
     while queue:
-        item = queue.pop(0)
+        item = queue.popleft()
         if id(item) in seen:
             continue
         seen.add(id(item))
         label, color = _rule_label(item)
         graph.add_node(item, Style(label=label, fillcolor=color))
-        children: Iterable = ()
         getter = getattr(item, 'children', None)
-        if getter is not None:
-            children = list(getter())
-        elif hasattr(item, 'terms'):     # Prod
-            children = list(item.terms)
+        children: Iterable = getter() if getter is not None else ()
         for child in children:
             graph.add_edge(item, child)
             queue.append(child)
@@ -180,7 +177,12 @@ def tree_dot(tree) -> DotGraph:
         for child in node.children:
             graph.add_edge(node, child)
             stack.append(child)
-    for _key, (rel, members) in sorted(relation_groups.items()):
+    # order groups by their first member's graph id (assignment
+    # order), never by id(rel) — memory addresses are process-
+    # dependent and would make the DOT source nondeterministic
+    ordered = sorted(relation_groups.values(),
+                     key=lambda rm: graph.id(rm[1][0]))
+    for rel, members in ordered:
         for a, b in zip(members, members[1:]):
             graph.add_edge(a, b, Style(
                 label=getattr(rel, 'label', 'rel'),

@@ -155,6 +155,9 @@ class Morphology:
         return state
 
     def _predict(self, word: str):
+        # memoize on the lowercased word — the only input predict
+        # uses; case variants must share one slot
+        word = word.lower()
         memo = self._oov_memo
         hit = memo.get(word)
         if hit is None:

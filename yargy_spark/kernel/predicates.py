@@ -225,16 +225,14 @@ class length_eq(Pred):
 
 
 class gte(Pred):
-    """int(value) >= threshold; non-INT tokens never match
-    (bank.py:176-216).
+    """int(value) >= n; only fires on INT tokens
+    (bank.py:41-49, 176-216).
 
     >>> gte(10)(_t('11'))
     True
     >>> gte(10)(_t('9'))
     False
     """
-
-    """int(value) >= n; only fires on INT tokens (bank.py:41-49,194)."""
 
     def __init__(self, n: int):
         self.n = n

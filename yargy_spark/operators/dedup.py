@@ -341,14 +341,19 @@ def embedding_dup_pairs(embeddings: DataFrame,
         n = embeddings.count()
         n_centroids = max(16, int(math.isqrt(max(n, 1))) * n_assign)
     assigned = ivf_assign(embeddings, n_centroids, n_assign)
-    a = assigned.select(F.col('vec_id').alias('a'),
-                        F.col('embedding').alias('va'), 'centroid_id')
-    b = assigned.select(F.col('vec_id').alias('b'),
-                        F.col('embedding').alias('vb'), 'centroid_id')
-    return (a.join(b, 'centroid_id')
-            .where(F.col('a') < F.col('b'))
-            # a pair sharing both assigned clusters appears twice
-            .select('a', 'b', 'va', 'vb').distinct()
+    a = assigned.select(F.col('vec_id').alias('a'), 'centroid_id')
+    b = assigned.select(F.col('vec_id').alias('b'), 'centroid_id')
+    # dedup double-assigned pairs on SKINNY (a, b) ids — a distinct
+    # over full embedding arrays would multiply the exchange volume
+    # by the vector dim; vectors join back once per side after
+    pairs = (a.join(b, 'centroid_id')
+             .where(F.col('a') < F.col('b'))
+             .select('a', 'b').distinct())
+    va = embeddings.select(F.col('vec_id').alias('a'),
+                           F.col('embedding').alias('va'))
+    vb = embeddings.select(F.col('vec_id').alias('b'),
+                           F.col('embedding').alias('vb'))
+    return (pairs.join(va, 'a').join(vb, 'b')
             .select('a', 'b',
                     cosine_x10000_np(F.col('va'), F.col('vb'))
                     .alias('cos_x10000'))

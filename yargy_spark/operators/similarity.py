@@ -53,8 +53,24 @@ def _np_cosine_x10000_fn(a, b):
     matching the JVM's double-promoted multiply."""
     import numpy as np
     import pandas as pd
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
+    va, vb = a.to_numpy(), b.to_numpy()
+    if len(va) == 0:
+        return pd.Series(pd.array([], dtype='Int64'), index=a.index)
+    # JVM parity for degenerate rows: a null array or a length
+    # mismatch yields a NULL cosine (zip_with pads with null ->
+    # null product -> null sum), which threshold filters then drop —
+    # np.stack would instead crash the task on such input
+    valid = np.fromiter(
+        (x is not None and y is not None and len(x) == len(y)
+         for x, y in zip(va, vb)), dtype=bool, count=len(va))
+    if not valid.all():
+        out = pd.array([None] * len(va), dtype='Int64')
+        if valid.any():
+            sub = _np_cosine_x10000_fn(a[valid], b[valid])
+            out[valid] = sub.to_numpy()
+        return pd.Series(out, index=a.index)
+    A = np.stack(va)
+    B = np.stack(vb)
     # norms square each side in its NATIVE dtype (Spark squares a
     # float column in float32 even when the other operand is double)
     sq_a, sq_b = A * A, B * B
@@ -68,7 +84,7 @@ def _np_cosine_x10000_fn(a, b):
     out = np.zeros(len(dots), dtype=np.int64)
     nz = denom > 0
     out[nz] = np.floor(10000.0 * dots[nz] / denom[nz]).astype(np.int64)
-    return pd.Series(out)
+    return pd.Series(out, index=a.index)
 
 
 def cosine_x10000_np(a, b):

@@ -57,12 +57,18 @@ def token_table(transcripts: DataFrame) -> DataFrame:
 
 
 def lexicon_table(spark: SparkSession) -> DataFrame:
-    """The embedded lexicon as a dimension table
-    (word, form_idx, lemma, grams) — FIXTURES.md §3 layout; at
-    production scale this is the full OpenCorpora dictionary."""
-    from ..kernel.lexicon import lexicon_rows
+    """The full merged lexicon (embedded golden + generated
+    dictionary) as a dimension table (word, form_idx, lemma, grams) —
+    FIXTURES.md §3 layout; the SQL-side twin of
+    ``default_morphology()`` so the broadcast-join path and the
+    in-UDF analyzer can never diverge on vocabulary."""
+    from ..kernel.morphology import default_morphology
+    morph = default_morphology()
+    rows = [(word, i, lemma, sorted(grams))
+            for word, readings in sorted(morph.entries.items())
+            for i, (lemma, grams) in enumerate(readings)]
     return spark.createDataFrame(
-        list(lexicon_rows()),
+        rows,
         StructType([
             StructField('word', StringType()),
             StructField('form_idx', IntegerType()),
