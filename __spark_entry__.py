@@ -166,6 +166,31 @@ def q_kg_oov_person(spark, sf_dir) -> DataFrame:
     return m.select('conv_id', 'rule_id', 'fact_json')
 
 
+_ADDRESS_TURNS = (
+    ('a000000', 0, 'живу на улице Ленина дом 5'),
+    ('a000001', 0, 'офис на Первомайской улице'),
+    ('a000002', 0, 'магазин на проспекте Мира д. 12'),
+    ('a000003', 0, 'свернул в Глухой переулок 3'),
+)
+
+
+def q_kg_address(spark, sf_dir) -> DataFrame:
+    """Address — the fourth canonical fact type (north_star:
+    Person/Name, Date, Money, Address).  Runs in its OWN bank so the
+    default-bank golden oracles stay byte-stable."""
+    from yargy_spark.extractors import Extractor, CompiledBank, \
+        build_address
+    from yargy_spark.operators.extract import extract_mentions
+    bank = CompiledBank(extractors={
+        'address': Extractor('address', 'Address', build_address,
+                             trigger=r'[а-яёА-ЯЁ]')})
+    t = spark.createDataFrame(
+        list(_ADDRESS_TURNS),
+        'conv_id string, turn_idx int, text string')
+    m = extract_mentions(t, bank=bank)
+    return m.select('conv_id', 'rule_id', 'fact_json')
+
+
 def q_kg_lemma_tokens(spark, sf_dir) -> DataFrame:
     """Morphology as a broadcast-joined dimension table (the
     'A-alternative' of SURVEY.md §2.2/§2.3)."""
@@ -275,6 +300,13 @@ def q_minhash_lsh_dups(spark, sf_dir) -> DataFrame:
 def q_simhash_docs(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.dedup import simhash_docs
     return simhash_docs(_docs(spark, sf_dir))
+
+
+def q_simhash_dup_pairs(spark, sf_dir) -> DataFrame:
+    """Banded SimHash near-dup pairs (pigeonhole full recall at
+    hamming <= 2 with 4 bands)."""
+    from yargy_spark.operators.dedup import simhash_dup_pairs
+    return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=2)
 
 
 def q_embedding_dup_pairs(spark, sf_dir) -> DataFrame:
@@ -409,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_geo_triples': q_kg_geo_triples,
         'kg_fact_spans': q_kg_fact_spans,
         'kg_oov_person': q_kg_oov_person,
+        'kg_address': q_kg_address,
         'kg_lemma_tokens': q_kg_lemma_tokens,
         'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
         'events_asof': q_events_asof,
@@ -418,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
         'minhash_lsh_dups': q_minhash_lsh_dups,
         'simhash_docs': q_simhash_docs,
+        'simhash_dup_pairs': q_simhash_dup_pairs,
         'embedding_dup_pairs': q_embedding_dup_pairs,
         'embedding_dup_exact': q_embedding_dup_exact,
         'ann_cosine_topk': q_ann_cosine_topk,
@@ -578,6 +612,18 @@ def oracle_sql() -> dict[str, str]:
          '{"first": "максим", "last": "кочергин"}'),
         ('v000004', 'name',
          '{"first": "эльвира", "last": "зубкова"}'),
+    ], ['conv_id', 'rule_id', 'fact_json'])
+
+    oracles['kg_address'] = _values_rows([
+        ('a000000', 'address',
+         '{"house": 5, "street": "Ленина", "street_type": "улица"}'),
+        ('a000001', 'address',
+         '{"street": "первомайский", "street_type": "улица"}'),
+        ('a000002', 'address',
+         '{"house": 12, "street": "Мира", "street_type": "проспект"}'),
+        ('a000003', 'address',
+         '{"house": 3, "street": "глухой", '
+         '"street_type": "переулок"}'),
     ], ['conv_id', 'rule_id', 'fact_json'])
 
     oracles['kg_person_triples'] = _values_rows([
@@ -809,6 +855,46 @@ cent AS (
                CAST(sum(q) AS DOUBLE) / count(*) / 10000.0 AS val
         FROM comp GROUP BY centroid_id, pos)
   GROUP BY centroid_id)"""
+
+    oracles['simhash_dup_pairs'] = """
+WITH {df},
+  norm AS (SELECT doc_id, string_split({n}, ' ') AS w FROM repdocs),
+  toks AS (
+    SELECT doc_id, {h} AS h
+    FROM (SELECT doc_id, unnest(w) AS w FROM norm)),
+  per_bit AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+    GROUP BY doc_id, bit),
+  sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::int64 << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id),
+  bands AS (
+    SELECT doc_id, simhash, bb AS band,
+           (simhash >> (8 * bb)) & 255 AS key
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb)),
+  cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+             AS hamming
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key
+    WHERE x.doc_id < y.doc_id),
+  rep_pairs AS (SELECT a, b, hamming FROM cand WHERE hamming <= 2),
+  self_pairs AS (
+    SELECT doc_id AS a, doc_id AS b, CAST(0 AS BIGINT) AS hamming
+    FROM norm WHERE len(w) >= 1),
+  allp AS (SELECT a, b, hamming FROM rep_pairs
+           UNION ALL SELECT a, b, hamming FROM self_pairs),
+  ga AS (SELECT rep_id AS a, doc_id AS ma FROM grp),
+  gb AS (SELECT rep_id AS b, doc_id AS mb FROM grp)
+SELECT least(ga.ma, gb.mb) AS a, greatest(ga.ma, gb.mb) AS b, hamming
+FROM allp JOIN ga USING (a) JOIN gb USING (b)
+WHERE allp.a != allp.b OR ga.ma < gb.mb
+""".format(df=_DEDUP_FIRST, n=_NORM, h=_H60.format(x='w'))
 
     oracles['embedding_dup_exact'] = """
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -88,6 +88,7 @@ def main():
     import __spark_entry__ as entry
 
     for q in ['minhash_lsh_dups', 'ngram_jaccard_dups', 'simhash_docs',
+              'simhash_dup_pairs',
               'ann_cosine_topk', 'ann_ivf_topk', 'token_counts',
               'quality_scores', 'pricing_summary']:
         fn = entry.queries()[q]

@@ -160,6 +160,40 @@ def test_embedding_dup_blocked_vs_exact(spark, emb):
     assert len(blocked) >= 0.9 * len(exact)
 
 
+def test_simhash_banding_full_recall(spark, docs):
+    """Pigeonhole guarantee: with 4 bands, every pair within Hamming
+    distance 2 shares at least one band — the banded join must equal
+    brute force exactly (unlike MinHash banding, no probabilistic
+    miss)."""
+    import itertools
+    from yargy_spark.operators.dedup import (simhash_docs,
+                                             simhash_dup_pairs)
+    got = {(r['a'], r['b']): r['hamming']
+           for r in simhash_dup_pairs(docs, max_hamming=2).collect()}
+    hs = {r['doc_id']: r['simhash']
+          for r in simhash_docs(docs).collect()}
+    brute = {}
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = bin(hs[a] ^ hs[b]).count('1')
+        if d <= 2:
+            brute[(a, b)] = d
+    assert got == brute and len(got) > 0
+
+
+def test_simhash_pairs_expand_exact_copies(spark):
+    """Exact copies collapse before banding and re-expand at
+    hamming 0."""
+    from yargy_spark.operators.dedup import simhash_dup_pairs
+    rows = [(1, 'текст про стальные диски и заводы области'),
+            (2, 'текст про стальные диски и заводы области'),
+            (3, 'совсем иной разговор о погоде и природе')]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {(r['a'], r['b']): r['hamming']
+           for r in simhash_dup_pairs(docs).collect()}
+    assert got.get((1, 2)) == 0
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
 def test_np_cosine_null_and_ragged_rows(spark):
     """JVM parity on degenerate input: a null or length-mismatched
     embedding yields a NULL cosine (filtered by thresholds), never a

@@ -96,7 +96,7 @@ ANIM_MASC_NOUNS = '''
 
 # Inanimate masc nouns (hard consonant).
 INAN_MASC_NOUNS = '''
-завод город стол стул шкаф диван ковер телевизор компьютер телефон
+завод город проспект переулок бульвар квартал стол стул шкаф диван ковер телевизор компьютер телефон
 экран принтер сервер процессор диск кабель провод выключатель мотор
 двигатель насос компрессор генератор трансформатор конденсатор
 резистор транзистор микрофон динамик усилитель приемник передатчик

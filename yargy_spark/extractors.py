@@ -32,8 +32,8 @@ from typing import Callable, Dict, List, Optional, Tuple
 from . import rule, or_, and_, not_, Parser
 from .kernel.earley import ParseBudgetExceeded
 from .interpretation import fact
-from .predicates import (dictionary, eq, gram, gte, is_capitalized,
-                         lte, normalized, type_)
+from .predicates import (caseless, dictionary, eq, gram, gte,
+                         is_capitalized, lte, normalized, type_)
 from .pipelines import morph_pipeline
 from .relations import gnc_relation
 from .kernel.tokenize import render_lemmas
@@ -46,6 +46,7 @@ Date = fact('Date', ['year', 'month', 'day'])
 Money = fact('Money', ['value', 'currency'])
 Geo = fact('Geo', ['name'])
 Era = fact('Era', ['value'])
+Address = fact('Address', ['street_type', 'street', 'house'])
 
 # keyed by NOMINATIVE LEMMA: the dictionary predicate matches any
 # inflection via lemma expansion, and .normalized() hands the lemma
@@ -149,6 +150,36 @@ def build_geo():
         GAZ_SHAPE.interpretation(Geo.name.normalized()),
         ADJF_SHAPE.interpretation(Geo.name.normalized()),
     ).interpretation(Geo)
+
+
+def build_address():
+    """Street address — the fourth canonical fact type of the north
+    star (Person/Name, Date, Money, Address).  Two production shapes
+    mirroring real Russian addresses: '<type> <name-in-genitive>'
+    (улица Ленина) and '<ADJF name> <type>' (Первомайская улица),
+    each with an optional house number ('дом 5' / 'д. 5' / bare INT).
+
+    The reference exposes the gazetteer shape of this rule
+    (docs/ref.ipynb cell 61); the full grammar composes the same
+    public DSL pieces.  NOT in the default bank: registered by the
+    kg_address query with its own CompiledBank so the golden-corpus
+    oracles stay byte-stable."""
+    STREET_TYPE = morph_pipeline([
+        'улица', 'проспект', 'переулок', 'площадь', 'шоссе',
+        'бульвар', 'набережная',
+    ]).interpretation(Address.street_type.normalized())
+    ADJ_NAME = and_(gram('ADJF'), is_capitalized()) \
+        .interpretation(Address.street.inflected({'nomn', 'sing'}))
+    GEN_NAME = and_(gram('NOUN'), is_capitalized()) \
+        .interpretation(Address.street)
+    HOUSE = rule(
+        or_(rule(normalized('дом')), rule(caseless('д'), eq('.')))
+        .optional(),
+        type_('INT').interpretation(Address.house.custom(int)))
+    return or_(
+        rule(STREET_TYPE, GEN_NAME, HOUSE.optional()),
+        rule(ADJ_NAME, STREET_TYPE, HOUSE.optional()),
+    ).interpretation(Address)
 
 
 def build_era():

@@ -151,11 +151,13 @@ def _exact_groups(docs: DataFrame) -> tuple:
 
 def _expand_groups(rep_pairs: DataFrame, groups: DataFrame,
                    reps: DataFrame, k: int,
-                   score_col: str) -> DataFrame:
+                   score_col: str,
+                   self_score: int = 10000) -> DataFrame:
     """Rep-level (a, b, score) pairs -> member-level pairs, plus the
-    within-group pairs of exact copies (score 10000 by definition,
+    within-group pairs of exact copies (score ``self_score`` — the
+    metric's identical-document value: jaccard 10000, hamming 0 —
     guarded to docs that actually have >= k words so empty-shingle
-    docs never pair — matching the verify stage's behavior).
+    docs never pair, matching the verify stage's behavior).
 
     Within-group pairs ride the SAME two joins as cross-group pairs:
     each eligible rep contributes a reflexive (rep, rep, 10000) row,
@@ -166,7 +168,8 @@ def _expand_groups(rep_pairs: DataFrame, groups: DataFrame,
                                         ' ')) >= k)
                   .select(F.col('doc_id').alias('a'),
                           F.col('doc_id').alias('b'),
-                          F.lit(10000).cast('long').alias(score_col)))
+                          F.lit(self_score).cast('long')
+                          .alias(score_col)))
     all_pairs = rep_pairs.unionByName(self_pairs)
     ga = groups.select(F.col('rep_id').alias('a'),
                        F.col('doc_id').alias('ma'))
@@ -293,6 +296,54 @@ def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
          for b in range(bits)),
         F.lit(0).cast('long'))
     return wide.select('doc_id', bitval.alias('simhash'))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                      bits: int = 32, n_bands: int = 4,
+                      expand_groups: bool = True) -> DataFrame:
+    """SimHash near-duplicate pairs (a < b, hamming <= max_hamming).
+
+    Banded blocking with a pigeonhole guarantee: the ``bits``-bit
+    simhash splits into ``n_bands`` equal bands; two hashes within
+    Hamming distance ``max_hamming`` < n_bands must agree on at least
+    one whole band, so the band equi-join has FULL recall (no
+    probabilistic miss, unlike MinHash banding).  Verification is one
+    ``bit_count(xor)`` per candidate in codegen.  Exact-duplicate
+    texts collapse to representatives first (identical docs share all
+    bands — see ``_exact_groups``); within-group pairs re-expand at
+    hamming 0."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            'pigeonhole recall needs max_hamming < n_bands')
+    reps, groups = _exact_groups(docs)
+    sig = simhash_docs(reps, bits)
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = sig.select(
+        'doc_id', 'simhash',
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias('band'),
+                F.shiftrightunsigned('simhash', i * width)
+                .bitwiseAND(F.lit(mask)).alias('key'))
+            for i in range(n_bands)])).alias('bk')
+    ).select('doc_id', 'simhash', 'bk.band', 'bk.key')
+    left = bands.select(F.col('doc_id').alias('a'),
+                        F.col('simhash').alias('ha'), 'band', 'key')
+    right = bands.select(F.col('doc_id').alias('b'),
+                         F.col('simhash').alias('hb'), 'band', 'key')
+    rep_pairs = (left.join(right, ['band', 'key'])
+                 .where(F.col('a') < F.col('b'))
+                 .select('a', 'b',
+                         F.bit_count(
+                             F.col('ha').bitwiseXOR(F.col('hb')))
+                         .cast('long').alias('hamming'))
+                 .distinct()
+                 .where(F.col('hamming') <= max_hamming))
+    if not expand_groups:
+        return rep_pairs
+    return _expand_groups(rep_pairs, groups, reps, 1, 'hamming',
+                          self_score=0)
 
 
 def embedding_dup_pairs_exact(embeddings: DataFrame,
