@@ -502,14 +502,19 @@ def _kg_expected():
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 _H60 = "('0x' || substr(md5({x}), 1, 15))::int64"
 
-_SHINGLES = """
-  norm AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM documents),
+def _shingles_sql(src):
+    """norm + shingles CTEs over ``src`` (documents or repdocs)."""
+    return """
+  norm AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM {src}),
   shingles AS (
     SELECT DISTINCT doc_id,
            w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
     FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
           FROM norm WHERE len(w) >= 3))
-""".format(norm=_NORM)
+""".format(norm=_NORM, src=src)
+
+
+_SHINGLES = _shingles_sql('documents')
 
 _JACCARD_VERIFY = """
   sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
@@ -545,29 +550,30 @@ _DEDUP_FIRST = """
     JOIN grp g ON d.doc_id = g.doc_id AND g.doc_id = g.rep_id)
 """.format(norm=_NORM)
 
-_SHINGLES_REPS = """
-  norm AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM repdocs),
-  shingles AS (
-    SELECT DISTINCT doc_id,
-           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-          FROM norm WHERE len(w) >= 3))
-""".format(norm=_NORM)
+_SHINGLES_REPS = _shingles_sql('repdocs')
 
-_EXPAND_GROUPS = """
+def _expand_groups_sql(score_col='jaccard_x10000', self_score=10000,
+                       min_words=3):
+    """Member expansion over the dedup-first rep_pairs CTE — the ONE
+    SQL twin of operators/dedup._expand_groups (self_score is the
+    metric's identical-document value: jaccard 10000, hamming 0)."""
+    return """
   self_pairs AS (
     SELECT doc_id AS a, doc_id AS b,
-           CAST(10000 AS BIGINT) AS jaccard_x10000
-    FROM norm WHERE len(w) >= 3),
-  allp AS (SELECT a, b, jaccard_x10000 FROM rep_pairs
-           UNION ALL SELECT a, b, jaccard_x10000 FROM self_pairs),
+           CAST({ss} AS BIGINT) AS {sc}
+    FROM norm WHERE len(w) >= {mw}),
+  allp AS (SELECT a, b, {sc} FROM rep_pairs
+           UNION ALL SELECT a, b, {sc} FROM self_pairs),
   ga AS (SELECT rep_id AS a, doc_id AS ma FROM grp),
   gb AS (SELECT rep_id AS b, doc_id AS mb FROM grp)
 SELECT least(ga.ma, gb.mb) AS a, greatest(ga.ma, gb.mb) AS b,
-       jaccard_x10000
+       {sc}
 FROM allp JOIN ga USING (a) JOIN gb USING (b)
 WHERE allp.a != allp.b OR ga.ma < gb.mb
-"""
+""".format(sc=score_col, ss=self_score, mw=min_words)
+
+
+_EXPAND_GROUPS = _expand_groups_sql()
 
 def oracle_sql() -> dict[str, str]:
     from yargy_spark.operators.dedup import (HASH_FAMILY,
@@ -679,13 +685,17 @@ def oracle_sql() -> dict[str, str]:
     oracles['kg_fact_spans'] = _values_rows(
         span_rows, ['conv_id', 'rule_id', 'start', 'stop'])
 
-    # lemma-annotation oracle: lexicon-generated VALUES (the lexicon
-    # rows themselves are transcribed from reference test assertions)
-    from yargy_spark.kernel.lexicon import lexicon_rows
+    # lemma-annotation oracle: built from the SAME merged dictionary
+    # lexicon_table() serves (embedded golden + generated), so the
+    # oracle replays the query's lookup exactly — an embedded-only
+    # replica would silently diverge the moment a golden-sentence
+    # token lands in the generated vocabulary
+    from yargy_spark.kernel.morphology import default_morphology
     from yargy_spark.kernel.tokenize import TokenSpec as _TS
     lemma_sets: dict = {}
-    for word, _fi, lemma, _g in lexicon_rows():
-        lemma_sets.setdefault(word, set()).add(lemma)
+    for word, readings in default_morphology().entries.items():
+        for lemma, _g in readings:
+            lemma_sets.setdefault(word.lower(), set()).add(lemma)
     _spec = _TS()
     lemma_rows = []
     for conv in _TOKEN_CONVS:
@@ -884,17 +894,9 @@ WITH {df},
       ON x.band = y.band AND x.key = y.key
     WHERE x.doc_id < y.doc_id),
   rep_pairs AS (SELECT a, b, hamming FROM cand WHERE hamming <= 2),
-  self_pairs AS (
-    SELECT doc_id AS a, doc_id AS b, CAST(0 AS BIGINT) AS hamming
-    FROM norm WHERE len(w) >= 1),
-  allp AS (SELECT a, b, hamming FROM rep_pairs
-           UNION ALL SELECT a, b, hamming FROM self_pairs),
-  ga AS (SELECT rep_id AS a, doc_id AS ma FROM grp),
-  gb AS (SELECT rep_id AS b, doc_id AS mb FROM grp)
-SELECT least(ga.ma, gb.mb) AS a, greatest(ga.ma, gb.mb) AS b, hamming
-FROM allp JOIN ga USING (a) JOIN gb USING (b)
-WHERE allp.a != allp.b OR ga.ma < gb.mb
-""".format(df=_DEDUP_FIRST, n=_NORM, h=_H60.format(x='w'))
+  {exp}
+""".format(df=_DEDUP_FIRST, n=_NORM, h=_H60.format(x='w'),
+           exp=_expand_groups_sql('hamming', 0, 1))
 
     oracles['embedding_dup_exact'] = """
 SELECT a.vec_id AS a, b.vec_id AS b,

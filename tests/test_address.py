@@ -31,6 +31,13 @@ def test_bare_house_number():
         Address(street_type='переулок', street='глухой', house=3)]
 
 
+def test_oblique_street_type():
+    """Regression: fleeting-vowel street types must match in oblique
+    cases (переулок -> переулке)."""
+    assert _facts('офис в Тихом переулке 3') == [
+        Address(street_type='переулок', street='тихий', house=3)]
+
+
 def test_no_false_positives():
     assert _facts('дом 5 без адреса') == []
     assert _facts('просто разговор о погоде') == []

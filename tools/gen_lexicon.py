@@ -225,16 +225,26 @@ def spell_y(stem: str) -> str:
 
 
 def decl_masc_noun(lemma, anim, extra=''):
-    """Hard-consonant masculine noun, sing+plur."""
+    """Hard-consonant masculine noun, sing+plur.
+
+    Fleeting vowel: -ок / -ец lemmas drop the vowel in oblique forms
+    (переулок -> переулка, продавец -> продавца) — without this the
+    generated dictionary would carry nonexistent forms and miss the
+    real obliques."""
+    nom = lemma
     s = lemma
+    if len(s) > 3 and s.endswith('ок') and s[-3] not in VOWELS:
+        s = s[:-2] + 'к'
+    elif len(s) > 3 and s.endswith('ец') and s[-3] not in VOWELS:
+        s = s[:-2] + 'ц'
     y = spell_y(s)
     gp = 'ей' if s[-1] in HUSH else ('ев' if s[-1] == 'ц' else 'ов')
     a = 'anim' if anim else 'inan'
     rows = [
-        (s, 'NOUN %s masc nomn sing' % a),
+        (nom, 'NOUN %s masc nomn sing' % a),
         (s + 'а', 'NOUN %s gent masc sing' % a),
         (s + 'у', 'NOUN %s datv masc sing' % a),
-        (s + 'а' if anim else s, 'NOUN %s accs masc sing' % a),
+        (s + 'а' if anim else nom, 'NOUN %s accs masc sing' % a),
         (s + 'ом', 'NOUN %s ablt masc sing' % a),
         (s + 'е', 'NOUN %s loct masc sing' % a),
         (s + y, 'NOUN %s masc nomn plur' % a),

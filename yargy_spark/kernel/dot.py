@@ -177,12 +177,11 @@ def tree_dot(tree) -> DotGraph:
         for child in node.children:
             graph.add_edge(node, child)
             stack.append(child)
-    # order groups by their first member's graph id (assignment
-    # order), never by id(rel) — memory addresses are process-
-    # dependent and would make the DOT source nondeterministic
-    ordered = sorted(relation_groups.values(),
-                     key=lambda rm: graph.id(rm[1][0]))
-    for rel, members in ordered:
+    # insertion order IS traversal order (deterministic DFS) — no
+    # sort: sorting by id(rel) would be address-dependent, and
+    # calling graph.id() here would mint node ids before the render
+    # walk and scramble the numbering
+    for rel, members in relation_groups.values():
         for a, b in zip(members, members[1:]):
             graph.add_edge(a, b, Style(
                 label=getattr(rel, 'label', 'rel'),

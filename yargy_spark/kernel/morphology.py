@@ -144,42 +144,46 @@ class Morphology:
         self.paradigms = paradigms
         self.predict_oov = predict_oov
         self._predictor = None  # built lazily; derived from entries
-        self._oov_memo: Dict[str, list] = {}
+        self._form_memo: Dict[str, List[Form]] = {}
 
     def __getstate__(self):
-        # the suffix table and OOV memo are derived data: keep them
-        # out of broadcast pickles and rebuild on first OOV miss
+        # the suffix table and form memo are derived data: keep them
+        # out of broadcast pickles and rebuild on demand
         state = self.__dict__.copy()
         state['_predictor'] = None
-        state['_oov_memo'] = {}
+        state['_form_memo'] = {}
         return state
 
-    def _predict(self, word: str):
-        # memoize on the lowercased word — the only input predict
-        # uses; case variants must share one slot
-        word = word.lower()
-        memo = self._oov_memo
-        hit = memo.get(word)
-        if hit is None:
-            if self._predictor is None:
-                from .predictor import SuffixPredictor
-                self._predictor = SuffixPredictor(self.entries)
-            if len(memo) >= 200_000:
-                # bound worker memory on adversarial vocabularies
-                # (the reference uses a 10k LRU, morph.py:136-143)
-                memo.clear()
-            hit = memo[word] = self._predictor.predict(word)
-        return hit
+    def _predict(self, word_lower: str):
+        if self._predictor is None:
+            from .predictor import SuffixPredictor
+            self._predictor = SuffixPredictor(self.entries)
+        return self._predictor.predict(word_lower)
 
     def __call__(self, word: str) -> List[Form]:
-        readings = self.entries.get(word.lower())
-        if readings is None and self.predict_oov:
-            # OOV: suffix-predicted readings (pymorphy2's
-            # KnownSuffixAnalyzer behavior class, morph.py:118-130)
-            readings = self._predict(word) or None
-        if readings is None:
-            return [Form(word.lower(), frozenset(), self)]
-        return [Form(lemma, grams, self) for lemma, grams in readings]
+        # memoize Form lists per lowercased word: bitmask computation
+        # in Form.__init__ dominates repeated lookups of common words
+        # on the tokenize hot path, and Forms are immutable (constrain
+        # builds new token-level lists, never mutates these).  The
+        # memo doubles as the analyzer cache the reference keeps as a
+        # 10k LRU (morph.py:136-143); bounded for adversarial
+        # vocabularies.
+        low = word.lower()
+        forms = self._form_memo.get(low)
+        if forms is None:
+            readings = self.entries.get(low)
+            if readings is None and self.predict_oov:
+                # OOV: suffix-predicted readings (pymorphy2's
+                # KnownSuffixAnalyzer behavior class, morph.py:118-130)
+                readings = self._predict(low) or None
+            forms = ([Form(lemma, grams, self)
+                      for lemma, grams in readings]
+                     if readings is not None
+                     else [Form(low, frozenset(), self)])
+            if len(self._form_memo) >= 200_000:
+                self._form_memo.clear()
+            self._form_memo[low] = forms
+        return forms
 
     def normalized(self, word: str) -> Set[str]:
         """Set of lemmas over all readings (morph.py:132-133)."""

@@ -31,13 +31,20 @@ def _norm(a):
 
 
 def cosine_x10000(a, b):
-    # zero-norm vectors have no direction: define cosine = 0 rather
-    # than NaN (which would cast to null and float through window
-    # ranks with engine-dependent placement)
+    # Degenerate-input contract (BOTH backends): null array or length
+    # mismatch -> NULL (threshold filters drop it; never silently 0,
+    # which would outrank negative cosines); zero-norm vectors have no
+    # direction -> cosine 0 rather than NaN (NaN would cast to null
+    # and float through window ranks with engine-dependent placement).
     denom = _norm(a) * _norm(b)
-    return F.when(denom > 0,
-                  F.floor(F.lit(10000.0) * _dot(a, b) / denom)
-                  .cast('long')).otherwise(F.lit(0).cast('long'))
+    zero = F.lit(0).cast('long')
+    return F.when(
+        denom > 0,
+        # a length mismatch makes the zip_with dot NULL here even
+        # though both norms exist — NULL propagates out, as intended
+        F.floor(F.lit(10000.0) * _dot(a, b) / denom).cast('long')
+    ).otherwise(F.when(denom == 0, zero)
+                .otherwise(F.lit(None).cast('long')))
 
 
 def _np_cosine_x10000_fn(a, b):
@@ -56,18 +63,24 @@ def _np_cosine_x10000_fn(a, b):
     va, vb = a.to_numpy(), b.to_numpy()
     if len(va) == 0:
         return pd.Series(pd.array([], dtype='Int64'), index=a.index)
-    # JVM parity for degenerate rows: a null array or a length
-    # mismatch yields a NULL cosine (zip_with pads with null ->
-    # null product -> null sum), which threshold filters then drop —
-    # np.stack would instead crash the task on such input
+    # JVM-wrapper parity for degenerate rows: a null array or a
+    # per-row length mismatch yields a NULL cosine (threshold filters
+    # drop it) — np.stack would instead crash the task.  Rows with
+    # DIFFERENT (but internally consistent) dims across the batch are
+    # also legal input (mixed-model embedding tables): stack per dim
+    # group, never across.
+    lens = np.fromiter(
+        (len(x) if x is not None else -1 for x in va),
+        dtype=np.int64, count=len(va))
     valid = np.fromiter(
         (x is not None and y is not None and len(x) == len(y)
          for x, y in zip(va, vb)), dtype=bool, count=len(va))
-    if not valid.all():
+    if not valid.all() or len(np.unique(lens[valid])) > 1:
         out = pd.array([None] * len(va), dtype='Int64')
-        if valid.any():
-            sub = _np_cosine_x10000_fn(a[valid], b[valid])
-            out[valid] = sub.to_numpy()
+        for d in np.unique(lens[valid]):
+            m = valid & (lens == d)
+            sub = _np_cosine_x10000_fn(a[m], b[m])
+            out[m] = sub.to_numpy()
         return pd.Series(out, index=a.index)
     A = np.stack(va)
     B = np.stack(vb)
