@@ -38,6 +38,7 @@ def main():
                                              minhash_lsh_pairs)
     from yargy_spark.sources import manifest as mf
 
+    mf.check_n_buckets(out_dir, n_buckets)
     pending = mf.pending_buckets(out_dir, n_buckets)
     if not pending:
         print(json.dumps({'status': 'noop',
@@ -46,7 +47,9 @@ def main():
         return
 
     t0 = time.time()
-    docs = spark.read.parquet(docs_path)
+    # docs feeds THREE subtrees (count, minhash branch, exact branch):
+    # persist so the parquet is scanned once
+    docs = spark.read.parquet(docs_path).persist()
     near = minhash_lsh_pairs(docs).select(
         F.lit('minhash').alias('kind'),
         F.col('a'), F.col('b'),
@@ -69,7 +72,8 @@ def main():
     }
     snap = mf.commit_append(bucketed, out_dir, note='dedup-pairs',
                             counters=counters,
-                            expected_buckets=pending)
+                            expected_buckets=pending,
+                            n_buckets=n_buckets)
     print(json.dumps({'status': 'committed',
                       'snapshot': snap['snapshot_id'],
                       'counters': counters,

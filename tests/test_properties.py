@@ -124,3 +124,47 @@ def test_match_iff_whole_text_findall_span(words):
     spans = [m.span for m in parser.findall(text)]
     covers = any(s == 0 and e == len(text) for s, e in spans)
     assert (whole is not None) == covers
+
+
+# ------------------------------------------------- OOV predictor laws
+
+_CYR_WORDS = st.text(alphabet='абвгдежзиклмнопрстуфыьюя',
+                     min_size=1, max_size=14)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_CYR_WORDS)
+def test_predictor_output_well_formed(word):
+    """Predicted readings are structurally sound: known grammemes
+    only, lemma derived from the word by a suffix formula no longer
+    than the matched suffix (so stems are never invented)."""
+    from yargy_spark.kernel.morphology import (KNOWN_GRAMMEMES,
+                                               default_morphology)
+    from yargy_spark.kernel.predictor import (MIN_WORD_LEN,
+                                              SUFFIX_LENGTHS)
+    morph = default_morphology()
+    preds = morph._predict(word)
+    if len(word) < MIN_WORD_LEN:
+        assert preds == []
+        return
+    max_suffix = max(SUFFIX_LENGTHS)
+    for lemma, grams in preds:
+        assert lemma
+        assert grams <= KNOWN_GRAMMEMES
+        # common prefix covers everything outside the matched suffix
+        keep = len(word) - max_suffix
+        if keep > 0:
+            assert lemma.startswith(word[:keep])
+
+
+@settings(max_examples=100, deadline=None)
+@given(_CYR_WORDS)
+def test_predictor_deterministic_across_builds(word):
+    """Two independently built predictors agree reading-for-reading
+    (broadcast rebuild safety)."""
+    from yargy_spark.kernel.morphology import default_morphology
+    from yargy_spark.kernel.predictor import SuffixPredictor
+    entries = default_morphology().entries
+    a = SuffixPredictor(entries)
+    b = SuffixPredictor(dict(reversed(list(entries.items()))))
+    assert a.predict(word) == b.predict(word)

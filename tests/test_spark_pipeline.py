@@ -114,38 +114,59 @@ def test_triples(spark, golden_mentions):
 
 
 def test_resumable_pipeline(spark, tmp_path):
+    """Two-phase resume contract: extraction commits mention chunks
+    bucket-granularly; triples are a globally-consistent REPLACE
+    snapshot derived from the mentions head."""
+    import os
+    import pytest as _pytest
     from yargy_spark.pipeline import run_resumable
     from yargy_spark.sources import manifest as mf
     from yargy_spark.sources.transcripts import synth_transcripts
 
-    out = str(tmp_path / 'triples_tbl')
+    out = str(tmp_path / 'kg_tbl')
+    m_root, t_root = out + '/mentions', out + '/triples'
     t = synth_transcripts(spark, n_turns=96, partitions=4)
 
-    snap1 = run_resumable(spark, t, out, n_buckets=4)
+    snap1 = run_resumable(spark, t, out, n_buckets=4, chunk_size=2)
     assert snap1 is not None
     assert set(snap1['counters']['buckets']) == {0, 1, 2, 3}
     assert snap1['counters']['mentions'] > 0
+    # chunked extraction: 4 pending buckets / chunk_size 2 = 2 commits
+    assert snap1['counters']['extraction_chunks'] == 2
+    assert len(mf.snapshots(m_root)) == 2
 
-    # second run: everything committed -> no-op
+    # second run: extraction AND derivation up to date -> no-op
     assert run_resumable(spark, t, out, n_buckets=4) is None
 
-    # simulate a partial failure: drop one bucket from the manifest
-    import os
-    mdir = os.path.join(out, '_manifests')
-    name = [n for n in os.listdir(mdir) if n.startswith('snap-')][0]
+    # bucket-count drift is refused, never silently duplicated
+    with _pytest.raises(ValueError, match='n_buckets'):
+        run_resumable(spark, t, out, n_buckets=8)
+
+    # simulate a mid-run crash: one extraction chunk's manifest never
+    # landed (the manifest write IS the commit point, so its data dir
+    # is invisible); restart re-extracts exactly that chunk's buckets
+    mdir = os.path.join(m_root, '_manifests')
+    name = sorted(n for n in os.listdir(mdir)
+                  if n.startswith('snap-'))[0]
     with open(os.path.join(mdir, name)) as fh:
-        snap = json.load(fh)
-    snap['partitions'].pop(sorted(snap['partitions'])[0])
-    with open(os.path.join(mdir, name), 'w') as fh:
-        json.dump(snap, fh)
+        lost = json.load(fh)
+    os.remove(os.path.join(mdir, name))
 
+    before = {r['subj'] for r in
+              mf.read_table(spark, t_root).select('subj').collect()}
     snap2 = run_resumable(spark, t, out, n_buckets=4)
-    assert snap2 is not None and len(snap2['counters']['buckets']) == 1
+    assert snap2 is not None
+    assert set(snap2['counters']['buckets']) == \
+        {int(b) for b in lost['partitions']}
 
-    total = mf.read_table(spark, out)
-    assert total.count() > 0
-    # lineage: per-partition counts recorded
-    done = mf.committed_partitions(out)
+    # triples replaced as ONE consistent snapshot: same entity set,
+    # no duplicated rows from the re-extracted bucket
+    total = mf.read_table(spark, t_root)
+    assert total.count() == total.distinct().count()
+    after = {r['subj'] for r in total.select('subj').collect()}
+    assert after == before
+    # lineage: per-partition mention counts recorded
+    done = mf.committed_partitions(m_root)
     assert set(done) == {0, 1, 2, 3}
 
 

@@ -10,14 +10,17 @@ designed Spark-first for the 100 TB point:
 * The mention graph is built WITHOUT a quadratic self-join: each
   blocking group contributes star edges (mention -> group anchor).
   A hot entity mentioned 10^8 times yields 10^8 edges, not 10^16
-  pairs — this, plus map-side partial aggregation of the min() anchor,
-  is the skew design (AQE skew-join stays on as backstop for the
-  joins that remain).  The anchor min() itself is computed with an
-  explicit two-phase salted aggregation so a single hot key never
-  lands on one reducer.
+  pairs — this, plus map-side partial aggregation of the min() anchor
+  (Catalyst's partial HashAggregate collapses a hot key to one row
+  per map task before the exchange, so explicit salting would only
+  add a redundant second shuffle), is the skew design (AQE skew-join
+  stays on as backstop for the joins that remain).
 * Components via alternating large-star/small-star (Kiveris et al.,
   "Connected Components in MapReduce and Beyond") — O(log n) rounds on
-  arbitrary graphs, localCheckpoint per round to truncate lineage.
+  arbitrary graphs, checkpoint per round to truncate lineage
+  (reliable ``checkpoint()`` when a checkpoint dir is configured —
+  the right setting on a cluster where executor loss is routine —
+  falling back to ``localCheckpoint`` in local mode).
 * Canonicalization: one representative surface form per entity via a
   frequency-ranked window, deterministic tie-break.
 """
@@ -30,19 +33,30 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ edges
 
-def _anchor_edges(df: DataFrame, key_col: str, node_col: str,
-                  salt: int = 16) -> DataFrame:
-    """Star edges (node -> min node) per blocking key, two-phase salted
-    min so hot keys aggregate in parallel."""
-    salted = (df
-              .select(key_col, node_col)
-              .withColumn('_salt', F.pmod(F.col(node_col), F.lit(salt))))
-    partial = (salted
-               .groupBy(key_col, '_salt')
-               .agg(F.min(node_col).alias('_pmin')))
-    anchors = (partial
+def _checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage: reliable ``checkpoint()`` when the session
+    has a checkpoint dir (survives executor loss — required at the
+    cluster design point where lineage-truncated localCheckpoint
+    blocks die with their executor), else ``localCheckpoint``."""
+    sc = df.sparkSession.sparkContext
+    get_dir = getattr(sc, 'getCheckpointDir', None)
+    has_dir = bool(get_dir()) if get_dir is not None else False
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def _anchor_edges(df: DataFrame, key_col: str, node_col: str
+                  ) -> DataFrame:
+    """Star edges (node -> min node) per blocking key.  min() is
+    algebraic: Catalyst's partial HashAggregate collapses a hot key
+    to <= one row per map task BEFORE the exchange, so no reducer
+    ever sees a hot key's raw rows and no explicit salting is needed
+    (a salted two-phase min would just add a second shuffle)."""
+    anchors = (df
+               .select(key_col, node_col)
                .groupBy(key_col)
-               .agg(F.min('_pmin').alias('anchor')))
+               .agg(F.min(node_col).alias('anchor')))
     return (df
             .select(key_col, node_col)
             .join(anchors, key_col)
@@ -104,9 +118,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20
     """edges(src,dst) -> (node, component) with component = min node id
     of the component.  Alternating large-star/small-star with
     convergence detection on a deterministic edge-set signature."""
-    edges = edges.select(
+    edges = _checkpointed(edges.select(
         F.col('src').cast('long'), F.col('dst').cast('long')
-    ).where(F.col('src') != F.col('dst')).distinct().localCheckpoint()
+    ).where(F.col('src') != F.col('dst')).distinct())
 
     def signature(e: DataFrame):
         # order-insensitive, overflow-free edge-set digest
@@ -126,10 +140,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20
         # star outputs are canonically oriented already: every emitted
         # edge is (node, group-min) with node > min, so the distinct'd
         # union IS the canonical edge set — signature it directly.
-        # localCheckpoint is lazy; the signature action materializes it
+        # The checkpoint is lazy; the signature action materializes it
         # (one job per round instead of three).
-        current = (_large_star(sym).union(_small_star(sym))
-                   .distinct().localCheckpoint(eager=False))
+        current = _checkpointed(
+            _large_star(sym).union(_small_star(sym)).distinct(),
+            eager=False)
         sig = signature(current)
         if sig == prev_sig:
             converged = True
@@ -164,10 +179,16 @@ def link_entities(mentions: DataFrame) -> DataFrame:
     edges = mention_edges(pm)
     cc = connected_components(edges)
 
-    linked = (pm.join(cc, pm.mention_id == cc.node, 'left')
-              .withColumn('component',
-                          F.coalesce('component', 'mention_id'))
-              .drop('node'))
+    # linked feeds TWO subtrees (the freq/canon window and the final
+    # join): project to the three needed columns, then truncate so
+    # the pm x cc join runs once, not twice
+    pm_small = pm.select('mention_id', 'norm_key')
+    linked = _checkpointed(
+        pm_small.join(cc, pm_small.mention_id == cc.node, 'left')
+        .withColumn('component',
+                    F.coalesce('component', 'mention_id'))
+        .select('mention_id', 'norm_key', 'component'),
+        eager=False)
 
     # canonical form: most frequent lemma key in the component,
     # ties broken lexicographically (deterministic)

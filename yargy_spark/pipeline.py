@@ -29,53 +29,100 @@ from .sources import manifest as mf
 def run_pipeline(transcripts: DataFrame,
                  extractor_names=None) -> Dict[str, DataFrame]:
     mentions = extract_mentions(transcripts, extractor_names).persist()
-    # entity links feed triples AND get counted/written downstream —
-    # persist so the connected-components chain runs exactly once
-    entities = link_entities(mentions).persist()
-    triples = materialize_triples(mentions, entities)
+    try:
+        # entity links feed triples AND get counted/written downstream
+        # — persist so the connected-components chain runs exactly once
+        entities = link_entities(mentions).persist()
+        triples = materialize_triples(mentions, entities)
+    except Exception:
+        # CC non-convergence etc.: don't leave the mention cache
+        # pinned in executor storage for the life of the session
+        mentions.unpersist()
+        raise
     return {'mentions': mentions, 'entities': entities,
             'triples': triples}
 
 
 def run_resumable(spark: SparkSession, transcripts: DataFrame,
                   out_root: str, n_buckets: int = 16,
-                  extractor_names=None) -> Optional[dict]:
-    """Process only buckets absent from the output manifest; write one
-    snapshot covering them, with per-partition lineage + counters.
-    Re-running after success is a no-op; killing mid-run and
-    restarting picks up the unfinished buckets only."""
-    pending = mf.pending_buckets(out_root, n_buckets)
-    if not pending:
-        return None
+                  extractor_names=None,
+                  chunk_size: int = 4) -> Optional[dict]:
+    """Two-phase resumable pipeline:
 
-    src = mf.with_bucket(transcripts, n_buckets)
-    src = src.where(F.col(mf.BUCKET_COL).isin(pending))
+    PHASE 1 — extraction (bucket-granular, incremental): pending
+    buckets are processed in chunks of ``chunk_size`` and each chunk's
+    MENTIONS commit atomically to ``<out_root>/mentions`` — a mid-run
+    kill loses at most one chunk, and restart resumes from the
+    manifest (true partition-granular checkpoint/resume).
+
+    PHASE 2 — linking + triples (global, snapshot-consistent): entity
+    resolution is a GLOBAL computation (blocking keys cross buckets),
+    so it always runs over ALL committed mentions and the triples
+    table at ``<out_root>/triples`` is committed as a full-REPLACE
+    snapshot stamped with the mentions snapshot it derived from.
+    Linking only a pending subset would mint conflicting entity_ids
+    for the same real-world entity across snapshots.
+
+    Re-running after success is a no-op (no pending buckets AND the
+    triples snapshot is already derived from the current mentions
+    head).  ``n_buckets`` is recorded in the manifests and a rerun
+    with a different value is refused (silent bucket-count drift
+    would duplicate committed conversations)."""
+    m_root = f'{out_root}/mentions'
+    t_root = f'{out_root}/triples'
+    mf.check_n_buckets(m_root, n_buckets)
 
     t0 = time.time()
-    # turns_in scans only the columns the bucket filter needs (conv_id)
-    # thanks to column pruning; the data columns are read once, by the
-    # extraction pass below
-    n_turns = src.count()
-    flows = run_pipeline(src.drop(mf.BUCKET_COL), extractor_names)
-    triples = mf.with_bucket(flows['triples'], n_buckets).persist()
+    pending = mf.pending_buckets(m_root, n_buckets)
+    chunk_stats = {'turns_in': 0, 'mentions': 0, 'chunks': 0}
+    for i in range(0, len(pending), chunk_size):
+        chunk = pending[i:i + chunk_size]
+        src = (mf.with_bucket(transcripts, n_buckets)
+               .where(F.col(mf.BUCKET_COL).isin(chunk)))
+        n_turns = src.count()
+        mentions = extract_mentions(
+            src, extractor_names,
+            passthrough=(mf.BUCKET_COL,)).persist()
+        try:
+            n_mentions = mentions.count()
+            mf.commit_append(
+                mentions, m_root, note='mentions',
+                counters={'turns_in': n_turns,
+                          'mentions': n_mentions,
+                          'buckets': chunk},
+                expected_buckets=chunk, n_buckets=n_buckets)
+        finally:
+            mentions.unpersist()
+        chunk_stats['turns_in'] += n_turns
+        chunk_stats['mentions'] += n_mentions
+        chunk_stats['chunks'] += 1
+
+    head = mf.current_snapshot(m_root)
+    if head is None:
+        return None  # nothing extracted, nothing to link
+    t_snaps = mf.snapshots(t_root)
+    if not pending and t_snaps and \
+            t_snaps[-1].get('source_snapshot') == head:
+        return None  # extraction AND derivation already up to date
+
+    all_mentions = mf.read_table(spark, m_root)
+    entities = link_entities(all_mentions).persist()
     try:
+        triples = mf.with_bucket(
+            materialize_triples(all_mentions, entities), n_buckets)
         counters = {
-            'turns_in': n_turns,
-            'mentions': flows['mentions'].count(),
-            'entities': flows['entities'].select('entity_id')
-                                         .distinct().count(),
-            'triples': triples.count(),
+            'turns_in': chunk_stats['turns_in'],
+            'mentions': chunk_stats['mentions'],
+            'extraction_chunks': chunk_stats['chunks'],
+            'entities': entities.select('entity_id')
+                                .distinct().count(),
             'wall_sec': round(time.time() - t0, 3),
             'buckets': pending,
         }
-        # expected_buckets: zero-triple buckets get lineage entries in
-        # the same atomic manifest write, else resume reprocesses them
-        # forever
-        snap = mf.commit_append(triples, out_root, note='triples',
-                                counters=counters,
-                                expected_buckets=pending)
+        snap = mf.commit_replace(triples, t_root, note='triples',
+                                 counters=counters,
+                                 source_snapshot=head)
+        snap['counters']['triples'] = snap['totals']['rows']
     finally:
-        flows['mentions'].unpersist()
-        flows['entities'].unpersist()
-        triples.unpersist()
+        entities.unpersist()
     return snap

@@ -75,9 +75,25 @@ def current_snapshot(root: str) -> Optional[str]:
         return fh.read().strip()
 
 
+def check_n_buckets(root: str, n_buckets: int) -> None:
+    """Refuse to mix bucket counts: a table committed under
+    bucket(N, conv_id) read back as bucket(M != N) silently duplicates
+    data on resume (buckets pending under M overlap buckets committed
+    under N).  Manifests record their bucket count; any mismatch is an
+    error, not a guess."""
+    for snap in snapshots(root):
+        recorded = snap.get('n_buckets')
+        if recorded is not None and recorded != n_buckets:
+            raise ValueError(
+                'table at %s was committed with n_buckets=%d; '
+                'rerun with the same value (got %d) or write to a '
+                'new table root' % (root, recorded, n_buckets))
+
+
 def commit_append(df: DataFrame, root: str,
                   note: str = '', counters: Optional[dict] = None,
-                  expected_buckets: Optional[List[int]] = None) -> dict:
+                  expected_buckets: Optional[List[int]] = None,
+                  n_buckets: Optional[int] = None) -> dict:
     """Append df (must carry the bucket column) as a new snapshot.
 
     Atomicity: data lands in its OWN snapshot directory first; the
@@ -124,10 +140,61 @@ def commit_append(df: DataFrame, root: str,
         'counters': counters or {},
         'note': note,
     }
+    if n_buckets is not None:
+        manifest['n_buckets'] = n_buckets
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     write_manifest(root, manifest)
     with open(os.path.join(mdir, 'current'), 'w', encoding='utf-8') as fh:
+        fh.write(snapshot_id)
+    return manifest
+
+
+def commit_replace(df: DataFrame, root: str,
+                   note: str = '', counters: Optional[dict] = None,
+                   source_snapshot: Optional[str] = None) -> dict:
+    """Commit ``df`` as a FULL-REPLACE snapshot: readers see only this
+    snapshot's data (and later appends); all earlier data directories
+    become invisible (and vacuumable).  Used for derived tables that
+    must be globally consistent — entity linking is a global
+    computation, so its triples output is recomputed whole rather
+    than appended per bucket (appending would emit conflicting
+    entity_ids across snapshots).  ``source_snapshot`` records the
+    upstream snapshot this result was derived from, so a re-run can
+    detect it is already up to date."""
+    snapshot_id = 'snap-%d' % time.time_ns()
+    data_dir = os.path.join(root, 'data', snapshot_id)
+    (df.write.mode('error')
+       .partitionBy(BUCKET_COL)
+       .parquet(data_dir))
+    has_files = any(name.startswith('bucket=')
+                    for name in os.listdir(data_dir))
+    if has_files:
+        written = df.sparkSession.read.parquet(data_dir)
+        stats_rows = written.groupBy(BUCKET_COL).count().collect()
+        partitions = {int(r[BUCKET_COL]): {'rows': int(r['count'])}
+                      for r in stats_rows}
+    else:
+        partitions = {}
+    manifest = {
+        'snapshot_id': snapshot_id,
+        'parent_id': current_snapshot(root),
+        'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                     time.gmtime()),
+        'replace': True,
+        'source_snapshot': source_snapshot,
+        'data_dirs': [snapshot_id] if has_files else [],
+        'partitions': partitions,
+        'totals': {'rows': sum(p['rows'] for p in partitions.values()),
+                   'partitions': len(partitions)},
+        'counters': counters or {},
+        'note': note,
+    }
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    write_manifest(root, manifest)
+    with open(os.path.join(mdir, 'current'), 'w',
+              encoding='utf-8') as fh:
         fh.write(snapshot_id)
     return manifest
 
@@ -146,9 +213,13 @@ def write_manifest(root: str, manifest: dict) -> None:
 
 
 def committed_data_dirs(root: str) -> List[str]:
-    """Snapshot data directories referenced by committed manifests."""
+    """Snapshot data directories referenced by committed manifests.
+    A ``replace`` snapshot supersedes everything before it: the live
+    set restarts there."""
     dirs: List[str] = []
     for snap in snapshots(root):
+        if snap.get('replace'):
+            dirs = []
         for d in snap.get('data_dirs', []):
             if d not in dirs:
                 dirs.append(d)
@@ -241,11 +312,20 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
     merged_parts: Dict[str, dict] = {}
     merged_dirs: List[str] = []
     merged_excl: Dict[str, List[int]] = {}
+    merged_replace = False
+    merged_n_buckets = None
     total_rows = 0
     for name in old:
         with open(os.path.join(mdir, name), 'r',
                   encoding='utf-8') as fh:
             snap = json.load(fh)
+        if snap.get('replace'):
+            # replace supersedes everything merged so far
+            merged_parts, merged_dirs, merged_excl = {}, [], {}
+            total_rows = 0
+            merged_replace = True
+        if snap.get('n_buckets') is not None:
+            merged_n_buckets = snap['n_buckets']
         for bucket, stats in snap.get('partitions', {}).items():
             # SUM per-bucket rows: the same bucket may be appended in
             # several expired snapshots; later-wins would understate
@@ -274,6 +354,10 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
         'counters': {'expired_snapshots': len(old)},
         'note': 'base (expired %d snapshots)' % len(old),
     }
+    if merged_replace:
+        base['replace'] = True
+    if merged_n_buckets is not None:
+        base['n_buckets'] = merged_n_buckets
     write_manifest(root, base)
     for name in old[1:]:
         os.remove(os.path.join(mdir, name))

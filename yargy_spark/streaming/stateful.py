@@ -7,8 +7,12 @@ conversation receives new mentions.  State is SESSION-scoped: an idle
 gap longer than the timeout finalizes the session (the stored summary
 is emitted once more, then evicted — bounded state), and a
 conversation that resumes later starts a fresh session from zero.
-Sinks that need lifetime totals should key on (conv_id, session) or
-aggregate the emitted session summaries downstream.
+Every output row carries ``session_start`` (processing-time ms of
+the session's first batch), so sinks can key on
+(conv_id, session_start) — without it, a resumed session's smaller
+totals would silently overwrite the finished session's row in
+update-mode sinks.  Lifetime totals aggregate the emitted session
+summaries downstream.
 
 The reference has no streaming at all (SURVEY.md §1.3); this is the
 Spark-native extension for the custom-stateful-operator pattern.
@@ -26,12 +30,17 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType,
 
 OUTPUT_SCHEMA = StructType([
     StructField('conv_id', StringType()),
+    # session identifier: processing-time ms of the session's first
+    # batch — lets sinks distinguish a resumed session from the
+    # finished one it would otherwise overwrite
+    StructField('session_start', LongType()),
     StructField('n_mentions', LongType()),
     StructField('n_person_keys', IntegerType()),
     StructField('person_keys', ArrayType(StringType())),
 ])
 
 STATE_SCHEMA = StructType([
+    StructField('session_start', LongType()),
     StructField('n_mentions', LongType()),
     StructField('person_keys', ArrayType(StringType())),
 ])
@@ -42,31 +51,37 @@ def _update(key: Tuple[str], batches: Iterator[pd.DataFrame],
     (conv_id,) = key
     if state.hasTimedOut:
         # session end: surface the final summary once, then evict —
-        # silent removal would let a later resumed session's smaller
-        # totals overwrite the finished session's row in update sinks
-        # with no trace of the completed session
+        # a later resumed session carries a NEW session_start, so its
+        # rows can never overwrite this finished session's row in a
+        # (conv_id, session_start)-keyed sink
         if state.exists:
-            n, keys = state.get
+            start, n, keys = state.get
             yield pd.DataFrame([{
                 'conv_id': conv_id,
+                'session_start': start,
                 'n_mentions': n,
                 'n_person_keys': len(keys),
                 'person_keys': list(keys),
             }])
         state.remove()
         return
-    n, keys = (state.get if state.exists else (0, []))
+    if state.exists:
+        start, n, keys = state.get
+    else:
+        start, n, keys = state.getCurrentProcessingTimeMs(), 0, []
     keys = set(keys)
     for pdf in batches:
         n += len(pdf)
         keys.update(k for k in pdf['norm_key'] if k is not None)
-    state.update((n, sorted(keys)))
+    ordered = sorted(keys)          # once: state AND output share it
+    state.update((start, n, ordered))
     state.setTimeoutDuration(30 * 60 * 1000)
     yield pd.DataFrame([{
         'conv_id': conv_id,
+        'session_start': start,
         'n_mentions': n,
-        'n_person_keys': len(keys),
-        'person_keys': sorted(keys),
+        'n_person_keys': len(ordered),
+        'person_keys': ordered,
     }])
 
 
