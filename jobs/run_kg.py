@@ -40,8 +40,10 @@ def main():
     snap = run_resumable(spark, transcripts, out_dir,
                          n_buckets=n_buckets)
     if snap is None:
-        print(json.dumps({'status': 'noop',
-                          'reason': 'all buckets committed'}))
+        print(json.dumps({
+            'status': 'noop',
+            'reason': 'all buckets committed and triples derived '
+                      'from the current mentions snapshot'}))
     else:
         print(json.dumps({'status': 'committed',
                           'snapshot': snap['snapshot_id'],

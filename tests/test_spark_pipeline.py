@@ -170,6 +170,29 @@ def test_resumable_pipeline(spark, tmp_path):
     assert set(done) == {0, 1, 2, 3}
 
 
+def test_resumable_pipeline_empty_corpus(spark, tmp_path):
+    """Regression: a corpus where NO turn yields a mention must still
+    reach the no-op state on rerun (empty chunks commit zero-row
+    lineage; the triples table gets an empty replace snapshot stamped
+    with the mentions head — never a crash loop)."""
+    from pyspark.sql import functions as F
+    from yargy_spark.pipeline import run_resumable
+    from yargy_spark.sources import manifest as mf
+
+    out = str(tmp_path / 'empty_tbl')
+    t = spark.range(16).select(
+        F.format_string('e%04d', F.col('id')).alias('conv_id'),
+        F.lit(0).alias('turn_idx'),
+        F.lit('no facts here at all').alias('text'))
+    snap1 = run_resumable(spark, t, out, n_buckets=2)
+    assert snap1 is not None
+    assert snap1['totals']['rows'] == 0
+    # second run is a clean no-op, not a FileNotFoundError loop
+    assert run_resumable(spark, t, out, n_buckets=2) is None
+    done = mf.committed_partitions(out + '/mentions')
+    assert set(done) == {0, 1}
+
+
 def test_per_turn_text_equality_invariant(spark, golden_mentions):
     """north_rule/input_hint invariant: each turn's text crosses the
     Spark boundary byte-identical under stable (conv_id, turn_idx)

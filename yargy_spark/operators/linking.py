@@ -37,12 +37,24 @@ def _checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage: reliable ``checkpoint()`` when the session
     has a checkpoint dir (survives executor loss — required at the
     cluster design point where lineage-truncated localCheckpoint
-    blocks die with their executor), else ``localCheckpoint``."""
+    blocks die with their executor), else ``localCheckpoint``.
+
+    Reliable checkpoint has NO implicit persist (unlike
+    localCheckpoint): without one, the checkpoint-write job would
+    recompute the whole subtree a second time and downstream reuse a
+    third — so persist first (the documented checkpoint pattern).
+    The persisted pre-checkpoint blocks are released eagerly when the
+    checkpoint materializes immediately; for lazy checkpoints they are
+    reclaimed by Spark's LRU once the checkpoint files take over."""
     sc = df.sparkSession.sparkContext
     get_dir = getattr(sc, 'getCheckpointDir', None)
     has_dir = bool(get_dir()) if get_dir is not None else False
     if has_dir:
-        return df.checkpoint(eager=eager)
+        df = df.persist()
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
 
 

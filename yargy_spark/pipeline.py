@@ -29,15 +29,18 @@ from .sources import manifest as mf
 def run_pipeline(transcripts: DataFrame,
                  extractor_names=None) -> Dict[str, DataFrame]:
     mentions = extract_mentions(transcripts, extractor_names).persist()
+    entities = None
     try:
         # entity links feed triples AND get counted/written downstream
         # — persist so the connected-components chain runs exactly once
         entities = link_entities(mentions).persist()
         triples = materialize_triples(mentions, entities)
     except Exception:
-        # CC non-convergence etc.: don't leave the mention cache
-        # pinned in executor storage for the life of the session
+        # CC non-convergence etc.: don't leave caches pinned in
+        # executor storage for the life of the session
         mentions.unpersist()
+        if entities is not None:
+            entities.unpersist()
         raise
     return {'mentions': mentions, 'entities': entities,
             'triples': triples}
@@ -74,12 +77,22 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
 
     t0 = time.time()
     pending = mf.pending_buckets(m_root, n_buckets)
-    chunk_stats = {'turns_in': 0, 'mentions': 0, 'chunks': 0}
+    # turns_in: ONE scan over all pending buckets (not one per chunk;
+    # the column-pruned count reads conv_id only)
+    bucketed = mf.with_bucket(transcripts, n_buckets)
+    n_turns = (bucketed
+               .where(F.col(mf.BUCKET_COL).isin(pending))
+               .count()) if pending else 0
+    chunk_stats = {'mentions': 0, 'chunks': 0}
     for i in range(0, len(pending), chunk_size):
         chunk = pending[i:i + chunk_size]
-        src = (mf.with_bucket(transcripts, n_buckets)
-               .where(F.col(mf.BUCKET_COL).isin(chunk)))
-        n_turns = src.count()
+        # NOTE scan cost: on a bucket-partitioned source (the design
+        # point — manifest tables / Iceberg), this filter prunes the
+        # chunk's scan to its own buckets; on an unpartitioned source
+        # each chunk scans the full input, so size chunk_size (or
+        # pre-bucket the source) to trade resumability granularity
+        # against scan count.
+        src = bucketed.where(F.col(mf.BUCKET_COL).isin(chunk))
         mentions = extract_mentions(
             src, extractor_names,
             passthrough=(mf.BUCKET_COL,)).persist()
@@ -87,31 +100,39 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
             n_mentions = mentions.count()
             mf.commit_append(
                 mentions, m_root, note='mentions',
-                counters={'turns_in': n_turns,
-                          'mentions': n_mentions,
-                          'buckets': chunk},
+                counters={'mentions': n_mentions, 'buckets': chunk},
                 expected_buckets=chunk, n_buckets=n_buckets)
         finally:
             mentions.unpersist()
-        chunk_stats['turns_in'] += n_turns
         chunk_stats['mentions'] += n_mentions
         chunk_stats['chunks'] += 1
 
     head = mf.current_snapshot(m_root)
     if head is None:
-        return None  # nothing extracted, nothing to link
-    t_snaps = mf.snapshots(t_root)
-    if not pending and t_snaps and \
-            t_snaps[-1].get('source_snapshot') == head:
+        return None  # no mentions table at all, nothing to link
+    last_replace = next(
+        (s for s in reversed(mf.snapshots(t_root)) if s.get('replace')),
+        None)
+    if not pending and last_replace and \
+            last_replace.get('source_snapshot') == head:
         return None  # extraction AND derivation already up to date
 
-    all_mentions = mf.read_table(spark, m_root)
+    if mf.committed_data_dirs(m_root):
+        all_mentions = mf.read_table(spark, m_root)
+    else:
+        # every committed chunk was empty (e.g. no turn matched any
+        # trigger): derive an empty-but-committed triples snapshot so
+        # reruns reach the no-op path instead of failing forever
+        from .operators.extract import MENTION_SCHEMA
+        all_mentions = (spark.createDataFrame([], MENTION_SCHEMA)
+                        .withColumn(mf.BUCKET_COL,
+                                    F.lit(0).cast('int')))
     entities = link_entities(all_mentions).persist()
     try:
         triples = mf.with_bucket(
             materialize_triples(all_mentions, entities), n_buckets)
         counters = {
-            'turns_in': chunk_stats['turns_in'],
+            'turns_in': n_turns,
             'mentions': chunk_stats['mentions'],
             'extraction_chunks': chunk_stats['chunks'],
             'entities': entities.select('entity_id')
@@ -121,8 +142,8 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
         }
         snap = mf.commit_replace(triples, t_root, note='triples',
                                  counters=counters,
-                                 source_snapshot=head)
-        snap['counters']['triples'] = snap['totals']['rows']
+                                 source_snapshot=head,
+                                 n_buckets=n_buckets)
     finally:
         entities.unpersist()
     return snap

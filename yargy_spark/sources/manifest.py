@@ -90,24 +90,20 @@ def check_n_buckets(root: str, n_buckets: int) -> None:
                 'new table root' % (root, recorded, n_buckets))
 
 
-def commit_append(df: DataFrame, root: str,
-                  note: str = '', counters: Optional[dict] = None,
-                  expected_buckets: Optional[List[int]] = None,
-                  n_buckets: Optional[int] = None) -> dict:
-    """Append df (must carry the bucket column) as a new snapshot.
-
-    Atomicity: data lands in its OWN snapshot directory first; the
-    manifest write is the commit point.  A crash between the two
-    leaves an orphan directory that no reader ever sees (clean up
-    with ``vacuum_orphans``) — never duplicate rows on resume.
+def _commit(df: DataFrame, root: str, note: str,
+            counters: Optional[dict],
+            expected_buckets: Optional[List[int]],
+            n_buckets: Optional[int],
+            replace: bool,
+            source_snapshot: Optional[str],
+            suffix: str = '') -> dict:
+    """Shared commit path: write df into its OWN snapshot directory,
+    then atomically write the manifest (the commit point).  A crash
+    between the two leaves an orphan directory no reader sees
+    (``vacuum_orphans``) — never duplicate rows on resume.
     Per-partition stats are read back from the written files, so the
-    upstream lineage executes exactly once.
-
-    ``expected_buckets``: buckets this commit COVERS even when they
-    produced zero rows — they get zero-row lineage entries inside the
-    same atomic manifest write, so resume never reprocesses them
-    (the invariant every resumable job needs)."""
-    snapshot_id = 'snap-%d' % time.time_ns()
+    upstream lineage executes exactly once."""
+    snapshot_id = 'snap-%d%s' % (time.time_ns(), suffix)
     data_dir = os.path.join(root, 'data', snapshot_id)
     (df.write.mode('error')
        .partitionBy(BUCKET_COL)
@@ -128,11 +124,11 @@ def commit_append(df: DataFrame, root: str,
     for b in (expected_buckets or []):
         partitions.setdefault(int(b), {'rows': 0})
 
-    parent = current_snapshot(root)
     manifest = {
         'snapshot_id': snapshot_id,
-        'parent_id': parent,
-        'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime()),
+        'parent_id': current_snapshot(root),
+        'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ',
+                                     time.gmtime()),
         'data_dirs': [snapshot_id] if has_files else [],
         'partitions': partitions,
         'totals': {'rows': sum(p['rows'] for p in partitions.values()),
@@ -140,19 +136,38 @@ def commit_append(df: DataFrame, root: str,
         'counters': counters or {},
         'note': note,
     }
+    if replace:
+        manifest['replace'] = True
+        manifest['source_snapshot'] = source_snapshot
     if n_buckets is not None:
         manifest['n_buckets'] = n_buckets
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     write_manifest(root, manifest)
-    with open(os.path.join(mdir, 'current'), 'w', encoding='utf-8') as fh:
+    with open(os.path.join(mdir, 'current'), 'w',
+              encoding='utf-8') as fh:
         fh.write(snapshot_id)
     return manifest
 
 
+def commit_append(df: DataFrame, root: str,
+                  note: str = '', counters: Optional[dict] = None,
+                  expected_buckets: Optional[List[int]] = None,
+                  n_buckets: Optional[int] = None) -> dict:
+    """Append df (must carry the bucket column) as a new snapshot.
+
+    ``expected_buckets``: buckets this commit COVERS even when they
+    produced zero rows — they get zero-row lineage entries inside the
+    same atomic manifest write, so resume never reprocesses them
+    (the invariant every resumable job needs)."""
+    return _commit(df, root, note, counters, expected_buckets,
+                   n_buckets, replace=False, source_snapshot=None)
+
+
 def commit_replace(df: DataFrame, root: str,
                    note: str = '', counters: Optional[dict] = None,
-                   source_snapshot: Optional[str] = None) -> dict:
+                   source_snapshot: Optional[str] = None,
+                   n_buckets: Optional[int] = None) -> dict:
     """Commit ``df`` as a FULL-REPLACE snapshot: readers see only this
     snapshot's data (and later appends); all earlier data directories
     become invisible (and vacuumable).  Used for derived tables that
@@ -162,41 +177,9 @@ def commit_replace(df: DataFrame, root: str,
     entity_ids across snapshots).  ``source_snapshot`` records the
     upstream snapshot this result was derived from, so a re-run can
     detect it is already up to date."""
-    snapshot_id = 'snap-%d' % time.time_ns()
-    data_dir = os.path.join(root, 'data', snapshot_id)
-    (df.write.mode('error')
-       .partitionBy(BUCKET_COL)
-       .parquet(data_dir))
-    has_files = any(name.startswith('bucket=')
-                    for name in os.listdir(data_dir))
-    if has_files:
-        written = df.sparkSession.read.parquet(data_dir)
-        stats_rows = written.groupBy(BUCKET_COL).count().collect()
-        partitions = {int(r[BUCKET_COL]): {'rows': int(r['count'])}
-                      for r in stats_rows}
-    else:
-        partitions = {}
-    manifest = {
-        'snapshot_id': snapshot_id,
-        'parent_id': current_snapshot(root),
-        'created_utc': time.strftime('%Y-%m-%dT%H:%M:%SZ',
-                                     time.gmtime()),
-        'replace': True,
-        'source_snapshot': source_snapshot,
-        'data_dirs': [snapshot_id] if has_files else [],
-        'partitions': partitions,
-        'totals': {'rows': sum(p['rows'] for p in partitions.values()),
-                   'partitions': len(partitions)},
-        'counters': counters or {},
-        'note': note,
-    }
-    mdir = _manifest_dir(root)
-    os.makedirs(mdir, exist_ok=True)
-    write_manifest(root, manifest)
-    with open(os.path.join(mdir, 'current'), 'w',
-              encoding='utf-8') as fh:
-        fh.write(snapshot_id)
-    return manifest
+    return _commit(df, root, note, counters, expected_buckets=None,
+                   n_buckets=n_buckets, replace=True,
+                   source_snapshot=source_snapshot)
 
 
 def write_manifest(root: str, manifest: dict) -> None:
@@ -313,6 +296,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
     merged_dirs: List[str] = []
     merged_excl: Dict[str, List[int]] = {}
     merged_replace = False
+    merged_source = None
     merged_n_buckets = None
     total_rows = 0
     for name in old:
@@ -324,6 +308,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
             merged_parts, merged_dirs, merged_excl = {}, [], {}
             total_rows = 0
             merged_replace = True
+            merged_source = snap.get('source_snapshot')
         if snap.get('n_buckets') is not None:
             merged_n_buckets = snap['n_buckets']
         for bucket, stats in snap.get('partitions', {}).items():
@@ -356,6 +341,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
     }
     if merged_replace:
         base['replace'] = True
+        base['source_snapshot'] = merged_source
     if merged_n_buckets is not None:
         base['n_buckets'] = merged_n_buckets
     write_manifest(root, base)

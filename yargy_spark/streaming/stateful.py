@@ -16,6 +16,11 @@ summaries downstream.
 
 The reference has no streaming at all (SURVEY.md §1.3); this is the
 Spark-native extension for the custom-stateful-operator pattern.
+
+STATE SCHEMA v2 (session_start added): queries checkpointed under the
+v1 two-field state cannot restart against this operator — state
+schema evolution is not supported for applyInPandasWithState; restart
+such queries with a fresh checkpoint location.
 """
 
 from __future__ import annotations
