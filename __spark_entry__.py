@@ -992,7 +992,8 @@ SELECT doc_id,
          / greatest(length(text), 1) > 300 THEN 'ru'
     WHEN 10000 * length(regexp_replace(text, '[^一-鿿]', '', 'g'))
          / greatest(length(text), 1) > 300 THEN 'zh'
-    WHEN len(list_intersect(string_split(lower(text), ' '),
+    WHEN len(list_intersect(
+             regexp_split_to_array(lower(text), '[^a-z]+'),
              [{stops}])) >= 1 THEN 'en'
     ELSE 'und'
   END AS detected_lang
@@ -1003,12 +1004,14 @@ FROM documents
 WITH base AS (
   SELECT doc_id,
          length(text) AS n_chars_txt,
-         len(string_split(trim(lower(text)), ' ')) AS n_words,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           AS n_words,
          length(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]', '', 'g'))
            AS alpha_len,
-         length(regexp_replace(lower(text), '[\\p{{L}}\\p{{N}} ]', '', 'g'))
+         length(regexp_replace(lower(text), '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
            AS punct,
-         len(list_filter(string_split(trim(lower(text)), ' '),
+         len(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'),
              w -> w IN ({stops}))) AS stop_hits
   FROM documents)
 SELECT doc_id,
@@ -1030,7 +1033,10 @@ FROM base
 
     oracles['token_counts'] = """
 SELECT doc_id,
-  CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+  -- empty/whitespace-only text counts 0 tokens (split('') is [''])
+  CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(lower(text)),
+                                           '\\s+')) END
        AS INT) AS ws_tokens,  -- Spark size() is INT
   CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT)
     AS re_tokens

@@ -267,6 +267,43 @@ def test_multimodal_plumbing(spark, docs):
         {r['doc_id']: r['byte_mean_x100'] for r in again}
 
 
+def test_textstats_whitespace_and_degenerate(spark):
+    """Regressions: newline/tab-separated documents are real prose
+    (not punctuation, not one-word docs); Russian text has word-level
+    regex tokens, not per-character; empty and null text degrade to
+    zeros, never to off-by-ones or NULL keep flags."""
+    from yargy_spark.operators.textstats import (lang_id,
+                                                 quality_scores,
+                                                 token_counts)
+    nl_doc = ('хорошее предложение про важные вещи\n' * 5
+              + 'и ещё немного длинного связного текста здесь')
+    df = spark.createDataFrame(
+        [(1, nl_doc),
+         (2, 'привет мир'),
+         (3, ''),
+         (4, None),
+         (5, 'the\ncat\nis\non\nthe\nmat and the dog is here too')],
+        'doc_id long, text string')
+
+    q = {r['doc_id']: r for r in quality_scores(df).collect()}
+    assert q[1]['n_words'] >= 30          # not collapsed to 1
+    assert q[1]['punct_ratio_x10000'] == 0  # newlines != punctuation
+    assert q[1]['keep'] == 1
+    assert q[4]['keep'] == 0              # null text: 0, never NULL
+
+    t = {r['doc_id']: r for r in token_counts(df).collect()}
+    assert t[3]['ws_tokens'] == 0         # empty: no phantom token
+    assert t[1]['ws_tokens'] >= 30
+    # Cyrillic runs are single tokens, not one per character
+    assert t[2]['re_tokens'] == 2
+    assert t[1]['re_tokens'] < len(nl_doc) // 2
+
+    langs = {r['doc_id']: r['detected_lang']
+             for r in lang_id(df).collect()}
+    assert langs[1] == 'ru'
+    assert langs[5] == 'en'               # newline-separated English
+
+
 def test_quality_scores_unicode(spark):
     """Regression: non-Latin text must not be scored as punctuation
     (the primary corpus is Russian)."""

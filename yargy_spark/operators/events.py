@@ -46,6 +46,14 @@ def asof_join(left: DataFrame, right: DataFrame,
     right columns.
     """
     right_cols = list(right_cols)
+    clash = sorted(set(left.columns)
+                   & {suffix + c for c in right_cols})
+    if clash:
+        # a silent duplicate column name would poison every later
+        # select/write with AMBIGUOUS_REFERENCE
+        raise ValueError(
+            'asof_join output columns collide with left columns: %s '
+            '(pass a different suffix)' % clash)
     # left rows ride the union as a struct payload; each right row
     # carries its columns as ONE struct so the window always attaches
     # a complete right row — carrying columns independently would let

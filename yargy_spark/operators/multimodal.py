@@ -93,7 +93,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                 rows.append({
                     'doc_id': int(doc_id),
                     'n_bytes': int(len(arr)),
-                    'byte_mean_x100': int(arr.mean() * 100),
+                    # empty payload: mean of [] is NaN and int(NaN)
+                    # raises — report 0, don't kill the task
+                    'byte_mean_x100': (int(arr.mean() * 100)
+                                       if len(arr) else 0),
                     'histogram': hist.tolist(),
                 })
             yield pd.DataFrame(

@@ -17,9 +17,11 @@ from .dedup import md5_int, word_shingles
 # stopword-ratio quality feature)
 EN_STOP = ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for']
 
-# portable "BPE-ish" token pattern: letter runs, digit runs, single
-# non-alnum marks
-TOKEN_PATTERN = '[a-z]+|[0-9]+|[^a-z0-9 ]'
+# portable "BPE-ish" token pattern: letter runs (Latin AND Cyrillic —
+# a Latin-only run class would count one token per character on the
+# project's primary Russian corpus), digit runs, single non-alnum
+# non-whitespace marks
+TOKEN_PATTERN = '[a-zа-яё]+|[0-9]+|[^a-zа-яё0-9\\s]'
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -30,7 +32,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
     n_chars = F.greatest(F.length('text'), F.lit(1))
     cyr = F.length(F.regexp_replace(text, '[^а-яё]', ''))
     cjk = F.length(F.regexp_replace(F.col('text'), r'[^一-鿿]', ''))
-    words = F.split(text, ' ')
+    # split on non-letter runs: 'the\ncat' and 'the,cat' both
+    # surface their stopwords (a literal-space split misses them)
+    words = F.split(text, '[^a-z]+')
     stop_hits = F.size(F.array_intersect(
         words, F.array(*[F.lit(w) for w in EN_STOP])))
     detected = (
@@ -46,13 +50,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     (doc_id, n_chars_txt, n_words, mean_word_len_x100,
      punct_ratio_x10000, stop_ratio_x10000, keep)."""
     text = F.lower(F.col('text'))
-    words = F.split(F.trim(text), ' ')
+    # ANY whitespace separates words: a literal-space split would
+    # collapse newline/tab-separated documents to n_words=1 and
+    # auto-drop perfectly fine line-wrapped text
+    words = F.split(F.trim(text), r'\s+')
     n_words = F.size(words)
     n_chars = F.length('text')
     # Unicode letter/digit classes: [a-z0-9] would score every
     # Cyrillic (or any non-Latin) document as ~100% punctuation and
-    # auto-drop it — fatal for the project's primary Russian corpus
-    punct = F.length(F.regexp_replace(text, r'[\p{L}\p{N} ]', ''))
+    # auto-drop it — fatal for the project's primary Russian corpus;
+    # \s in the keep-class so line breaks are not "punctuation"
+    punct = F.length(F.regexp_replace(text, r'[\p{L}\p{N}\s]', ''))
     alpha_len = F.length(F.regexp_replace(text, r'[^\p{L}\p{N}]', ''))
     mean_wl = F.floor(F.lit(100.0) * alpha_len
                       / F.greatest(n_words, F.lit(1)))
@@ -64,9 +72,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
                          / F.greatest(n_words, F.lit(1)))
     punct_ratio = F.floor(F.lit(10000.0) * punct
                           / F.greatest(n_chars, F.lit(1)))
-    keep = ((n_words >= 10) & (n_chars >= 50)
-            & (mean_wl >= 200) & (mean_wl <= 1000)
-            & (punct_ratio <= 2000)).cast('int')
+    # when/otherwise(0), not a bare boolean cast: null text must
+    # yield keep=0 like the oracle's CASE ... ELSE 0, never NULL
+    keep = F.when((n_words >= 10) & (n_chars >= 50)
+                  & (mean_wl >= 200) & (mean_wl <= 1000)
+                  & (punct_ratio <= 2000),
+                  F.lit(1)).otherwise(F.lit(0))
     return docs.select(
         'doc_id',
         n_chars.alias('n_chars_txt'),
@@ -80,7 +91,10 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + regex (BPE-ish) token count."""
     text = F.lower(F.col('text'))
-    ws = F.size(F.split(F.trim(text), r'\s+'))
+    # split('') yields [''] (size 1): empty/whitespace-only docs must
+    # count 0 whitespace tokens, not 1
+    ws = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(text), r'\s+')))
     re_toks = F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN),
                                           F.lit(0)))
     return docs.select('doc_id', ws.alias('ws_tokens'),

@@ -44,7 +44,10 @@ def token_table(transcripts: DataFrame) -> DataFrame:
             for conv_id, turn_idx, text in zip(
                     pdf['conv_id'].values, pdf['turn_idx'].values,
                     pdf['text'].values):
-                if not text:
+                # null turn_idx arrives as NaN (nullable int ->
+                # float64 in pandas); int(nan) would raise and kill
+                # the task — skip the malformed row like null text
+                if not text or pd.isna(turn_idx):
                     continue
                 for i, tok in enumerate(spec(text)):
                     out.append((conv_id, int(turn_idx), i, tok.value,
@@ -79,9 +82,16 @@ def lexicon_table(spark: SparkSession) -> DataFrame:
 
 def annotate_lemmas(tokens: DataFrame,
                     lexicon: DataFrame) -> DataFrame:
-    """Attach the lemma set per RU token via a broadcast hash join on
-    the lowercased surface; out-of-vocabulary words fall back to their
-    lowercased surface (same contract as the in-UDF analyzer)."""
+    """Attach the lemma set per token via a broadcast hash join on
+    the lowercased surface.
+
+    Contract: matches the in-UDF analyzer for every DICTIONARY word
+    (lexicon_table serves the same merged dictionary the analyzer
+    loads).  Out-of-vocabulary words fall back to their lowercased
+    surface — the kernel's suffix PREDICTOR is not expressible as a
+    dimension join, so OOV lemmas differ between the two paths by
+    design; pipelines needing predicted OOV lemmas use the kernel
+    (extract_mentions / lemma_text)."""
     lemma_sets = (lexicon
                   .select(F.lower('word').alias('word'), 'lemma')
                   .groupBy('word')
