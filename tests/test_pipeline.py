@@ -66,3 +66,16 @@ def test_morph_gazetteer_predicts_once_per_production():
     RULE = morph_pipeline(['стали'])
     matches = list(Parser(RULE).extract('мы стали лучше'))
     assert len(matches) == 1
+
+
+def test_empty_dictionary_line_fails_loudly():
+    """A blank or whitespace-only dictionary line (trailing newline in
+    a file-loaded gazetteer) must name the offending line, not die
+    with a bare IndexError inside grammar compilation."""
+    import pytest
+    from yargy_spark import Parser
+    from yargy_spark.pipelines import morph_pipeline, pipeline
+    with pytest.raises(ValueError, match="line ''"):
+        Parser(pipeline(['иван', '']))
+    with pytest.raises(ValueError, match='no words'):
+        Parser(morph_pipeline(['красная площадь', '   ']))

@@ -24,7 +24,10 @@ def norm_value(v):
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, float):
-        return '%.9g' % v
+        # FULL precision: bit-identical doubles format identically at
+        # 17 significant digits, and anything less would hide real
+        # engine drift the driver's raw-value hash rejects
+        return '%.17g' % v
     if isinstance(v, bool):
         return int(v)
     return v
@@ -151,8 +154,9 @@ def main():
             if not ok_schema:
                 print('   spark cols:', sc, '\n   oracle cols:', oc)
             if ok_schema:
-                miss = [r for r in orr if r not in set(sr)][:3]
-                extra = [r for r in sr if r not in set(orr)][:3]
+                s_set, o_set = set(sr), set(orr)
+                miss = [r for r in orr if r not in s_set][:3]
+                extra = [r for r in sr if r not in o_set][:3]
                 print('   missing:', miss)
                 print('   extra:  ', extra)
 

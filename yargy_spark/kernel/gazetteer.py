@@ -114,6 +114,14 @@ class GazScheme:
     def activate(self, context) -> 'GazScheme':
         done = type(self)(self.lines)
         done.keys = [self._key(line, context) for line in self.lines]
+        # fail with the offending LINE, not an IndexError deep inside
+        # grammar compilation (dictionaries loaded from files often
+        # carry a trailing blank line)
+        for line, words in done.keys:
+            if not words:
+                raise ValueError(
+                    '%s dictionary line %r tokenizes to no words'
+                    % (self.label, line))
         return done
 
     def _key(self, line, context):
