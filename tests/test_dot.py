@@ -53,8 +53,10 @@ def test_tree_as_dot_person():
     # interpretation nodes green with slot labels
     assert 'Person.position' in src
     assert 'Name.first' in src
-    # agreement relations render as dashed undirected edges
-    assert src.count('style="dashed"') == 2
+    # agreement relations render as dashed undirected edges — ALL
+    # member pairs (reference RelationsGraph.edges = combinations):
+    # the gnc relation spans 3 nodes here -> C(3,2) = 3 edges
+    assert src.count('style="dashed"') == 3
     assert 'label="gnc"' in src
     assert src == list(Parser(build_person()).findall(
         'управляющий директор Иван Ульянов'))[0].tree.as_dot.source

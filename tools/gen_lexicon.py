@@ -278,6 +278,21 @@ def decl_soft_masc_noun(lemma, anim, extra=''):
     return [(w, (g + ' ' + extra).strip()) for w, g in rows]
 
 
+def _fleeting_gp(stem):
+    """Zero-ending genitive plural with the fleeting vowel the
+    naive bare stem misses: ветка -> веток, вишня -> вишен,
+    окно -> окон (insert 'о' before final к, 'е' before final
+    н/л/р when a consonant cluster would otherwise end the form)."""
+    if len(stem) >= 2 and stem[-1] == 'к' and stem[-2] not in VOWELS:
+        return stem[:-1] + 'ок'
+    if len(stem) >= 2 and stem[-1] in 'нлр' and stem[-2] not in VOWELS:
+        # о after velars (окно -> окон), е otherwise (зерно -> зерен,
+        # кресло -> кресел, вишня -> вишен)
+        vowel = 'о' if stem[-2] in 'кгх' else 'е'
+        return stem[:-1] + vowel + stem[-1]
+    return stem
+
+
 def decl_femn_a(lemma, anim, extra='', gender='femn'):
     """Feminine (or ms-f) noun in -а/-я, sing+plur."""
     soft = lemma.endswith('я')
@@ -297,14 +312,36 @@ def decl_femn_a(lemma, anim, extra='', gender='femn'):
     ]
     rows_plur = [
         (s + y, 'NOUN %s %s nomn plur' % (a, gender)),
-        (s if not soft else s + 'ь', 'NOUN %s gent %s plur' % (a, gender)),
+        (_fleeting_gp(s), 'NOUN %s gent %s plur' % (a, gender)),
         (s + ('ям' if soft else 'ам'), 'NOUN %s datv %s plur' % (a, gender)),
-        ((s if not soft else s + 'ь') if anim else s + y,
+        (_fleeting_gp(s) if anim else s + y,
          'NOUN %s accs %s plur' % (a, gender)),
         (s + ('ями' if soft else 'ами'), 'NOUN %s ablt %s plur' % (a, gender)),
         (s + ('ях' if soft else 'ах'), 'NOUN %s loct %s plur' % (a, gender)),
     ]
     rows = rows_sing + rows_plur
+    return [(w, (g + ' ' + extra).strip()) for w, g in rows]
+
+
+def decl_femn_soft(lemma, anim, extra=''):
+    """Third-declension feminine noun in -ь (площадь, дверь):
+    gent/datv/loct -и, ablt -ью; plural -и/-ей/-ям."""
+    s, a = lemma[:-1], 'anim' if anim else 'inan'
+    rows = [
+        (lemma, 'NOUN %s femn nomn sing' % a),
+        (s + 'и', 'NOUN %s femn gent sing' % a),
+        (s + 'и', 'NOUN %s datv femn sing' % a),
+        (lemma, 'NOUN %s accs femn sing' % a),
+        (s + 'ью', 'NOUN %s ablt femn sing' % a),
+        (s + 'и', 'NOUN %s femn loct sing' % a),
+        (s + 'и', 'NOUN %s femn nomn plur' % a),
+        (s + 'ей', 'NOUN %s femn gent plur' % a),
+        (s + 'ям', 'NOUN %s datv femn plur' % a),
+        (s + 'ей' if anim else s + 'и',
+         'NOUN %s accs femn plur' % a),
+        (s + 'ями', 'NOUN %s ablt femn plur' % a),
+        (s + 'ях', 'NOUN %s femn loct plur' % a),
+    ]
     return [(w, (g + ' ' + extra).strip()) for w, g in rows]
 
 
@@ -318,7 +355,7 @@ def decl_neut_o(lemma, extra=''):
         (s + 'ом', 'NOUN ablt inan neut sing'),
         (s + 'е', 'NOUN inan loct neut sing'),
         (s + 'а', 'NOUN inan neut nomn plur'),
-        (s, 'NOUN gent inan neut plur'),
+        (_fleeting_gp(s), 'NOUN gent inan neut plur'),
         (s + 'ам', 'NOUN datv inan neut plur'),
         (s + 'а', 'NOUN accs inan neut plur'),
         (s + 'ами', 'NOUN ablt inan neut plur'),
@@ -327,8 +364,22 @@ def decl_neut_o(lemma, extra=''):
     return [(w, (g + ' ' + extra).strip()) for w, g in rows]
 
 
+# irregular oblique stems the -ок/-ец rule does not cover
+_IRREGULAR_NAME_STEMS = {'лев': 'льв', 'павел': 'павл'}
+
+
 def decl_male_name(lemma):
     """Male first name: consonant / -й / -ь / -а / -я endings."""
+    irr = _IRREGULAR_NAME_STEMS.get(lemma)
+    if irr:
+        return [
+            (lemma, 'NOUN Name anim masc nomn sing'),
+            (irr + 'а', 'NOUN Name anim gent masc sing'),
+            (irr + 'у', 'NOUN Name anim datv masc sing'),
+            (irr + 'а', 'NOUN Name accs anim masc sing'),
+            (irr + 'ом', 'NOUN Name ablt anim masc sing'),
+            (irr + 'е', 'NOUN Name anim loct masc sing'),
+        ]
     last = lemma[-1]
     if last in VOWELS:
         if last in 'ая':
@@ -391,35 +442,41 @@ def decl_surname(lemma):
 
 
 def decl_adjective(lemma):
-    """Hard/velar full adjective paradigm (ADJF)."""
-    if lemma.endswith('ой'):
-        s, soft = lemma[:-2], False
-    elif lemma.endswith('ий'):
-        s, soft = lemma[:-2], True
-    else:
-        s, soft = lemma[:-2], False
-    y = 'и' if (s and s[-1] in VELAR_HUSH) or soft else 'ы'
+    """Full adjective paradigm (ADJF): hard (-ый/-ой), velar (-кий),
+    soft (-ний: соседнего/соседняя/соседней), and hushing-stem
+    (-жий/-чий/-ший/-щий: свежего/свежему) declensions."""
+    s = lemma[:-2]
+    soft = lemma.endswith('ний')
+    hush = bool(s) and s[-1] in HUSH
+    y = 'и' if soft or (s and s[-1] in VELAR_HUSH) else 'ы'
+    # oblique masc/neut endings and feminine vowel by stem class
+    go = 'его' if (soft or hush) else 'ого'
+    mu = 'ему' if (soft or hush) else 'ому'
+    om = 'ем' if soft else 'ом'
+    fa, fu = ('яя', 'юю') if soft else ('ая', 'ую')
+    fo = 'ей' if (soft or hush) else 'ой'
+    no = 'ее' if (soft or hush) else 'ое'
     nom_m = lemma
     rows = [
         (nom_m, 'ADJF masc nomn sing'),
-        (s + 'ого', 'ADJF gent masc sing'),
-        (s + 'ому', 'ADJF datv masc sing'),
-        (s + 'ого', 'ADJF accs anim masc sing'),
+        (s + go, 'ADJF gent masc sing'),
+        (s + mu, 'ADJF datv masc sing'),
+        (s + go, 'ADJF accs anim masc sing'),
         (nom_m, 'ADJF accs inan masc sing'),
         (s + y + 'м', 'ADJF ablt masc sing'),
-        (s + 'ом', 'ADJF loct masc sing'),
-        (s + 'ая', 'ADJF femn nomn sing'),
-        (s + 'ой', 'ADJF femn gent sing'),
-        (s + 'ой', 'ADJF datv femn sing'),
-        (s + 'ую', 'ADJF accs femn sing'),
-        (s + 'ой', 'ADJF ablt femn sing'),
-        (s + 'ой', 'ADJF femn loct sing'),
-        (s + 'ое', 'ADJF neut nomn sing'),
-        (s + 'ого', 'ADJF gent neut sing'),
-        (s + 'ому', 'ADJF datv neut sing'),
-        (s + 'ое', 'ADJF accs neut sing'),
+        (s + om, 'ADJF loct masc sing'),
+        (s + fa, 'ADJF femn nomn sing'),
+        (s + fo, 'ADJF femn gent sing'),
+        (s + fo, 'ADJF datv femn sing'),
+        (s + fu, 'ADJF accs femn sing'),
+        (s + fo, 'ADJF ablt femn sing'),
+        (s + fo, 'ADJF femn loct sing'),
+        (s + no, 'ADJF neut nomn sing'),
+        (s + go, 'ADJF gent neut sing'),
+        (s + mu, 'ADJF datv neut sing'),
+        (s + no, 'ADJF accs neut sing'),
         (s + y + 'м', 'ADJF ablt neut sing'),
-        (s + 'ом', 'ADJF loct neut sing'),
+        (s + om, 'ADJF loct neut sing'),
         (s + y + 'е', 'ADJF nomn plur'),
         (s + y + 'х', 'ADJF gent plur'),
         (s + y + 'м', 'ADJF datv plur'),
@@ -432,14 +489,20 @@ def decl_adjective(lemma):
 
 
 def decl_verb(lemma):
-    """Infinitive + regular past tense."""
+    """Infinitive + regular past tense.  No aspect/transitivity
+    grammemes: the curated list mixes perfective and imperfective
+    verbs and a wrong aspect reading is worse than an absent one.
+    Irregular -сть/-зть/-чь pasts (класть -> клал) are not regular
+    s+'л'; emit the infinitive only for those."""
+    if lemma.endswith(('сть', 'зть', 'чь')):
+        return [(lemma, 'INFN')]
     s = lemma[:-2]
     return [
-        (lemma, 'INFN impf tran'),
-        (s + 'л', 'VERB impf indc masc past sing tran'),
-        (s + 'ла', 'VERB femn impf indc past sing tran'),
-        (s + 'ло', 'VERB impf indc neut past sing tran'),
-        (s + 'ли', 'VERB impf indc past plur tran'),
+        (lemma, 'INFN'),
+        (s + 'л', 'VERB indc masc past sing'),
+        (s + 'ла', 'VERB femn indc past sing'),
+        (s + 'ло', 'VERB indc neut past sing'),
+        (s + 'ли', 'VERB indc past plur'),
     ]
 
 
@@ -480,8 +543,11 @@ def build_lexemes():
         add(n, decl_msf_name(n))
 
     surnames = set(SURNAMES)
-    for root in sorted(set(MALE_NAMES) | set(ANIM_MASC_NOUNS)
-                       | set(INAN_MASC_NOUNS) | set(FEMN_A_NOUNS)):
+    # derive only from PERSON roots (names + professions — the
+    # historical surname sources: Столяров, Кузнецов).  Deriving from
+    # arbitrary nouns would add a Surn reading to every noun's
+    # genitive plural ('пять заводов' must never match gram('Surn')).
+    for root in sorted(set(MALE_NAMES) | set(ANIM_MASC_NOUNS)):
         d = derive_surname(root)
         if d and len(d) >= 5:
             surnames.add(d)
@@ -509,6 +575,8 @@ def build_lexemes():
     for n in sorted(set(FEMN_A_NOUNS)):
         if n[-1] in 'ая':
             add(n, decl_femn_a(n, False))
+        elif n.endswith('ь'):
+            add(n, decl_femn_soft(n, False))
     for n in sorted(set(NEUT_NOUNS)):
         if n.endswith('о'):
             add(n, decl_neut_o(n))

@@ -176,13 +176,20 @@ def tree_dot(tree) -> DotGraph:
                 node)
         for child in node.children:
             graph.add_edge(node, child)
-            stack.append(child)
+        # reversed: a plain stack visits siblings right-to-left; the
+        # reference dfs walks document order (tree/constructors.py
+        # queue.extend(reversed(children)))
+        stack.extend(reversed(node.children))
     # insertion order IS traversal order (deterministic DFS) — no
     # sort: sorting by id(rel) would be address-dependent, and
     # calling graph.id() here would mint node ids before the render
     # walk and scramble the numbering
+    from itertools import combinations
     for rel, members in relation_groups.values():
-        for a, b in zip(members, members[1:]):
+        # ALL pairs, not just consecutive members: the reference's
+        # RelationsGraph.edges yields combinations(items, 2)
+        # (relations/graph.py), so a 3-node relation draws 3 edges
+        for a, b in combinations(members, 2):
             graph.add_edge(a, b, Style(
                 label=getattr(rel, 'label', 'rel'),
                 dir='none', style='dashed'))

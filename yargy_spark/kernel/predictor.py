@@ -68,11 +68,13 @@ class SuffixPredictor:
                     bucket[formula] = bucket.get(formula, 0) + 1
         # pre-rank each bucket ONCE (most-frequent first, text ties):
         # predict() on the hot tokenize path must not re-sort
+        # tie-break covers the WHOLE formula (count, grams, append,
+        # strip_n) so ranking never depends on dict insertion order
         self._table = {
             suffix: [f for f, _n in sorted(
                 bucket.items(),
                 key=lambda kv: (-kv[1], ' '.join(sorted(kv[0][2])),
-                                kv[0][1]))]
+                                kv[0][1], kv[0][0]))]
             for suffix, bucket in table.items()}
 
     def predict(self, word: str) -> List[Tuple[str, FrozenSet[str]]]:
