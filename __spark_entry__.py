@@ -366,11 +366,16 @@ def q_multimodal_meta(spark, sf_dir) -> DataFrame:
 
 
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-style rollup. Money/quantity emitted as integer
+    hundredths (BIGINT): floor(x*100) is IEEE-deterministic in both
+    engines and integer sums are order-independent, so the result is
+    hash-stable in every serializer (Decimal outputs were not —
+    VERDICT r2 #1)."""
     li = spark.read.parquet(os.path.join(sf_dir, 'lineitem.parquet'))
-    dec = lambda c: F.col(c).cast('decimal(18,2)')  # noqa: E731
+    cents = lambda c: F.floor(F.col(c) * 100).cast('long')  # noqa: E731
     return (li.groupBy('l_returnflag', 'l_linestatus')
-            .agg(F.sum(dec('l_quantity')).alias('sum_qty'),
-                 F.sum(dec('l_extendedprice')).alias('sum_price'),
+            .agg(F.sum(cents('l_quantity')).alias('sum_qty'),
+                 F.sum(cents('l_extendedprice')).alias('sum_price'),
                  F.count('*').alias('count_order')))
 
 
@@ -378,9 +383,11 @@ def q_top_customers(spark, sf_dir) -> DataFrame:
     from pyspark.sql import Window
     orders = spark.read.parquet(os.path.join(sf_dir, 'orders.parquet'))
     cust = spark.read.parquet(os.path.join(sf_dir, 'customer.parquet'))
+    # total_spent in integer cents (see q_pricing_summary docstring);
+    # monotonic in the Decimal value, so the ranking is unchanged.
     per = (orders.groupBy('o_custkey')
            .agg(F.count('*').alias('n_orders'),
-                F.sum(F.col('o_totalprice').cast('decimal(18,2)'))
+                F.sum(F.floor(F.col('o_totalprice') * 100).cast('long'))
                 .alias('total_spent')))
     joined = per.join(F.broadcast(cust),
                       per.o_custkey == cust.c_custkey)
@@ -1084,12 +1091,12 @@ FROM documents
 
     oracles['pricing_summary'] = """
 SELECT l_returnflag, l_linestatus,
-       -- CAST: DuckDB sum(DECIMAL(18,2)) widens to DECIMAL(38,2);
-       -- Spark's sum over decimal(18,2) yields decimal(28,2)
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-            AS DECIMAL(28,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-            AS DECIMAL(28,2)) AS sum_price,
+       -- integer hundredths: floor(x*100) is IEEE-identical across
+       -- engines; sum(BIGINT) is HUGEINT in DuckDB -> cast back
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+            AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS sum_price,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -1097,9 +1104,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
     oracles['top_customers'] = """
 WITH per AS (
   SELECT o_custkey, count(*) AS n_orders,
-         -- CAST to Spark's sum-of-decimal(18,2) result type
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-              AS DECIMAL(28,2)) AS total_spent
+         -- integer cents (see pricing_summary note)
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS total_spent
   FROM orders GROUP BY o_custkey),
 ranked AS (
   SELECT c.c_mktsegment, c.c_custkey, p.n_orders, p.total_spent,

@@ -39,8 +39,12 @@ def norm_value(v):
 # driver hashes typed values, so declared types must line up too.
 _DUCK_TO_SPARK = {
     'BIGINT': 'bigint', 'INTEGER': 'int', 'SMALLINT': 'smallint',
-    'TINYINT': 'tinyint', 'HUGEINT': 'hugeint',  # no Spark equivalent
-    'UBIGINT': 'uhugeint', 'DOUBLE': 'double', 'FLOAT': 'float',
+    # HUGEINT / unsigned ints have no Spark equivalent — distinct
+    # markers so the drift message names the actual DuckDB type
+    'TINYINT': 'tinyint', 'HUGEINT': 'hugeint (no spark equivalent)',
+    'UBIGINT': 'ubigint (no spark equivalent)',
+    'UHUGEINT': 'uhugeint (no spark equivalent)',
+    'DOUBLE': 'double', 'FLOAT': 'float',
     'VARCHAR': 'string', 'BOOLEAN': 'boolean', 'DATE': 'date',
     'TIMESTAMP': 'timestamp', 'BLOB': 'binary',
 }
