@@ -136,12 +136,21 @@ def _exact_groups(docs: DataFrame) -> tuple:
     rare shingle/band would otherwise produce m(m-1)/2 candidate rows
     before dedup.  Collapsing to representatives first makes candidate
     generation O(distinct texts); identical copies rejoin at the end
-    via the membership map."""
+    via the membership map.
+
+    The window partitions by (text_hash, text), not the hash alone:
+    the hash is 60-bit, and at the 10^9-doc design point a birthday
+    collision merging two DISTINCT texts into one "exact" group is
+    plausible (~50% at ~1.3e9 texts) — it would emit false
+    jaccard-10000/hamming-0 pairs and suppress the collided doc's
+    real candidates.  Including the text makes the hash a pure
+    shuffle-balancing prefix; equality is decided on the text
+    itself."""
     from pyspark.sql import Window
     hashed = docs.select(
         'doc_id', 'text',
         md5_int(_norm_text(F.col('text'))).alias('text_hash'))
-    w = Window.partitionBy('text_hash')
+    w = Window.partitionBy('text_hash', _norm_text(F.col('text')))
     tagged = hashed.withColumn('rep_id', F.min('doc_id').over(w))
     groups = tagged.select('doc_id', 'rep_id')
     reps = (tagged.where(F.col('doc_id') == F.col('rep_id'))
@@ -367,7 +376,8 @@ def embedding_dup_pairs_exact(embeddings: DataFrame,
 def embedding_dup_pairs(embeddings: DataFrame,
                         threshold_x10000: int = 9500,
                         n_centroids: int = None,
-                        n_assign: int = 4) -> DataFrame:
+                        n_assign: int = 4,
+                        n_rows: int = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) — IVF-blocked
     DEFAULT: every vector is assigned to its ``n_assign`` nearest
     k-means centroids (deterministic — similarity._centroids) and
@@ -381,15 +391,21 @@ def embedding_dup_pairs(embeddings: DataFrame,
     1.0 at real near-dup thresholds).  ``embedding_dup_pairs_exact``
     is the quadratic full-recall baseline.
 
-    ``n_centroids=None`` (default) sizes the codebook from the corpus
-    as sqrt(N) * n_assign, which balances assignment cost
-    (N * n_centroids) against within-cluster comparison cost
-    (N^2 * n_assign^2 / n_centroids); pass an explicit value to pin
-    the plan (e.g. for an oracle replay)."""
+    Codebook sizing (cheapest available source first — an eager
+    ``count()`` is a full pass over the table before any useful work,
+    a real cost at 100 TB):
+      * ``n_centroids`` explicit — pins the plan (oracle replays, and
+        the recommended form at scale);
+      * ``n_rows`` explicit — the caller already knows the corpus size
+        (manifest / catalog statistics); codebook = sqrt(n_rows) *
+        n_assign, no job triggered;
+      * neither — falls back to ``embeddings.count()`` (convenience
+        for ad-hoc exploration; pass one of the above in pipelines).
+    """
     import math
     from .similarity import cosine_x10000_np, ivf_assign
     if n_centroids is None:
-        n = embeddings.count()
+        n = n_rows if n_rows is not None else embeddings.count()
         n_centroids = max(16, int(math.isqrt(max(n, 1))) * n_assign)
     assigned = ivf_assign(embeddings, n_centroids, n_assign)
     a = assigned.select(F.col('vec_id').alias('a'), 'centroid_id')

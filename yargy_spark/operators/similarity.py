@@ -166,26 +166,98 @@ def _seed_centroids(embeddings: DataFrame,
         lit, 'centroid_id int, centv array<double>')
 
 
+def nearest_centroid_udf(spark, cent_rows, n_assign: int):
+    """Build a map-only pandas UDF ``embedding -> array<int>`` of the
+    ``n_assign`` nearest centroid ids, in rank order.
+
+    This replaces the former crossJoin(broadcast(cent)) + row_number
+    window: the window's Exchange shuffled |corpus| x n_centroids
+    skinny rows (N^1.5 with a sqrt(N) codebook) purely to pick a
+    per-vector top-k that a map task can compute locally.  Centroids
+    travel via a real SparkContext broadcast (torrent protocol — holds
+    at 100k+-centroid codebooks where a pickled closure would not).
+
+    Parity contract (what keeps the DuckDB oracle hash-green):
+      * sims are ``_np_cosine_x10000_fn`` bit-for-bit — per-centroid
+        float64 products summed along the vector axis, float32 squares
+        for the embedding-side norm, floor at x10000;
+      * ordering is desc(sim), ties by asc(centroid_id) — centroid
+        columns are laid out in ascending-id order so a STABLE argsort
+        of -sims reproduces the window's tie-break exactly;
+      * degenerate rows (null / dim-mismatched embedding -> NULL sims;
+        zero-norm -> sim 0 everywhere) keep the window semantics: NULL
+        sorts last under desc, full ties resolve to ascending ids.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(((int(r[0]), [float(v) for v in r[1]])
+                   for r in cent_rows), key=lambda t: t[0])
+    bc = spark.sparkContext.broadcast(rows)
+    _NULL_SIM = -(1 << 62)  # valid sims live in [-10000, 10000]
+
+    @pandas_udf('array<int>')
+    def _assign(emb):
+        import pandas as pd
+        cids_vecs = bc.value
+        cids = np.array([c for c, _ in cids_vecs], dtype=np.int64)
+        C = np.array([v for _, v in cids_vecs], dtype=np.float64)
+        k, d = C.shape
+        take = min(n_assign, k)
+        # centroid-side norm terms: same per-row pairwise reduction the
+        # tiled (N x d) path performed — one scalar per centroid
+        cnorm = np.sqrt((C * C).sum(axis=1))
+        va = emb.to_numpy()
+        n = len(va)
+        sims = np.full((n, k), _NULL_SIM, dtype=np.int64)
+        valid = np.fromiter(
+            (x is not None and len(x) == d for x in va),
+            dtype=bool, count=n)
+        if valid.any():
+            A = np.stack(va[valid])
+            A64 = A.astype(np.float64)
+            # embedding-side norm squares in the NATIVE dtype (float32
+            # for array<float> input), summed in float64 — mirrors
+            # _np_cosine_x10000_fn exactly
+            anorm = np.sqrt((A * A).astype(np.float64).sum(axis=1))
+            sub = np.empty((A.shape[0], k), dtype=np.int64)
+            for j in range(k):
+                dots = (A64 * C[j]).sum(axis=1)
+                denom = anorm * cnorm[j]
+                col = np.zeros(A.shape[0], dtype=np.int64)
+                nz = denom > 0
+                col[nz] = np.floor(
+                    10000.0 * dots[nz] / denom[nz]).astype(np.int64)
+                sub[:, j] = col
+            sims[valid] = sub
+        order = np.argsort(-sims, axis=1, kind='stable')[:, :take]
+        picked = cids[order]
+        return pd.Series(list(picked), index=emb.index)
+
+    return _assign
+
+
 def _nearest(embeddings: DataFrame, cent: DataFrame,
              n_assign: int = 1) -> DataFrame:
     """(vec_id, embedding, centroid_id) for each vector's ``n_assign``
-    nearest centroids; the centroid dimension is broadcast.
+    nearest centroids — map-only (see ``nearest_centroid_udf``): no
+    Exchange between the embedding scan and the assignment, and no
+    join-back (the embedding stays on its own row through the UDF).
 
-    The rank window runs over SKINNY (vec_id, centroid_id, sim) rows —
-    shuffling |corpus| x n_centroids embedding arrays through the
-    window exchange would multiply shuffle bytes by the vector dim;
-    the arrays are joined back per vec_id afterwards."""
-    scored = (embeddings.crossJoin(F.broadcast(cent))
-              .select('vec_id', 'centroid_id',
-                      cosine_x10000_np(F.col('embedding'),
-                                       F.col('centv')).alias('sim')))
-    w = Window.partitionBy('vec_id').orderBy(
-        F.desc('sim'), F.asc('centroid_id'))
-    picked = (scored.withColumn('r', F.row_number().over(w))
-              .where(F.col('r') <= n_assign)
-              .select('vec_id', 'centroid_id'))
-    return (picked.join(embeddings, 'vec_id')
-            .select('vec_id', 'embedding', 'centroid_id'))
+    ``cent`` may be a DataFrame (collected here — an O(n_centroids)
+    driver collect; production callers pass an already-local literal
+    frame, so with the default single Lloyd round no extra job is
+    triggered) or a pre-collected ``[(centroid_id, centv), ...]``
+    list."""
+    spark = embeddings.sparkSession
+    if isinstance(cent, DataFrame):
+        cent = [(r['centroid_id'], r['centv']) for r in cent.collect()]
+    assign = nearest_centroid_udf(spark, cent, n_assign)
+    return (embeddings
+            .select('vec_id', 'embedding',
+                    F.explode(assign(F.col('embedding')))
+                    .alias('centroid_id')))
 
 
 def _centroids(embeddings: DataFrame, n_centroids: int,
@@ -244,23 +316,22 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
     """IVF-lite approximate top-k: search only vectors assigned to the
     query's ``n_probe`` nearest centroids."""
-    # compute the k-means subplan ONCE and share it between
-    # assignment and probing
+    # compute the k-means subplan ONCE, collect the (tiny) codebook
+    # once, and share it between assignment and probing
     cent = _centroids(embeddings, n_centroids)
-    assigned = _nearest(embeddings, cent, 1)
+    cent_rows = [(r['centroid_id'], r['centv']) for r in cent.collect()]
+    assigned = _nearest(embeddings, cent_rows, 1)
 
     q = (embeddings.where(F.col('vec_id') < n_queries)
          .select(F.col('vec_id').alias('query_id'),
                  F.col('embedding').alias('qv')))
-    qprobe = (q.crossJoin(F.broadcast(cent))
-              .select('query_id', 'qv', 'centroid_id',
-                      cosine_x10000_np(F.col('qv'), F.col('centv'))
-                      .alias('sim')))
-    w = Window.partitionBy('query_id').orderBy(
-        F.desc('sim'), F.asc('centroid_id'))
-    probes = (qprobe.withColumn('r', F.row_number().over(w))
-              .where(F.col('r') <= n_probe)
-              .select('query_id', 'qv', 'centroid_id'))
+    # probe selection is the same nearest-centroid problem at
+    # n_assign=n_probe — map-only, no per-query window exchange
+    probe_udf = nearest_centroid_udf(
+        embeddings.sparkSession, cent_rows, n_probe)
+    probes = q.select('query_id', 'qv',
+                      F.explode(probe_udf(F.col('qv')))
+                      .alias('centroid_id'))
 
     cand = (probes.join(assigned, 'centroid_id')
             .where(F.col('query_id') != F.col('vec_id'))
