@@ -225,6 +225,28 @@ def q_events_asof(spark, sf_dir) -> DataFrame:
                       F.col('r_event_id').alias('last_error_id'))
 
 
+def q_events_asof_bucketed(spark, sf_dir) -> DataFrame:
+    """Same as-of join through the hot-key mitigation path: the carry
+    window partitions by (user_id, 6h time bucket) with per-bucket
+    seeds, so one hot user parallelizes across its time range.  Must
+    be row-identical to events_asof (same DuckDB ASOF oracle)."""
+    from pyspark.sql import Window
+    from yargy_spark.operators.events import asof_join
+    ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
+    clicks = (ev.where(F.col('event_type') == 'click')
+              .select('event_id', 'user_id', 'ts'))
+    w = Window.partitionBy('user_id', 'ts').orderBy(F.desc('event_id'))
+    errors = (ev.where(F.col('event_type') == 'error')
+              .withColumn('rn', F.row_number().over(w))
+              .where(F.col('rn') == 1)
+              .select('user_id', 'ts', 'event_id'))
+    out = asof_join(clicks, errors, on='user_id',
+                    right_cols=('event_id',),
+                    ts_bucket_width=6 * 3600.0)
+    return out.select('event_id', 'user_id',
+                      F.col('r_event_id').alias('last_error_id'))
+
+
 def q_kg_entity_cooccurrence(spark, sf_dir) -> DataFrame:
     """Entity-graph materialization: canonical entity pairs
     co-mentioned in the same group (golden convs folded into 4 groups
@@ -452,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_lemma_tokens': q_kg_lemma_tokens,
         'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
         'events_asof': q_events_asof,
+        'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
         'stream_mention_rollup': q_stream_mention_rollup,
         'exact_dedup': q_exact_dedup,
@@ -735,6 +758,9 @@ FROM clicks c
 ASOF LEFT JOIN err e
   ON c.user_id = e.user_id AND c.ts >= e.ts
 """
+
+    # the mitigation path must be indistinguishable from the plain one
+    oracles['events_asof_bucketed'] = oracles['events_asof']
 
     oracles['transcripts_tool_stats'] = """
 WITH t AS (

@@ -70,6 +70,45 @@ def test_asof_right_row_is_atomic(spark):
     assert out['r_code'] == 200 and out['r_err'] is None
 
 
+def test_asof_ts_bucketed_parity_on_skew(spark):
+    """The hot-key mitigation (ts_bucket_width) must return exactly
+    the unbucketed rows on a single-key skew fixture — every left ts
+    falls in SOME bucket relative to its match: same bucket, a later
+    bucket (seeded carry), or a left-only bucket."""
+    import random
+
+    from yargy_spark.operators.events import asof_join
+
+    rng = random.Random(7)
+    # one pathologically hot key: 400 left events, 40 right events,
+    # clumped so many buckets are left-only or right-only
+    left = spark.createDataFrame(
+        [(i, 'hot', _ts(rng.randrange(0, 59)))
+         for i in range(400)]
+        + [(1000, 'cold', _ts(30)), (1001, 'hot', None)],
+        'event_id long, user_id string, ts timestamp')
+    right = spark.createDataFrame(
+        [('hot', _ts(m), 100 + m)
+         for m in sorted(rng.sample(range(0, 59), 40))]
+        + [('cold', _ts(31), 999)],
+        'user_id string, ts timestamp, event_id long')
+
+    plain = asof_join(left, right, on='user_id',
+                      right_cols=('event_id',))
+    for width in (60.0, 300.0, 1e9):  # 1-min, 5-min, one-bucket
+        bucketed = asof_join(left, right, on='user_id',
+                             right_cols=('event_id',),
+                             ts_bucket_width=width)
+        assert sorted(map(tuple, bucketed.collect())) \
+            == sorted(map(tuple, plain.collect())), width
+    # the carry window really is bucketed: its exchange keys on both
+    # the join key and the bucket id
+    plan = asof_join(left, right, on='user_id',
+                     right_cols=('event_id',), ts_bucket_width=60.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert '_bkt' in plan
+
+
 def test_asof_null_semantics(spark):
     """Null-key/null-ts right rows never match; null-key/null-ts left
     rows pass through unmatched (SQL join / merge_asof semantics)."""

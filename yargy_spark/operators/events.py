@@ -17,9 +17,10 @@ magnitude.
 Skew caveat: the carry step is a WINDOW partitioned by the join key,
 and AQE skew handling applies to shuffle joins, not window partitions
 — one pathologically hot key still serializes through a single task.
-For such keys, range-bucket the timestamp into the partition key
-(window over (key, ts_bucket) with a per-bucket seed carried from the
-previous bucket) or split the hot key upstream; for typical user-id
+``ts_bucket_width`` opts into the mitigation: the window partitions
+by (key, time bucket) and each bucket's carry is seeded with the
+latest right row from any earlier bucket, computed over skinny
+per-bucket aggregates (see ``asof_join``).  For typical user-id
 distributions the plain composition is the right default.
 """
 
@@ -31,7 +32,8 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame,
               on: str, left_ts: str = 'ts', right_ts: str = 'ts',
-              right_cols=(), suffix: str = 'r_') -> DataFrame:
+              right_cols=(), suffix: str = 'r_',
+              ts_bucket_width=None) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` and equal ``on`` key (ties on ts include
     the right row, matching DuckDB/pandas ``merge_asof`` backward
@@ -44,6 +46,17 @@ def asof_join(left: DataFrame, right: DataFrame,
     with a null key or null timestamp can never match and are dropped;
     left rows with a null key or null timestamp come through with null
     right columns.
+
+    ``ts_bucket_width`` (same units as the timestamp cast to double:
+    seconds for timestamp columns, the raw value for numerics) opts
+    into hot-key mitigation: the carry window partitions by
+    (key, floor(ts / width)) so one hot key parallelizes across its
+    time range instead of serializing through a single window task.
+    Each bucket's carry is seeded with the latest right row from any
+    EARLIER bucket; seeds are derived from per-(key, bucket)
+    aggregates — |active buckets| rows, not data rows — so the extra
+    cost is one skinny shuffle.  Results are identical to the
+    unbucketed path (tested on a single-key skew fixture).
     """
     right_cols = list(right_cols)
     clash = sorted(set(left.columns)
@@ -77,11 +90,58 @@ def asof_join(left: DataFrame, right: DataFrame,
     ru = ru.withColumn(
         '_row', F.lit(None).cast(lu.schema['_row'].dataType))
 
-    w = (Window.partitionBy('_on').orderBy('_ts', '_side')
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = lu.unionByName(ru).select(
-        '_side', '_row', '_ts',
-        F.last('_rrow', ignorenulls=True).over(w).alias('_rrow'))
+    union = lu.unionByName(ru)
+    if ts_bucket_width is None:
+        w = (Window.partitionBy('_on').orderBy('_ts', '_side')
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+        carried = union.select(
+            '_side', '_row', '_ts',
+            F.last('_rrow', ignorenulls=True).over(w).alias('_rrow'))
+    else:
+        # hot-key mitigation: partition the carry by (key, time
+        # bucket).  Bucket ids only need to be monotone in ts, so the
+        # double cast (epoch seconds for timestamps; TIMESTAMP_NTZ
+        # must route through a timestamp cast first) is safe.
+        tscol = F.col('_ts')
+        if dict(union.dtypes)['_ts'].startswith('timestamp'):
+            tscol = tscol.cast('timestamp')
+        # null-ts left rows get a sentinel bucket below every real one
+        # (the seeds equi-join would drop a null bucket key; `matched`
+        # masks their output anyway, so only row retention matters)
+        union = union.withColumn(
+            '_bkt', F.coalesce(
+                F.floor(tscol.cast('double')
+                        / F.lit(float(ts_bucket_width))),
+                F.lit(-(1 << 62)).cast('long')))
+        # latest right row per (key, bucket) — right is unique per
+        # (on, ts) so max_by is deterministic.  Skinny: one row per
+        # ACTIVE bucket, with map-side partial aggregation.
+        lastr = (union.where(F.col('_side') == 0)
+                 .groupBy('_on', '_bkt')
+                 .agg(F.max_by('_rrow', '_ts').alias('_last_r')))
+        # seed(b) = latest right row in any EARLIER bucket; the seed
+        # window runs over |active buckets| rows per key, not data
+        # rows.  Left-only buckets join in with a null _last_r and
+        # inherit their seed the same way (null-ts rows land in a
+        # null bucket whose output is masked by `matched` below).
+        bkts = union.select('_on', '_bkt').distinct()
+        wseed = (Window.partitionBy('_on').orderBy('_bkt')
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        seeds = (bkts.join(lastr, ['_on', '_bkt'], 'left')
+                 .select('_on', '_bkt',
+                         F.last('_last_r', ignorenulls=True)
+                         .over(wseed).alias('_seed')))
+        w = (Window.partitionBy('_on', '_bkt')
+             .orderBy('_ts', '_side')
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+        carried = (union.join(seeds, ['_on', '_bkt'])
+                   .select('_side', '_row', '_ts',
+                           F.coalesce(
+                               F.last('_rrow', ignorenulls=True)
+                               .over(w),
+                               F.col('_seed')).alias('_rrow')))
     matched = F.when(F.col('_ts').isNotNull(), F.col('_rrow'))
     return (carried.where(F.col('_side') == 1)
             .select(F.col('_row.*'),
