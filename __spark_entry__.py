@@ -652,11 +652,11 @@ def oracle_sql() -> dict[str, str]:
 
     oracles['kg_address'] = _values_rows([
         ('a000000', 'address',
-         '{"house": 5, "street": "Ленина", "street_type": "улица"}'),
+         '{"house": 5, "street": "ленина", "street_type": "улица"}'),
         ('a000001', 'address',
-         '{"street": "первомайский", "street_type": "улица"}'),
+         '{"street": "первомайская", "street_type": "улица"}'),
         ('a000002', 'address',
-         '{"house": 12, "street": "Мира", "street_type": "проспект"}'),
+         '{"house": 12, "street": "мира", "street_type": "проспект"}'),
         ('a000003', 'address',
          '{"house": 3, "street": "глухой", '
          '"street_type": "переулок"}'),

@@ -13,17 +13,20 @@ def _facts(text):
 
 def test_type_then_genitive_name_with_house():
     assert _facts('живу на улице Ленина дом 5') == [
-        Address(street_type='улица', street='Ленина', house=5)]
+        Address(street_type='улица', street='ленина', house=5)]
 
 
 def test_adj_name_then_type():
+    """The ADJF name re-inflects to nominative PRESERVING the gender
+    agreement with the street type (closest-form inflection, pymorphy
+    Parse.inflect parity) — 'первомайская', not the masc lemma."""
     assert _facts('офис на Первомайской улице') == [
-        Address(street_type='улица', street='первомайский', house=None)]
+        Address(street_type='улица', street='первомайская', house=None)]
 
 
 def test_abbreviated_house_marker():
     assert _facts('магазин на проспекте Мира д. 12') == [
-        Address(street_type='проспект', street='Мира', house=12)]
+        Address(street_type='проспект', street='мира', house=12)]
 
 
 def test_bare_house_number():

@@ -128,3 +128,22 @@ def test_dictionary_as_data_roundtrip(tmp_path):
         assert loaded.inflect(lemma, t) == ref.inflect(lemma, t)
     # out-of-vocabulary contract preserved
     assert [f.lemma for f in loaded('nosuchword')] == ['nosuchword']
+
+
+def test_closest_form_inflection_preserves_gender():
+    """pymorphy2 Parse.inflect parity: re-inflecting to {nomn, sing}
+    keeps source grammemes (gender) that the target does not evict —
+    a feminine ADJF stays feminine instead of collapsing to the
+    masculine lemma; masculine/neuter sources keep theirs."""
+    from yargy_spark.kernel.morphology import default_morphology
+    M = default_morphology()
+    cases = {
+        'первомайской': 'первомайская',  # femn gent -> femn nomn
+        'глухой': 'глухой',              # forms[0] is masc nomn
+        'тихом': 'тихий',                # masc loct -> masc nomn
+        'московским': 'московский',      # masc ablt -> masc nomn
+    }
+    for word, want in cases.items():
+        assert M(word)[0].inflect({'nomn', 'sing'}) == want, word
+    # explicit target gender still wins over the source's
+    assert M('московским')[0].inflect({'nomn', 'femn'}) == 'московская'

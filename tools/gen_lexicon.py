@@ -165,6 +165,7 @@ SURNAMES = '''
 
 # Adjectives (hard stems, -ый/-ий by velar rule).
 ADJECTIVES = '''
+глухой первомайский
 новый старый большой малый высокий низкий широкий узкий длинный
 короткий толстый тонкий тяжелый легкий быстрый медленный громкий
 тихий яркий темный светлый чистый грязный свежий теплый холодный
@@ -597,11 +598,23 @@ def build_tables():
     for lemma, rows in lexemes:
         for i, (word, grams) in enumerate(rows):
             paradigm_rows.append((lemma, i, word, grams.split()))
-            by_word.setdefault(word, []).append((lemma, grams))
+            by_word.setdefault(word, []).append((lemma, grams, i))
     entry_rows = []
     for word in sorted(by_word):
-        readings = sorted(set(by_word[word]),
-                          key=lambda r: (r[0], r[1]))
+        # reading order: lemma, then PARADIGM ROW ORDER — paradigms
+        # open with the nominative, so forms[0] of an ambiguous
+        # surface ('глухой': masc-nomn vs femn-oblique) is the
+        # nominative reading, mirroring pymorphy's frequency-ranked
+        # first parse (grams-alphabetical order put 'ablt femn'
+        # first, flipping closest-form inflection to the wrong
+        # gender).
+        first_row = {}
+        for lemma, grams, i in by_word[word]:
+            key = (lemma, grams)
+            if key not in first_row or i < first_row[key]:
+                first_row[key] = i
+        readings = sorted(first_row,
+                          key=lambda k: (k[0], first_row[k]))
         for i, (lemma, grams) in enumerate(readings):
             entry_rows.append((word, i, lemma, grams.split()))
     return entry_rows, paradigm_rows

@@ -168,10 +168,17 @@ def build_address():
         'улица', 'проспект', 'переулок', 'площадь', 'шоссе',
         'бульвар', 'набережная',
     ]).interpretation(Address.street_type.normalized())
+    # one consistent normalization for Address.street across both
+    # shapes so downstream entity keys unify: the ADJF name
+    # re-inflects to nominative PRESERVING gender agreement with the
+    # street type ('Первомайской улице' -> 'первомайская', not the
+    # masculine lemma — closest-form inflection, morphology.inflect),
+    # and the genitive-noun name keeps its surface form (the genitive
+    # IS the street's canonical name) lowercased to match.
     ADJ_NAME = and_(gram('ADJF'), is_capitalized()) \
         .interpretation(Address.street.inflected({'nomn', 'sing'}))
     GEN_NAME = and_(gram('NOUN'), is_capitalized()) \
-        .interpretation(Address.street)
+        .interpretation(Address.street.custom(str.lower))
     HOUSE = rule(
         or_(rule(normalized('дом')), rule(caseless('д'), eq('.')))
         .optional(),

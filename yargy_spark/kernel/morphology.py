@@ -23,6 +23,14 @@ from typing import Dict, FrozenSet, Iterable, List, Optional, Set, Tuple
 
 CASES = ('nomn', 'gent', 'datv', 'accs', 'ablt', 'loct', 'voct')
 
+# grammeme categories for closest-form inflection: a target gram
+# evicts same-category source grams (pymorphy2 updated_grammemes)
+_INFLECT_CATEGORIES = (
+    frozenset(CASES),
+    frozenset(('sing', 'plur')),
+    frozenset(('masc', 'femn', 'neut')),
+)
+
 # bit layout for the agreement mask
 _G_MASC, _G_FEMN, _G_NEUT, _G_BI, _G_GNDR = 1, 2, 4, 8, 16
 _N_SING, _N_PLUR, _N_SGTM, _N_PLTM = 1, 2, 4, 8
@@ -108,7 +116,7 @@ class Form:
         (morph.py:99-103)."""
         target = frozenset(grams) if grams else frozenset(('nomn', 'sing'))
         if self._morpho is not None:
-            word = self._morpho.inflect(self.lemma, target)
+            word = self._morpho.inflect(self.lemma, target, self.grams)
             if word is not None:
                 return word
         return self.lemma
@@ -193,15 +201,40 @@ class Morphology:
         if gram not in KNOWN_GRAMMEMES:
             raise ValueError(gram)
 
-    def inflect(self, lemma: str, target: FrozenSet[str]) -> Optional[str]:
-        """First paradigm row whose grammemes cover the target set."""
+    def inflect(self, lemma: str, target: FrozenSet[str],
+                source_grams: Optional[FrozenSet[str]] = None
+                ) -> Optional[str]:
+        """Paradigm row whose grammemes cover ``target``.
+
+        With ``source_grams``, the row CLOSEST to the source reading
+        wins — pymorphy2's ``Parse.inflect`` semantics (its
+        ``_inflect`` + ``updated_grammemes``): source grammemes carry
+        over unless a target gram of the same category evicts them,
+        and candidate rows rank by grammeme overlap with that updated
+        set.  A feminine ADJF re-inflected to {nomn, sing} therefore
+        stays feminine ('первомайской' -> 'первомайская') instead of
+        collapsing to the masculine lemma.  Ties break to the first
+        paradigm row (deterministic; paradigm order mirrors
+        pymorphy's frequency-ranked parse order)."""
         rows = self.paradigms.get(lemma)
         if not rows:
             return None
+        if not source_grams:
+            for word, grams in rows:
+                if target <= grams:
+                    return word
+            return None
+        evict = frozenset().union(*(
+            cat for cat in _INFLECT_CATEGORIES if target & cat)) \
+            if target else frozenset()
+        updated = {g for g in source_grams if g not in evict} | target
+        best, best_score = None, -1
         for word, grams in rows:
             if target <= grams:
-                return word
-        return None
+                score = len(grams & updated)
+                if score > best_score:
+                    best, best_score = word, score
+        return best
 
     @classmethod
     def from_rows(cls, entry_rows, paradigm_rows) -> 'Morphology':

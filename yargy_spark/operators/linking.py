@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------ edges
 
-def _checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
+def _checkpointed(df: DataFrame, eager: bool = True,
+                  pending: list = None) -> DataFrame:
     """Truncate lineage: reliable ``checkpoint()`` when the session
     has a checkpoint dir (survives executor loss — required at the
     cluster design point where lineage-truncated localCheckpoint
@@ -43,9 +44,12 @@ def _checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
     localCheckpoint): without one, the checkpoint-write job would
     recompute the whole subtree a second time and downstream reuse a
     third — so persist first (the documented checkpoint pattern).
-    The persisted pre-checkpoint blocks are released eagerly when the
-    checkpoint materializes immediately; for lazy checkpoints they are
-    reclaimed by Spark's LRU once the checkpoint files take over."""
+    Eager checkpoints release the pre-checkpoint blocks before
+    returning.  Lazy checkpoints append the persisted frame to
+    ``pending``; the CALLER must unpersist after the action that
+    materializes the checkpoint — relying on LRU eviction instead
+    builds storage-memory pressure across the up-to-20 CC rounds on a
+    cluster with a checkpoint dir."""
     sc = df.sparkSession.sparkContext
     get_dir = getattr(sc, 'getCheckpointDir', None)
     has_dir = bool(get_dir()) if get_dir is not None else False
@@ -54,6 +58,8 @@ def _checkpointed(df: DataFrame, eager: bool = True) -> DataFrame:
         out = df.checkpoint(eager=eager)
         if eager:
             df.unpersist()
+        elif pending is not None:
+            pending.append(df)
         return out
     return df.localCheckpoint(eager=eager)
 
@@ -145,6 +151,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20
     current = edges
     prev_sig = None
     converged = False
+    pending = []
     for _ in range(max_iter):
         sym = current.union(
             current.select(F.col('dst').alias('src'),
@@ -153,11 +160,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20
         # edge is (node, group-min) with node > min, so the distinct'd
         # union IS the canonical edge set — signature it directly.
         # The checkpoint is lazy; the signature action materializes it
-        # (one job per round instead of three).
+        # (one job per round instead of three), after which the
+        # pre-checkpoint persist is released immediately.
         current = _checkpointed(
             _large_star(sym).union(_small_star(sym)).distinct(),
-            eager=False)
+            eager=False, pending=pending)
         sig = signature(current)
+        for p in pending:
+            p.unpersist()
+        pending.clear()
         if sig == prev_sig:
             converged = True
             break
@@ -193,14 +204,16 @@ def link_entities(mentions: DataFrame) -> DataFrame:
 
     # linked feeds TWO subtrees (the freq/canon window and the final
     # join): project to the three needed columns, then truncate so
-    # the pm x cc join runs once, not twice
+    # the pm x cc join runs once, not twice.  Eager: the checkpoint
+    # job runs at the first downstream action either way, and eager
+    # releases the pre-checkpoint persist deterministically (no
+    # materializing action happens inside this function).
     pm_small = pm.select('mention_id', 'norm_key')
     linked = _checkpointed(
         pm_small.join(cc, pm_small.mention_id == cc.node, 'left')
         .withColumn('component',
                     F.coalesce('component', 'mention_id'))
-        .select('mention_id', 'norm_key', 'component'),
-        eager=False)
+        .select('mention_id', 'norm_key', 'component'))
 
     # canonical form: most frequent lemma key in the component,
     # ties broken lexicographically (deterministic)
