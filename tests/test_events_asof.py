@@ -123,3 +123,10 @@ def test_asof_null_semantics(spark):
            for r in asof_join(left, right, on='user_id',
                               right_cols=('event_id',)).collect()}
     assert got == {1: 101, 2: None, 3: None}
+    # identical through the bucketed path: null-KEY left rows ride a
+    # null-safe seeds join (a plain equi-join would drop them)
+    got_b = {r['event_id']: r['r_event_id']
+             for r in asof_join(left, right, on='user_id',
+                                right_cols=('event_id',),
+                                ts_bucket_width=60.0).collect()}
+    assert got_b == {1: 101, 2: None, 3: None}

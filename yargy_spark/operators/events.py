@@ -129,14 +129,22 @@ def asof_join(left: DataFrame, right: DataFrame,
         wseed = (Window.partitionBy('_on').orderBy('_bkt')
                  .rowsBetween(Window.unboundedPreceding, -1))
         seeds = (bkts.join(lastr, ['_on', '_bkt'], 'left')
-                 .select('_on', '_bkt',
+                 .select(F.col('_on').alias('_son'),
+                         F.col('_bkt').alias('_sbkt'),
                          F.last('_last_r', ignorenulls=True)
                          .over(wseed).alias('_seed')))
         w = (Window.partitionBy('_on', '_bkt')
              .orderBy('_ts', '_side')
              .rowsBetween(Window.unboundedPreceding,
                           Window.currentRow))
-        carried = (union.join(seeds, ['_on', '_bkt'])
+        # null-SAFE on the key: left rows with a null join key must
+        # come through unmatched (they do in the unbucketed window,
+        # which groups nulls together) — a plain equi-join on _on
+        # would silently drop them.  _bkt is never null (sentinel).
+        carried = (union.join(
+                       seeds,
+                       F.col('_on').eqNullSafe(F.col('_son'))
+                       & (F.col('_bkt') == F.col('_sbkt')))
                    .select('_side', '_row', '_ts',
                            F.coalesce(
                                F.last('_rrow', ignorenulls=True)
