@@ -590,9 +590,55 @@ def build_lexemes():
     return lexemes
 
 
-def build_tables():
-    """-> (entry_rows, paradigm_rows) per Morphology.from_rows."""
+_SYNTH_SYLLABLES = (
+    'ба во га ди же зо ку ла ми но пе ра су та фи хо це ча ше щу '
+    'бра вло гре дри жна зло кри лна мро нпе пла рва сни тло'.split())
+
+
+def synth_lexemes(n_base: int):
+    """Deterministic pseudo-lemmas across the declension classes —
+    scales the dictionary to production size (pymorphy2's OpenCorpora
+    build is ~390k lemmas / ~5M forms; this exercises the same
+    from_parquet/broadcast/memo path without shipping a corpus).
+    Stems are syllable products, so the set is reproducible and
+    collision-free with the real word lists at any size."""
+    out = []
+    n_syl = len(_SYNTH_SYLLABLES)
+    for i in range(n_base):
+        a, b, c = (i % n_syl, (i // n_syl) % n_syl,
+                   (i // (n_syl * n_syl)) % n_syl)
+        stem = (_SYNTH_SYLLABLES[a] + _SYNTH_SYLLABLES[b]
+                + _SYNTH_SYLLABLES[c])
+        cls = i % 5
+        if cls == 0:
+            lemma = stem + 'р'
+            out.append((lemma, decl_masc_noun(lemma, False)))
+        elif cls == 1:
+            lemma = stem + 'ка'
+            out.append((lemma, decl_femn_a(lemma, False)))
+        elif cls == 2:
+            lemma = stem + 'но'
+            out.append((lemma, decl_neut_o(lemma)))
+        elif cls == 3:
+            lemma = stem + 'ный'
+            out.append((lemma, decl_adjective(lemma)))
+        else:
+            sn = stem + 'нов'
+            masc, femn = decl_surname(sn)
+            out.append((sn, masc))
+            out.append((sn + 'а', femn))
+    return out
+
+
+def build_tables(n_synth: int = 0):
+    """-> (entry_rows, paradigm_rows) per Morphology.from_rows;
+    ``n_synth`` appends that many synthetic base lexemes (see
+    ``synth_lexemes``) for scale exercises."""
     lexemes = build_lexemes()
+    if n_synth:
+        have = {lemma for lemma, _ in lexemes}
+        lexemes += [(lemma, rows) for lemma, rows
+                    in synth_lexemes(n_synth) if lemma not in have]
     by_word = {}
     paradigm_rows = []
     for lemma, rows in lexemes:
@@ -620,11 +666,11 @@ def build_tables():
     return entry_rows, paradigm_rows
 
 
-def write_parquet(out_dir: str) -> dict:
+def write_parquet(out_dir: str, n_synth: int = 0) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    entry_rows, paradigm_rows = build_tables()
+    entry_rows, paradigm_rows = build_tables(n_synth)
     os.makedirs(out_dir, exist_ok=True)
 
     def table(rows, names):
@@ -641,6 +687,7 @@ def write_parquet(out_dir: str) -> dict:
     lemmas = {r[0] for r in paradigm_rows}
     return {'words': len({r[0] for r in entry_rows}),
             'entry_rows': len(entry_rows),
+            'paradigm_rows': len(paradigm_rows),
             'lemmas': len(lemmas)}
 
 
@@ -648,4 +695,5 @@ if __name__ == '__main__':
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'yargy_spark', 'data')
-    print(write_parquet(out))
+    n_synth = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    print(write_parquet(out, n_synth))
