@@ -147,3 +147,20 @@ def test_closest_form_inflection_preserves_gender():
         assert M(word)[0].inflect({'nomn', 'sing'}) == want, word
     # explicit target gender still wins over the source's
     assert M('московским')[0].inflect({'nomn', 'femn'}) == 'московская'
+
+
+def test_synth_lexemes_unique():
+    """Scale-mode pseudo-lemmas must be collision-free: a duplicate
+    lemma double-appends its paradigm rows and inflates the form
+    counts the scale bench reports (found at n_base > the 3-syllable
+    stem cycle of 8000)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.gen_lexicon import synth_lexemes
+    lx = synth_lexemes(9000)  # crosses the 3->4 syllable boundary
+    lemmas = [lemma for lemma, _ in lx]
+    assert len(lemmas) == len(set(lemmas))
+    for lemma, rows in lx[:50]:
+        assert rows, lemma

@@ -603,12 +603,24 @@ def synth_lexemes(n_base: int):
     Stems are syllable products, so the set is reproducible and
     collision-free with the real word lists at any size."""
     out = []
+    seen = set()
     n_syl = len(_SYNTH_SYLLABLES)
+    if n_base > n_syl ** 4:
+        raise ValueError('stem space exhausted: max %d base lexemes'
+                         % n_syl ** 4)
     for i in range(n_base):
-        a, b, c = (i % n_syl, (i // n_syl) % n_syl,
-                   (i // (n_syl * n_syl)) % n_syl)
-        stem = (_SYNTH_SYLLABLES[a] + _SYNTH_SYLLABLES[b]
-                + _SYNTH_SYLLABLES[c])
+        # base-n_syl digits -> one stem per i (three syllables cycle
+        # at n_syl^3 and would silently duplicate lemmas,
+        # double-appending their paradigm rows and inflating counts);
+        # variable-length syllables can still collide across digit
+        # counts, so an explicit seen-set guards lemma uniqueness
+        digits = (i % n_syl, (i // n_syl) % n_syl,
+                  (i // n_syl ** 2) % n_syl, (i // n_syl ** 3) % n_syl)
+        stem = ''.join(_SYNTH_SYLLABLES[dg] for dg in
+                       (digits if i >= n_syl ** 3 else digits[:3]))
+        if stem in seen:
+            continue
+        seen.add(stem)
         cls = i % 5
         if cls == 0:
             lemma = stem + 'р'
