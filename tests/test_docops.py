@@ -166,6 +166,16 @@ def test_embedding_dup_blocked_vs_exact(spark, emb):
     assert all(exact[p] == c for p, c in blocked.items())
     assert len(blocked) >= 0.9 * len(exact)
 
+    # the scale path (persist the skinny assignment so the self-join
+    # does not re-run the N x K assignment pass twice) must be
+    # row-identical to the default
+    persisted_df = embedding_dup_pairs(emb, threshold_x10000=4000,
+                                       n_centroids=16,
+                                       persist_assignment=True)
+    persisted = {(r['a'], r['b']): r['cos_x10000']
+                 for r in persisted_df.collect()}
+    assert persisted == blocked
+
 
 def test_simhash_banding_full_recall(spark, docs):
     """Pigeonhole guarantee: with 4 bands, every pair within Hamming

@@ -690,12 +690,18 @@ def write_parquet(out_dir: str, n_synth: int = 0) -> dict:
         arrays = [pa.array(c) for c in cols]
         return pa.table(dict(zip(names, arrays)))
 
-    ent = table(entry_rows, ['word', 'form_idx', 'lemma', 'grams'])
-    par = table(paradigm_rows, ['lemma', 'row_idx', 'word', 'grams'])
+    # sort by the filter key and cap row-group size: a vocabulary-
+    # filtered load (Morphology.from_parquet words=...) prunes row
+    # groups on word/lemma min-max statistics, which only bites when
+    # each group covers a narrow sorted key range
+    ent = table(sorted(entry_rows, key=lambda r: (r[0], r[1])),
+                ['word', 'form_idx', 'lemma', 'grams'])
+    par = table(sorted(paradigm_rows, key=lambda r: (r[0], r[1])),
+                ['lemma', 'row_idx', 'word', 'grams'])
     pq.write_table(ent, os.path.join(out_dir, 'lexicon_entries.parquet'),
-                   compression='zstd')
+                   compression='zstd', row_group_size=32768)
     pq.write_table(par, os.path.join(out_dir, 'lexicon_paradigms.parquet'),
-                   compression='zstd')
+                   compression='zstd', row_group_size=32768)
     lemmas = {r[0] for r in paradigm_rows}
     return {'words': len({r[0] for r in entry_rows}),
             'entry_rows': len(entry_rows),

@@ -15,8 +15,16 @@ measures every stage of that path:
   * executor-side materialization: the same Morphology broadcast into
     a pandas UDF annotating a words DataFrame on local[8].
 
-Usage: python tools/lexicon_scale_bench.py [n_synth] [n_stream]
+Usage: python tools/lexicon_scale_bench.py [n_synth] [n_stream] [n_vocab]
 Prints ONE JSON line.
+
+``n_vocab`` > 0 additionally measures the VOCABULARY-FILTERED load
+(``Morphology.from_parquet(..., words=corpus_vocab)``) — the
+documented fallback for OpenCorpora-sized dictionaries: load cost and
+broadcast payload track |corpus vocabulary|, not |dictionary|.
+``n_stream`` = 0 skips the full-load/kernel/Spark stages entirely
+(for dictionary sizes where a full in-driver load is the thing being
+avoided, e.g. a 5M-form build).
 """
 
 from __future__ import annotations
@@ -36,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     n_synth = int(sys.argv[1]) if len(sys.argv) > 1 else 7000
     n_stream = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    n_vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     from tools.gen_lexicon import write_parquet
     from yargy_spark.kernel.morphology import Morphology
@@ -46,11 +55,35 @@ def main():
     stats = write_parquet(lexdir, n_synth=n_synth)
     out['gen_sec'] = round(time.time() - t0, 3)
     out.update(stats)
+    ent_path = os.path.join(lexdir, 'lexicon_entries.parquet')
+    par_path = os.path.join(lexdir, 'lexicon_paradigms.parquet')
+
+    if n_vocab:
+        # corpus vocabulary = a seeded sample of dictionary surfaces
+        # (plus ~10% OOV words the filter must not let in)
+        import pyarrow.parquet as pq
+        all_words = (pq.read_table(ent_path, columns=['word'])
+                     .column('word').to_pylist())
+        vrng = random.Random(7)
+        vocab = vrng.sample(sorted(set(all_words)),
+                            min(n_vocab, len(set(all_words))))
+        vocab += ['внесловарное%d' % i for i in range(len(vocab) // 10)]
+        t0 = time.time()
+        fmorph = Morphology.from_parquet(ent_path, par_path,
+                                         words=vocab)
+        out['filtered_load_sec'] = round(time.time() - t0, 3)
+        out['filtered_pickled_mb'] = round(
+            len(pickle.dumps(fmorph, protocol=5)) / 1e6, 2)
+        out['filtered_entries'] = len(fmorph.entries)
+        out['filtered_paradigms'] = len(fmorph.paradigms)
+        del fmorph
+
+    if n_stream == 0:
+        print(json.dumps(out))
+        return
 
     t0 = time.time()
-    morph = Morphology.from_parquet(
-        os.path.join(lexdir, 'lexicon_entries.parquet'),
-        os.path.join(lexdir, 'lexicon_paradigms.parquet'))
+    morph = Morphology.from_parquet(ent_path, par_path)
     out['load_sec'] = round(time.time() - t0, 3)
     out['pickled_mb'] = round(
         len(pickle.dumps(morph, protocol=5)) / 1e6, 2)

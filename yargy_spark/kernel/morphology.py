@@ -269,19 +269,65 @@ class Morphology:
 
     @classmethod
     def from_parquet(cls, entries_path: str,
-                     paradigms_path: Optional[str] = None) -> 'Morphology':
+                     paradigms_path: Optional[str] = None,
+                     words=None) -> 'Morphology':
         """Load a dictionary shipped as parquet (columns per
-        ``from_rows``); pyarrow only — no Spark needed on the worker."""
+        ``from_rows``); pyarrow only — no Spark needed on the worker.
+
+        ``words`` (optional): restrict the load to a corpus
+        vocabulary — the scale fallback for OpenCorpora-sized builds
+        (~5M forms / ~700 MB pickled): load only the forms the corpus
+        actually contains, so broadcast payload and load time track
+        |corpus vocabulary|, not |dictionary|.  The filter is pushed
+        to the parquet reader as a dataset expression (row groups
+        whose word min/max miss the vocabulary are never read —
+        ``tools/gen_lexicon.py`` writes word-sorted row groups for
+        exactly this).  Paradigms are kept for every lemma of a kept
+        entry, so ``inflect`` works unchanged on in-vocabulary words.
+
+        Tradeoff (documented, deliberate): the OOV suffix predictor
+        derives its statistics from loaded entries, so a filtered
+        dictionary predicts from corpus∩dictionary instead of the
+        full dictionary — slightly weaker OOV grammemes in exchange
+        for a broadcast that fits.  Case: lookups lowercase and the
+        vocabulary is lowercased here; the surface match itself is
+        exact so the predicate stays row-group-prunable (an
+        utf8_lower branch would OR away the min/max stats) — the
+        writer's contract is lowercase surfaces, which
+        ``tools/gen_lexicon.py`` already honors."""
         import pyarrow.parquet as pq
 
-        def rows(path, cols):
-            tbl = pq.read_table(path, columns=cols)
+        def rows(path, cols, filt=None):
+            if filt is not None and isinstance(path, str):
+                import pyarrow.dataset as ds
+                tbl = ds.dataset(path, format='parquet').to_table(
+                    columns=cols, filter=filt)
+            else:
+                tbl = pq.read_table(path, columns=cols)
+                if filt is not None:
+                    tbl = tbl.filter(filt)
             return zip(*(tbl.column(c).to_pylist() for c in cols))
 
-        entry_rows = rows(entries_path,
-                          ['word', 'form_idx', 'lemma', 'grams'])
+        ent_filter = None
+        if words is not None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            vocab = pa.array(sorted({w.lower() for w in words}),
+                             type=pa.string())
+            ent_filter = pc.field('word').isin(vocab)
+        entry_rows = list(rows(entries_path,
+                               ['word', 'form_idx', 'lemma', 'grams'],
+                               ent_filter))
+        par_filter = None
+        if words is not None:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            kept_lemmas = pa.array(sorted({r[2] for r in entry_rows}),
+                                   type=pa.string())
+            par_filter = pc.field('lemma').isin(kept_lemmas)
         paradigm_rows = (rows(paradigms_path,
-                              ['lemma', 'row_idx', 'word', 'grams'])
+                              ['lemma', 'row_idx', 'word', 'grams'],
+                              par_filter)
                          if paradigms_path else ())
         return cls.from_rows(entry_rows, paradigm_rows)
 

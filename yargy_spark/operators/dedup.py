@@ -377,7 +377,8 @@ def embedding_dup_pairs(embeddings: DataFrame,
                         threshold_x10000: int = 9500,
                         n_centroids: int = None,
                         n_assign: int = 4,
-                        n_rows: int = None) -> DataFrame:
+                        n_rows: int = None,
+                        persist_assignment: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) — IVF-blocked
     DEFAULT: every vector is assigned to its ``n_assign`` nearest
     k-means centroids (deterministic — similarity._centroids) and
@@ -401,13 +402,26 @@ def embedding_dup_pairs(embeddings: DataFrame,
         n_assign, no job triggered;
       * neither — falls back to ``embeddings.count()`` (convenience
         for ad-hoc exploration; pass one of the above in pipelines).
-    """
+
+    ``persist_assignment``: the candidate self-join consumes the
+    assignment twice (build and probe side), and Spark shares no DAG
+    work without materialization — so by default the map-only
+    assignment UDF runs two passes over the corpus.  At test scale
+    (K<=a few hundred) that is cheaper than caching; at the 100 TB
+    design point the N x K cosine pass dominates, so pass True to
+    persist the SKINNY (vec_id, centroid_id) frame (memory-and-disk;
+    unpersist when the returned frame has been consumed, or let the
+    session release it)."""
     import math
     from .similarity import cosine_x10000_np, ivf_assign
     if n_centroids is None:
         n = n_rows if n_rows is not None else embeddings.count()
         n_centroids = max(16, int(math.isqrt(max(n, 1))) * n_assign)
     assigned = ivf_assign(embeddings, n_centroids, n_assign)
+    if persist_assignment:
+        from pyspark import StorageLevel
+        assigned = (assigned.select('vec_id', 'centroid_id')
+                    .persist(StorageLevel.MEMORY_AND_DISK))
     a = assigned.select(F.col('vec_id').alias('a'), 'centroid_id')
     b = assigned.select(F.col('vec_id').alias('b'), 'centroid_id')
     # dedup double-assigned pairs on SKINNY (a, b) ids — a distinct
