@@ -387,6 +387,34 @@ def q_multimodal_meta(spark, sf_dir) -> DataFrame:
     return media_metadata(_docs(spark, sf_dir))
 
 
+def q_doc_splits(spark, sf_dir) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split by hashed
+    doc_id (operators/sampling.py::hash_split) — 98/1/1 in basis
+    points over the portable md5 bucket."""
+    from yargy_spark.operators.sampling import hash_split
+    return (hash_split(_docs(spark, sf_dir), 'doc_id')
+            .select('doc_id', 'split'))
+
+
+def q_lang_balanced_sample(spark, sf_dir) -> DataFrame:
+    """Per-language deterministic Bernoulli downsampling (rebalances
+    the English-heavy head to 35%, keeps the rest)."""
+    from yargy_spark.operators.sampling import stratified_sample
+    return (stratified_sample(_docs(spark, sf_dir), 'lang',
+                              {'en': 0.35}, 'doc_id',
+                              default_fraction=1.0)
+            .select('doc_id', 'lang'))
+
+
+def q_source_reservoir(spark, sf_dir) -> DataFrame:
+    """Deterministic 5-per-source uniform sample (lowest salted hash
+    wins; WindowGroupLimit caps the window map-side)."""
+    from yargy_spark.operators.sampling import stratum_reservoir
+    return (stratum_reservoir(_docs(spark, sf_dir), 'source', 5,
+                              'doc_id')
+            .select('source', 'doc_id'))
+
+
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     """TPC-H Q1-style rollup. Money/quantity emitted as integer
     hundredths (BIGINT): floor(x*100) is IEEE-deterministic in both
@@ -492,6 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'top_ngrams': q_top_ngrams,
         'doc_fingerprints': q_doc_fingerprints,
         'multimodal_meta': q_multimodal_meta,
+        'doc_splits': q_doc_splits,
+        'lang_balanced_sample': q_lang_balanced_sample,
+        'source_reservoir': q_source_reservoir,
         'pricing_summary': q_pricing_summary,
         'top_customers': q_top_customers,
         'idle_customers': q_idle_customers,
@@ -1114,6 +1145,34 @@ SELECT doc_id,
   CAST(length(repeat(md5(text), 4)) / 2 AS INT) AS n_bytes
 FROM documents
 """
+
+    # deterministic sampling / splits (operators/sampling.py): the
+    # salted 60-bit md5 bucket replays exactly — no rand() anywhere
+    _B = ("('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), "
+          "1, 15))::int64 % 10000")
+    oracles['doc_splits'] = """
+SELECT doc_id,
+  CASE WHEN b < 9800 THEN 'train'
+       WHEN b < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM (SELECT doc_id, {b} AS b FROM documents)
+""".format(b=_B.format(salt='split'))
+
+    oracles['lang_balanced_sample'] = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {b} AS b FROM documents)
+WHERE b < CASE WHEN lang = 'en' THEN 3500 ELSE 10000 END
+""".format(b=_B.format(salt='sample'))
+
+    oracles['source_reservoir'] = """
+SELECT source, doc_id
+FROM (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {h}, doc_id) AS r
+      FROM documents)
+WHERE r <= 5
+""".format(h="('0x' || substr(md5('reservoir|' || "
+           "CAST(doc_id AS VARCHAR)), 1, 15))::int64")
 
     oracles['pricing_summary'] = """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,105 @@
+"""Deterministic sampling/split operators (operators/sampling.py):
+leakage safety, determinism, stratum exactness, and the map-side
+WindowGroupLimit shape of the reservoir."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    return spark.read.parquet(SF_DIR + '/documents.parquet').persist()
+
+
+@pytest.fixture(scope='module')
+def turns(spark):
+    # multi-row units: 200 conversations x 5 turns
+    rows = [(('c%03d' % (i // 5)), i % 5, 'u%d' % i)
+            for i in range(1000)]
+    return spark.createDataFrame(
+        rows, 'conv_id string, turn_idx int, text string').persist()
+
+
+def test_hash_split_leakage_safe_and_total(spark, turns):
+    from yargy_spark.operators.sampling import hash_split
+    out = hash_split(turns, 'conv_id').persist()
+    # total: every row labeled, no rows invented
+    assert out.count() == turns.count()
+    # leakage-safe: a conversation never straddles splits
+    assert (out.groupBy('conv_id')
+            .agg(F.countDistinct('split').alias('n'))
+            .where(F.col('n') > 1).count()) == 0
+    # deterministic: a second evaluation assigns identically
+    again = {(r['conv_id'], r['turn_idx']): r['split']
+             for r in hash_split(turns, 'conv_id').collect()}
+    assert all(again[(r['conv_id'], r['turn_idx'])] == r['split']
+               for r in out.collect())
+    # weights roughly honored at unit granularity (98/1/1 over 200
+    # conversations: train overwhelmingly dominates)
+    by = dict((r['split'], r['n']) for r in
+              out.select('conv_id', 'split').distinct()
+              .groupBy('split').agg(F.count('*').alias('n')).collect())
+    assert by.get('train', 0) >= 180
+    out.unpersist()
+
+
+def test_hash_split_rejects_bad_weights(turns):
+    from yargy_spark.operators.sampling import hash_split
+    with pytest.raises(ValueError):
+        hash_split(turns, 'conv_id', splits=(('a', 5000), ('b', 4000)))
+    with pytest.raises(ValueError):
+        hash_split(turns, 'conv_id', splits=(('a', 10001), ('b', -1)))
+
+
+def test_stratified_sample_unit_atomicity(spark, turns):
+    from yargy_spark.operators.sampling import stratified_sample
+    tagged = turns.withColumn(
+        'stratum', F.when(F.col('conv_id') < 'c100', 'a').otherwise('b'))
+    kept = stratified_sample(tagged, 'stratum', {'a': 0.5, 'b': 0.0},
+                             'conv_id').persist()
+    # stratum b fully dropped; default never consulted
+    assert kept.where(F.col('stratum') == 'b').count() == 0
+    # a kept conversation keeps ALL 5 turns (unit atomicity)
+    per_conv = kept.groupBy('conv_id').count().collect()
+    assert per_conv and all(r['count'] == 5 for r in per_conv)
+    # ~50% of the 100 a-conversations survive
+    assert 30 <= len(per_conv) <= 70
+    kept.unpersist()
+
+
+def test_stratified_sample_default_fraction(spark, docs):
+    from yargy_spark.operators.sampling import stratified_sample
+    n = docs.count()
+    assert stratified_sample(docs, 'lang', {}, 'doc_id',
+                             default_fraction=1.0).count() == n
+    assert stratified_sample(docs, 'lang', {}, 'doc_id').count() == 0
+    with pytest.raises(ValueError):
+        stratified_sample(docs, 'lang', {'en': 1.5}, 'doc_id')
+
+
+def test_stratum_reservoir_exact_k_and_plan(spark, docs):
+    from yargy_spark.operators.sampling import stratum_reservoir
+    out = stratum_reservoir(docs, 'lang', 3, 'doc_id')
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the k-cap must be pushed map-side ahead of the stratum exchange
+    assert 'WindowGroupLimit' in plan
+    rows = out.collect()
+    pops = dict((r['lang'], r['n']) for r in
+                docs.groupBy('lang').agg(F.count('*').alias('n'))
+                .collect())
+    got = {}
+    for r in rows:
+        got.setdefault(r['lang'], set()).add(r['doc_id'])
+    for lang, pop in pops.items():
+        assert len(got.get(lang, ())) == min(3, pop), lang
+    # deterministic across evaluations
+    again = {(r['lang'], r['doc_id']) for r in
+             stratum_reservoir(docs, 'lang', 3, 'doc_id').collect()}
+    assert again == {(r['lang'], r['doc_id']) for r in rows}
+    with pytest.raises(ValueError):
+        stratum_reservoir(docs, 'lang', 0, 'doc_id')

@@ -1,0 +1,133 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Training corpora need leakage-safe train/val/test splits and
+per-stratum downsampling (language rebalancing, source quotas) that
+are (a) reproducible across reruns AND engines — a resumable pipeline
+that re-derives a split after a crash must assign every row
+identically, so ``rand()`` is out; (b) map-only — sampling 100 TB
+must not shuffle.  Every operator keys on the portable 60-bit md5
+hash (``dedup.md5_int``) of a SALTED unit key:
+
+  * the salt decorrelates independent decisions on the same key (a
+    doc's split bucket and its sample draw must not be the same
+    random variable);
+  * the UNIT key (conv_id, doc_id, url-domain, ...) pins all rows of
+    a unit to one side, so no conversation straddles train and test;
+  * md5 is bit-identical in Spark and DuckDB, so the driver oracle
+    replays every assignment exactly.
+
+Split and sample are pure JVM expressions inside whole-stage codegen
+— no UDFs, no shuffle, filters push to the scan.  The per-stratum
+reservoir is the one windowed op; its ``row_number() <= k`` cap is
+pushed map-side by WindowGroupLimit, so each map task forwards at
+most k rows per stratum to the single per-stratum reducer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+# basis points: weights and fractions resolve on a 0..9999 grid, so
+# the smallest expressible share is 0.01% — fine-grained enough for
+# eval holdouts while keeping thresholds exact integers in both
+# engines (a float threshold would re-open the serializer-drift class
+# of bugs the integer-cents convention closed)
+BUCKETS = 10_000
+
+
+def _bucket(key_col, salt: str):
+    """Salted portable bucket in [0, BUCKETS): Spark ``pmod`` over the
+    nonnegative 60-bit md5 prefix; DuckDB replays it as
+    ``('0x' || substr(md5(...), 1, 15))::int64 % 10000``."""
+    salted = F.concat(F.lit(salt + '|'), F.col(key_col).cast('string'))
+    return F.pmod(md5_int(salted), F.lit(BUCKETS))
+
+
+def hash_split(df: DataFrame, key_col: str,
+               splits: Sequence[Tuple[str, int]] = (
+                   ('train', 9800), ('val', 100), ('test', 100)),
+               salt: str = 'split') -> DataFrame:
+    """Assign every row a ``split`` label by hashed unit key.
+
+    ``splits``: ordered (name, weight) pairs in basis points summing
+    to exactly 10000 — [0, w1) -> first, [w1, w1+w2) -> second, ...
+    Deterministic, engine-portable, and leakage-safe: two rows with
+    the same ``key_col`` always land in the same split, across reruns,
+    resumes and engines.
+    """
+    weights = [w for _, w in splits]
+    if any(w <= 0 for w in weights) or sum(weights) != BUCKETS:
+        raise ValueError(
+            'split weights must be positive basis points summing to '
+            '%d, got %r' % (BUCKETS, list(splits)))
+    bucket = _bucket(key_col, salt)
+    expr = None
+    hi = 0
+    for name, w in splits[:-1]:
+        hi += w
+        expr = (F.when(bucket < hi, name) if expr is None
+                else expr.when(bucket < hi, name))
+    expr = expr.otherwise(splits[-1][0])
+    return df.withColumn('split', expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Dict[str, float], key_col: str,
+                      salt: str = 'sample',
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Keep each unit with its stratum's probability — deterministic
+    per-stratum Bernoulli downsampling (the language-rebalancing /
+    source-quota primitive).  A unit key hashing under its stratum's
+    threshold is kept WITH ALL ITS ROWS; strata missing from
+    ``fractions`` fall back to ``default_fraction``.
+
+    Fractions quantize to basis points (0.0001 resolution) so the
+    comparison is integer-exact in every engine.  Map-only: the
+    filter sits in codegen next to the scan.
+    """
+    def bp(f: float) -> int:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError('fraction out of [0, 1]: %r' % (f,))
+        return int(round(f * BUCKETS))
+
+    bucket = _bucket(key_col, salt)
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        thresh = (F.when(cond, bp(frac)) if thresh is None
+                  else thresh.when(cond, bp(frac)))
+    thresh = (F.lit(bp(default_fraction)) if thresh is None
+              else thresh.otherwise(bp(default_fraction)))
+    return df.where(bucket < thresh)
+
+
+def stratum_reservoir(df: DataFrame, strata_col: str, k: int,
+                      key_col: str,
+                      salt: str = 'reservoir') -> DataFrame:
+    """Deterministic k-per-stratum uniform sample: the k unit keys
+    with the LOWEST salted hash in each stratum — the reproducible
+    analogue of reservoir sampling (a true reservoir depends on
+    encounter order, which a distributed scan does not have).  Ties
+    (hash collisions) break on the key itself, so the result is a
+    total function of the data.
+
+    Scale shape: ``row_number() <= k`` over (hash, key) is capped
+    map-side by WindowGroupLimit — each task emits at most k rows per
+    stratum into the stratum exchange, so a 10^9-row stratum ships
+    O(k x tasks) rows, not its whole population.
+    """
+    if k <= 0:
+        raise ValueError('k must be positive, got %d' % k)
+    h = md5_int(F.concat(F.lit(salt + '|'),
+                         F.col(key_col).cast('string')))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.asc('_draw'), F.asc(key_col))
+    return (df.withColumn('_draw', h)
+            .withColumn('_r', F.row_number().over(w))
+            .where(F.col('_r') <= k)
+            .drop('_draw', '_r'))
