@@ -54,6 +54,9 @@ def test_hash_split_rejects_bad_weights(turns):
         hash_split(turns, 'conv_id', splits=(('a', 5000), ('b', 4000)))
     with pytest.raises(ValueError):
         hash_split(turns, 'conv_id', splits=(('a', 10001), ('b', -1)))
+    # degenerate single split is legal: everything gets the label
+    one = hash_split(turns, 'conv_id', splits=(('all', 10000),))
+    assert one.where(F.col('split') != 'all').count() == 0
 
 
 def test_stratified_sample_unit_atomicity(spark, turns):

@@ -65,6 +65,8 @@ def hash_split(df: DataFrame, key_col: str,
         raise ValueError(
             'split weights must be positive basis points summing to '
             '%d, got %r' % (BUCKETS, list(splits)))
+    if len(splits) == 1:  # degenerate but legal: everything one label
+        return df.withColumn('split', F.lit(splits[0][0]))
     bucket = _bucket(key_col, salt)
     expr = None
     hi = 0
@@ -120,6 +122,13 @@ def stratum_reservoir(df: DataFrame, strata_col: str, k: int,
     map-side by WindowGroupLimit — each task emits at most k rows per
     stratum into the stratum exchange, so a 10^9-row stratum ships
     O(k x tasks) rows, not its whole population.
+
+    Contract: ``key_col`` must uniquely identify rows (this operator
+    samples at ROW granularity — (hash, key) is only a total order
+    when keys are unique; duplicate keys would make which copy takes
+    rank k partition-order-dependent).  For multi-row units, sample
+    the distinct unit keys and semi-join back, or use
+    ``stratified_sample`` which is unit-atomic by construction.
     """
     if k <= 0:
         raise ValueError('k must be positive, got %d' % k)
