@@ -319,6 +319,13 @@ def q_minhash_lsh_dups(spark, sf_dir) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_clean_corpus(spark, sf_dir) -> DataFrame:
+    """End-to-end corpus cleanup composition: quality gate -> exact
+    dedup -> MinHash/LSH near-dup pruning, one declarative plan."""
+    from yargy_spark.operators.dedup import clean_corpus
+    return clean_corpus(_docs(spark, sf_dir))
+
+
 def q_simhash_docs(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.dedup import simhash_docs
     return simhash_docs(_docs(spark, sf_dir))
@@ -508,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
         'minhash_lsh_dups': q_minhash_lsh_dups,
+        'clean_corpus': q_clean_corpus,
         'simhash_docs': q_simhash_docs,
         'simhash_dup_pairs': q_simhash_dup_pairs,
         'embedding_dup_pairs': q_embedding_dup_pairs,
@@ -599,19 +607,52 @@ _JACCARD_VERIFY = """
 # candidates and Jaccard verification run over one representative per
 # distinct normalized text; member pairs (and within-group pairs of
 # exact copies with >= k words, jaccard 10000) are expanded at the end.
-_DEDUP_FIRST = """
+def _dedup_first_sql(src):
+    """grp + repdocs CTEs over ``src`` (documents, or a quality-kept
+    subset for the clean_corpus composition)."""
+    return """
   grp AS (
     SELECT doc_id,
            min(doc_id) OVER (
              PARTITION BY ('0x' || substr(md5({norm}), 1, 15))::int64
            ) AS rep_id
-    FROM documents),
+    FROM {src}),
   repdocs AS (
-    SELECT d.doc_id, d.text FROM documents d
+    SELECT d.doc_id, d.text FROM {src} d
     JOIN grp g ON d.doc_id = g.doc_id AND g.doc_id = g.rep_id)
-""".format(norm=_NORM)
+""".format(norm=_NORM, src=src)
+
+
+_DEDUP_FIRST = _dedup_first_sql('documents')
 
 _SHINGLES_REPS = _shingles_sql('repdocs')
+
+# MinHash banding over the repdocs shingle table (operators/dedup.
+# _minhash_rep_pairs): shared verbatim by the minhash_lsh_dups and
+# clean_corpus oracles so the two can never band differently.
+# Placeholders: {fam} hash-family VALUES rows, {m} Mersenne modulus,
+# {rpb} rows per band, {h} the 60-bit shingle hash expression.
+_MINHASH_CANDS = """
+  fam(i, a, b) AS (VALUES
+    {fam}),
+  xs AS (SELECT doc_id, {h} % {m} AS x FROM shingles),
+  sig AS (
+    SELECT doc_id, fam.i AS hash_idx,
+           min((fam.a * xs.x + fam.b) % {m}) AS minhash
+    FROM xs CROSS JOIN fam GROUP BY doc_id, fam.i),
+  bands AS (
+    -- integer floor division: CAST(x / 2 AS INT) would ROUND in
+    -- DuckDB and run a different banding than Spark's
+    SELECT doc_id, CAST(hash_idx // {rpb} AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), '_'
+                      ORDER BY hash_idx) AS sig_key
+    FROM sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
+  cands AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.sig_key = r.sig_key
+    WHERE l.doc_id < r.doc_id)
+"""
 
 def _expand_groups_sql(score_col='jaccard_x10000', self_score=10000,
                        min_words=3):
@@ -848,36 +889,58 @@ WITH {df},
 """.format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, jv=_JACCARD_VERIFY,
            exp=_EXPAND_GROUPS)
 
+    minhash_cands = _MINHASH_CANDS.format(
+        fam=family_rows, m=MERSENNE, rpb=ROWS_PER_BAND,
+        h=_H60.format(x='shingle'))
+
     oracles['minhash_lsh_dups'] = """
 WITH {df},
   {sh},
-  fam(i, a, b) AS (VALUES
-    {fam}),
-  xs AS (SELECT doc_id, {h} % {m} AS x FROM shingles),
-  sig AS (
-    SELECT doc_id, fam.i AS hash_idx,
-           min((fam.a * xs.x + fam.b) % {m}) AS minhash
-    FROM xs CROSS JOIN fam GROUP BY doc_id, fam.i),
-  bands AS (
-    -- integer floor division: CAST(x / 2 AS INT) would ROUND in
-    -- DuckDB and run a different banding than Spark's
-    SELECT doc_id, CAST(hash_idx // {rpb} AS INT) AS band,
-           string_agg(CAST(minhash AS VARCHAR), '_'
-                      ORDER BY hash_idx) AS sig_key
-    FROM sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
-  cands AS (
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bands l JOIN bands r
-      ON l.band = r.band AND l.sig_key = r.sig_key
-    WHERE l.doc_id < r.doc_id),
+  {mc},
   {jv},
   rep_pairs AS (SELECT a, b, jaccard_x10000 FROM verified
                 WHERE jaccard_x10000 >= {thr}),
   {exp}
-""".format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, fam=family_rows,
-           m=MERSENNE, rpb=ROWS_PER_BAND, jv=_JACCARD_VERIFY,
-           thr=LSH_DEFAULT_THRESHOLD, exp=_EXPAND_GROUPS,
-           h=_H60.format(x='shingle'))
+""".format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, mc=minhash_cands,
+           jv=_JACCARD_VERIFY, thr=LSH_DEFAULT_THRESHOLD,
+           exp=_EXPAND_GROUPS)
+
+    # clean_corpus replays the full composition: the quality_scores
+    # keep-predicate as a row filter, dedup-first representatives over
+    # the kept docs, the SAME banded-minhash candidate chain, and
+    # greater-id pruning of every verified pair.
+    oracles['clean_corpus'] = """
+WITH keepdocs AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           length(text) AS n_chars_txt,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS n_words,
+           length(regexp_replace(lower(text),
+                                 '[^\\p{{L}}\\p{{N}}]', '', 'g'))
+             AS alpha_len,
+           length(regexp_replace(lower(text),
+                                 '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
+             AS punct
+    FROM documents)
+  WHERE n_words >= 10 AND n_chars_txt >= 50
+    AND floor(100.0 * alpha_len / greatest(n_words, 1))
+        BETWEEN 200 AND 1000
+    AND floor(10000.0 * punct / greatest(n_chars_txt, 1)) <= 2000),
+  {df},
+  {sh},
+  {mc},
+  {jv},
+  rep_pairs AS (SELECT a, b, jaccard_x10000 FROM verified
+                WHERE jaccard_x10000 >= {thr}),
+  dropped AS (SELECT DISTINCT b AS doc_id FROM rep_pairs)
+SELECT r.doc_id, d.lang, d.source
+FROM repdocs r
+JOIN documents d ON d.doc_id = r.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = r.doc_id)
+""".format(df=_dedup_first_sql('keepdocs'), sh=_SHINGLES_REPS,
+           mc=minhash_cands, jv=_JACCARD_VERIFY,
+           thr=LSH_DEFAULT_THRESHOLD)
 
     oracles['simhash_docs'] = """
 WITH toks AS (

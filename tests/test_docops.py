@@ -144,6 +144,46 @@ def test_neardup_oracle_replays_duplicates(spark, tmp_path):
     assert not any(a == 5 or b == 6 for a, b, _ in got)
 
 
+def test_clean_corpus_composition(spark, tmp_path):
+    """clean_corpus = quality gate -> exact dedup -> near-dup pruning
+    (greater-id of each verified pair dropped), and its DuckDB oracle
+    replays the identical composition."""
+    import duckdb
+    import __spark_entry__ as entry_mod
+    from yargy_spark.operators.dedup import clean_corpus
+
+    boiler = ('общий шаблонный текст страницы каталога интернет '
+              'магазина автозапчастей номер один сегодня')
+    near_a = ('совсем другой документ про стальные диски заводы '
+              'цеха станки оборудование металл')
+    near_b = near_a.rsplit(' ', 1)[0] + ' прокат'
+    uniq = ('ещё один совершенно независимый документ про погоду '
+            'море горы и путешествия летом')
+    rows = [
+        (10, boiler, 'ru', 'web'),   # exact trio: min id survives
+        (11, boiler, 'ru', 'web'),
+        (12, boiler, 'ru', 'crawl'),
+        (20, near_a, 'ru', 'web'),   # near pair: 20 kept, 21 dropped
+        (21, near_b, 'ru', 'web'),
+        (30, 'короткий', 'ru', 'web'),   # fails the quality gate
+        (40, uniq, 'ru', 'books'),
+    ]
+    docs = spark.createDataFrame(
+        rows, 'doc_id long, text string, lang string, source string')
+    got = {(r['doc_id'], r['lang'], r['source'])
+           for r in clean_corpus(docs).collect()}
+    assert got == {(10, 'ru', 'web'), (20, 'ru', 'web'),
+                   (40, 'ru', 'books')}
+
+    path = str(tmp_path / 'documents.parquet')
+    docs.toPandas().to_parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM '%s'" % path)
+    oracle = {(r[0], r[1], r[2]) for r in con.execute(
+        entry_mod.oracle_sql()['clean_corpus']).fetchall()}
+    assert got == oracle
+
+
 def test_embedding_dup_blocked_vs_exact(spark, emb):
     """The IVF-blocked default must be a high-recall subset of the
     exact all-pairs baseline, with identical cosines on shared pairs,

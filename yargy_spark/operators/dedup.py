@@ -256,6 +256,19 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
     (identical docs share every band; a boilerplate cluster would
     otherwise blow up the bucket join — see ``_exact_groups``)."""
     reps, groups = _exact_groups(docs)
+    rep_pairs = _minhash_rep_pairs(reps, k, threshold_x10000)
+    if not expand_groups:
+        return rep_pairs
+    return _expand_groups(rep_pairs, groups, reps, k,
+                          'jaccard_x10000')
+
+
+def _minhash_rep_pairs(reps: DataFrame, k: int,
+                       threshold_x10000: int) -> DataFrame:
+    """Banded-signature candidates + exact-Jaccard verify over an
+    already exact-dedup'd (doc_id, text) frame — shared by
+    ``minhash_lsh_pairs`` and ``clean_corpus`` so a composition never
+    recomputes the exact-group window."""
     sig = minhash_signatures(reps, k)
     # band key = '_'-joined minhashes in hash_idx order (collect_list
     # order is nondeterministic, so sort structs before joining)
@@ -273,13 +286,47 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
              .where(F.col('a') < F.col('b'))
              .select('a', 'b').distinct())
     pairs = _pair_jaccard(word_shingles(reps, k), cands)
-    rep_pairs = (pairs
-                 .where(F.col('jaccard_x10000') >= threshold_x10000)
-                 .select('a', 'b', 'jaccard_x10000'))
-    if not expand_groups:
-        return rep_pairs
-    return _expand_groups(rep_pairs, groups, reps, k,
-                          'jaccard_x10000')
+    return (pairs
+            .where(F.col('jaccard_x10000') >= threshold_x10000)
+            .select('a', 'b', 'jaccard_x10000'))
+
+
+def clean_corpus(docs: DataFrame,
+                 k: int = 3,
+                 threshold_x10000: int = LSH_DEFAULT_THRESHOLD
+                 ) -> DataFrame:
+    """The pretraining-corpus cleanup composition — quality gate,
+    exact dedup, near-dup pruning — as ONE declarative plan:
+
+      1. quality gate: ``textstats.quality_scores`` keep=1 (map-only
+         codegen filter, pushes toward the scan);
+      2. exact dedup: min-doc_id representative per normalized text
+         (one hash-partitioned window);
+      3. near-dup pruning: MinHash/LSH banded candidates + exact
+         Jaccard on representatives; of every verified pair the
+         GREATER doc_id is dropped.  Deterministic min-id-survivor
+         rule, deliberately NOT a transitive closure: closure chains
+         unrelated documents through boilerplate bridges and needs an
+         iterative CC pass — pairwise pruning is one shuffle and what
+         production dedup (e.g. Gopher/RefinedWeb-style pipelines)
+         actually ships.
+
+    Returns retained (doc_id, lang, source) rows.  Every stage is the
+    scale-shaped operator it reuses (dedup-first banding, no
+    all-pairs) — this is the "a user runs their whole pipeline here"
+    composition, not a new algorithm.
+    """
+    from .textstats import quality_scores
+    kept = (quality_scores(docs)
+            .where(F.col('keep') == 1).select('doc_id'))
+    qdocs = docs.join(kept, 'doc_id').select('doc_id', 'text')
+    reps, _groups = _exact_groups(qdocs)
+    rep_pairs = _minhash_rep_pairs(reps, k, threshold_x10000)
+    dropped = rep_pairs.select(F.col('b').alias('doc_id')).distinct()
+    retained = reps.join(dropped, 'doc_id', 'left_anti')
+    return (retained.select('doc_id')
+            .join(docs.select('doc_id', 'lang', 'source'), 'doc_id')
+            .select('doc_id', 'lang', 'source'))
 
 
 def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
