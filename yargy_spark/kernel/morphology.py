@@ -308,23 +308,23 @@ class Morphology:
                     tbl = tbl.filter(filt)
             return zip(*(tbl.column(c).to_pylist() for c in cols))
 
-        ent_filter = None
-        if words is not None:
+        def isin_filter(field, values):
+            if words is None:
+                return None
             import pyarrow as pa
             import pyarrow.compute as pc
-            vocab = pa.array(sorted({w.lower() for w in words}),
-                             type=pa.string())
-            ent_filter = pc.field('word').isin(vocab)
+            return pc.field(field).isin(
+                pa.array(sorted(values), type=pa.string()))
+
+        ent_filter = isin_filter(
+            'word', {w.lower() for w in words} if words else ())
         entry_rows = list(rows(entries_path,
                                ['word', 'form_idx', 'lemma', 'grams'],
                                ent_filter))
-        par_filter = None
-        if words is not None:
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            kept_lemmas = pa.array(sorted({r[2] for r in entry_rows}),
-                                   type=pa.string())
-            par_filter = pc.field('lemma').isin(kept_lemmas)
+        # paradigms restrict to lemmas that survived the entry filter
+        # (derived AFTER the entries read, so inflect() keeps working
+        # for every in-vocabulary word)
+        par_filter = isin_filter('lemma', {r[2] for r in entry_rows})
         paradigm_rows = (rows(paradigms_path,
                               ['lemma', 'row_idx', 'word', 'grams'],
                               par_filter)

@@ -25,6 +25,8 @@ shuffles key on shingle/bucket ids which salt naturally via banding.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -293,7 +295,8 @@ def _minhash_rep_pairs(reps: DataFrame, k: int,
 
 def clean_corpus(docs: DataFrame,
                  k: int = 3,
-                 threshold_x10000: int = LSH_DEFAULT_THRESHOLD
+                 threshold_x10000: int = LSH_DEFAULT_THRESHOLD,
+                 meta_cols: Sequence[str] = ()
                  ) -> DataFrame:
     """The pretraining-corpus cleanup composition — quality gate,
     exact dedup, near-dup pruning — as ONE declarative plan:
@@ -311,10 +314,13 @@ def clean_corpus(docs: DataFrame,
          production dedup (e.g. Gopher/RefinedWeb-style pipelines)
          actually ships.
 
-    Returns retained (doc_id, lang, source) rows.  Every stage is the
-    scale-shaped operator it reuses (dedup-first banding, no
-    all-pairs) — this is the "a user runs their whole pipeline here"
-    composition, not a new algorithm.
+    Returns retained ``doc_id`` rows plus any requested ``meta_cols``
+    carried back from ``docs`` (the operator itself only needs
+    doc_id/text — metadata is the CALLER's schema, so it is opt-in
+    rather than hard-coded; missing names raise the usual
+    AnalysisException).  Every stage is the scale-shaped operator it
+    reuses (dedup-first banding, no all-pairs) — this is the "a user
+    runs their whole pipeline here" composition, not a new algorithm.
     """
     from .textstats import quality_scores
     kept = (quality_scores(docs)
@@ -324,9 +330,12 @@ def clean_corpus(docs: DataFrame,
     rep_pairs = _minhash_rep_pairs(reps, k, threshold_x10000)
     dropped = rep_pairs.select(F.col('b').alias('doc_id')).distinct()
     retained = reps.join(dropped, 'doc_id', 'left_anti')
+    out_cols = ['doc_id'] + list(meta_cols)
+    if not meta_cols:
+        return retained.select('doc_id')
     return (retained.select('doc_id')
-            .join(docs.select('doc_id', 'lang', 'source'), 'doc_id')
-            .select('doc_id', 'lang', 'source'))
+            .join(docs.select(*out_cols), 'doc_id')
+            .select(*out_cols))
 
 
 def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -456,9 +465,12 @@ def embedding_dup_pairs(embeddings: DataFrame,
     assignment UDF runs two passes over the corpus.  At test scale
     (K<=a few hundred) that is cheaper than caching; at the 100 TB
     design point the N x K cosine pass dominates, so pass True to
-    persist the SKINNY (vec_id, centroid_id) frame (memory-and-disk;
-    unpersist when the returned frame has been consumed, or let the
-    session release it)."""
+    persist the SKINNY (vec_id, centroid_id) frame (memory-and-disk).
+    The persisted frame is handed back as an ``ivf_assignment``
+    attribute on the returned DataFrame — call
+    ``result.ivf_assignment.unpersist()`` once the result has been
+    consumed (without the handle the cached blocks would be
+    unreachable and pinned until session end)."""
     import math
     from .similarity import cosine_x10000_np, ivf_assign
     if n_centroids is None:
@@ -481,8 +493,12 @@ def embedding_dup_pairs(embeddings: DataFrame,
                            F.col('embedding').alias('va'))
     vb = embeddings.select(F.col('vec_id').alias('b'),
                            F.col('embedding').alias('vb'))
-    return (pairs.join(va, 'a').join(vb, 'b')
-            .select('a', 'b',
-                    cosine_x10000_np(F.col('va'), F.col('vb'))
-                    .alias('cos_x10000'))
-            .where(F.col('cos_x10000') >= threshold_x10000))
+    out = (pairs.join(va, 'a').join(vb, 'b')
+           .select('a', 'b',
+                   cosine_x10000_np(F.col('va'), F.col('vb'))
+                   .alias('cos_x10000'))
+           .where(F.col('cos_x10000') >= threshold_x10000))
+    if persist_assignment:
+        # expose the lifecycle handle (see docstring)
+        out.ivf_assignment = assigned
+    return out

@@ -40,11 +40,29 @@ from .dedup import md5_int
 BUCKETS = 10_000
 
 
+def _key_str(key_col):
+    """Stringified unit key with NULL mapped to a NUL-byte sentinel.
+
+    Without the coalesce, a NULL key poisons the whole hash chain
+    (concat -> md5 -> bucket all NULL), and each operator then does
+    something silently different: ``hash_split``'s when-chain falls
+    through to the LAST split, ``stratified_sample``'s ``bucket <
+    thresh`` is NULL so the row is dropped even at fraction 1.0, and
+    ``stratum_reservoir``'s NULL draw sorts NULLS FIRST in Spark but
+    NULLS LAST in DuckDB — three divergent behaviours for one data
+    wart.  The sentinel makes NULL a first-class unit key: all
+    NULL-key rows form ONE unit with a real, salted, engine-portable
+    bucket (DuckDB replay: ``coalesce(CAST(k AS VARCHAR), chr(0))``;
+    chr(0) cannot collide with a real key string from any sane
+    source)."""
+    return F.coalesce(F.col(key_col).cast('string'), F.lit('\x00'))
+
+
 def _bucket(key_col, salt: str):
     """Salted portable bucket in [0, BUCKETS): Spark ``pmod`` over the
     nonnegative 60-bit md5 prefix; DuckDB replays it as
     ``('0x' || substr(md5(...), 1, 15))::int64 % 10000``."""
-    salted = F.concat(F.lit(salt + '|'), F.col(key_col).cast('string'))
+    salted = F.concat(F.lit(salt + '|'), _key_str(key_col))
     return F.pmod(md5_int(salted), F.lit(BUCKETS))
 
 
@@ -58,7 +76,9 @@ def hash_split(df: DataFrame, key_col: str,
     to exactly 10000 — [0, w1) -> first, [w1, w1+w2) -> second, ...
     Deterministic, engine-portable, and leakage-safe: two rows with
     the same ``key_col`` always land in the same split, across reruns,
-    resumes and engines.
+    resumes and engines.  NULL keys form one unit (see ``_key_str``):
+    all NULL-key rows land together in the split their sentinel hash
+    selects, not silently in the last split.
     """
     weights = [w for _, w in splits]
     if any(w <= 0 for w in weights) or sum(weights) != BUCKETS:
@@ -90,7 +110,9 @@ def stratified_sample(df: DataFrame, strata_col: str,
 
     Fractions quantize to basis points (0.0001 resolution) so the
     comparison is integer-exact in every engine.  Map-only: the
-    filter sits in codegen next to the scan.
+    filter sits in codegen next to the scan.  NULL keys form one unit
+    (see ``_key_str``): kept or dropped by their stratum's fraction
+    like any other unit — in particular KEPT at fraction 1.0.
     """
     def bp(f: float) -> int:
         if not 0.0 <= f <= 1.0:
@@ -132,10 +154,12 @@ def stratum_reservoir(df: DataFrame, strata_col: str, k: int,
     """
     if k <= 0:
         raise ValueError('k must be positive, got %d' % k)
-    h = md5_int(F.concat(F.lit(salt + '|'),
-                         F.col(key_col).cast('string')))
+    h = md5_int(F.concat(F.lit(salt + '|'), _key_str(key_col)))
+    # asc_nulls_last: DuckDB's default ASC NULL placement — keeps the
+    # tie-break identical in both engines when key_col itself is NULL
+    # (the draw is never NULL thanks to the _key_str sentinel)
     w = Window.partitionBy(strata_col).orderBy(
-        F.asc('_draw'), F.asc(key_col))
+        F.asc('_draw'), F.asc_nulls_last(key_col))
     return (df.withColumn('_draw', h)
             .withColumn('_r', F.row_number().over(w))
             .where(F.col('_r') <= k)
