@@ -423,6 +423,16 @@ def q_source_reservoir(spark, sf_dir) -> DataFrame:
             .select('source', 'doc_id'))
 
 
+def q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Deterministic concat-and-chunk packing layout
+    (operators/packing.py): per-doc shard, stream offset, and
+    first/last ctx-length training sequence — reproducible across
+    engines via the salted md5 order."""
+    from yargy_spark.operators.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=512,
+                          n_buckets=8)
+
+
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     """TPC-H Q1-style rollup. Money/quantity emitted as integer
     hundredths (BIGINT): floor(x*100) is IEEE-deterministic in both
@@ -532,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_splits': q_doc_splits,
         'lang_balanced_sample': q_lang_balanced_sample,
         'source_reservoir': q_source_reservoir,
+        'pack_sequences': q_pack_sequences,
         'pricing_summary': q_pricing_summary,
         'top_customers': q_top_customers,
         'idle_customers': q_idle_customers,
@@ -1238,6 +1249,35 @@ FROM (SELECT source, doc_id,
 WHERE r <= 5
 """.format(h="('0x' || substr(md5('reservoir|' || " + _KS +
              "), 1, 15))::int64")
+
+    # concat-and-chunk packing (operators/packing.py): the token
+    # count is the token_counts ws expression, the order is the
+    # salted md5 draw, the cumsum window replays row-for-row.
+    # sum(INT) is HUGEINT in DuckDB -> cast the running sum back.
+    oracles['pack_sequences'] = """
+WITH toks AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)),
+                                             '\\s+')) END
+         AS INT) AS n_tokens,
+    CAST(('0x' || substr(md5('packb|' || {ks}), 1, 15))::int64 % 8
+         AS INT) AS bucket,
+    ('0x' || substr(md5('pack|' || {ks}), 1, 15))::int64 AS draw
+  FROM documents),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY draw ASC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+  FROM toks WHERE n_tokens > 0)
+SELECT doc_id, bucket,
+       CAST(fin - n_tokens AS BIGINT) AS start_tok,
+       n_tokens,
+       CAST((fin - n_tokens) // 512 AS BIGINT) AS seq_first,
+       CAST((fin - 1) // 512 AS BIGINT) AS seq_last
+FROM packed
+""".format(ks=_KS)
 
     oracles['pricing_summary'] = """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,92 @@
+"""Concat-and-chunk sequence packing (operators/packing.py):
+per-bucket streams must be gapless/overlap-free cumsums, chunk
+boundaries must follow integer DIV semantics, zero-token docs must
+vanish, and the layout must be a pure function of the data."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    return spark.read.parquet(SF_DIR + '/documents.parquet').persist()
+
+
+def test_pack_buckets_are_gapless_streams(spark, docs):
+    from yargy_spark.operators.packing import pack_sequences
+    out = pack_sequences(docs, ctx_len=128, n_buckets=4).persist()
+    rows = out.collect()
+    assert rows, 'expected non-empty packing'
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r['bucket'], []).append(r)
+    assert set(by_bucket) <= set(range(4))
+    for bucket, seg in by_bucket.items():
+        seg.sort(key=lambda r: r['start_tok'])
+        # stream starts at 0 and every doc begins where the previous
+        # ended: no gaps, no overlaps, positions are the cumsum
+        pos = 0
+        for r in seg:
+            assert r['start_tok'] == pos, (bucket, r)
+            assert r['n_tokens'] > 0
+            pos += r['n_tokens']
+
+
+def test_pack_chunk_boundaries(spark, docs):
+    from yargy_spark.operators.packing import pack_sequences
+    ctx = 100
+    for r in pack_sequences(docs, ctx_len=ctx, n_buckets=4).collect():
+        assert r['seq_first'] == r['start_tok'] // ctx
+        assert r['seq_last'] == (r['start_tok'] + r['n_tokens'] - 1) // ctx
+        assert r['seq_last'] >= r['seq_first']
+
+
+def test_pack_token_counts_match_textstats(spark, docs):
+    """n_tokens must equal token_counts.ws_tokens doc-for-doc (the
+    shared ws_token_count expression is the contract)."""
+    from yargy_spark.operators.packing import pack_sequences
+    from yargy_spark.operators.textstats import token_counts
+    packed = pack_sequences(docs, ctx_len=64, n_buckets=2)
+    ws = token_counts(docs).select('doc_id', 'ws_tokens')
+    bad = (packed.join(ws, 'doc_id')
+           .where(F.col('n_tokens') != F.col('ws_tokens')))
+    assert bad.count() == 0
+    # zero-token docs are excluded, all others present
+    n_nonzero = ws.where(F.col('ws_tokens') > 0).count()
+    assert packed.count() == n_nonzero
+
+
+def test_pack_deterministic_and_salted(spark, docs):
+    from yargy_spark.operators.packing import pack_sequences
+    a = {r['doc_id']: (r['bucket'], r['start_tok'])
+         for r in pack_sequences(docs, ctx_len=128).collect()}
+    b = {r['doc_id']: (r['bucket'], r['start_tok'])
+         for r in pack_sequences(docs, ctx_len=128).collect()}
+    assert a == b
+    # a different salt re-shuffles the layout (epoch reshuffle knob)
+    c = {r['doc_id']: (r['bucket'], r['start_tok'])
+         for r in pack_sequences(docs, ctx_len=128,
+                                 salt='epoch1').collect()}
+    assert a != c
+
+
+def test_pack_rejects_bad_params(docs):
+    from yargy_spark.operators.packing import pack_sequences
+    with pytest.raises(ValueError):
+        pack_sequences(docs, ctx_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, n_buckets=0)
+
+
+def test_pack_single_exchange_plan(spark, docs):
+    """Scale shape: exactly one Exchange (the bucket shuffle) feeds
+    the running-sum window; everything else is codegen."""
+    from yargy_spark.operators.packing import pack_sequences
+    plan = pack_sequences(docs, ctx_len=128)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count('Exchange') == 1, plan

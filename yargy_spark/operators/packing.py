@@ -1,0 +1,84 @@
+"""Deterministic sequence packing for LLM training pipelines.
+
+After cleanup/dedup/sampling, a pretraining pipeline concatenates
+documents and slices the stream into fixed ``ctx_len``-token training
+sequences ("concat-and-chunk", the standard GPT/LLaMA data layout).
+At 100 TB the naive formulation — ONE global document order — is a
+single sequential scan and cannot be distributed, so this operator
+packs within deterministic hash buckets: each bucket is an
+independent token stream (= one output shard), and buckets pack in
+parallel.  Everything derives from the salted portable 60-bit md5
+hash (``dedup.md5_int``), so the layout is reproducible across
+reruns, resumes and engines — a crashed packing job re-derives byte-
+identical shard layouts, and the DuckDB oracle replays every
+assignment.
+
+Scale shape: one shuffle (the bucket exchange), then a per-bucket
+running-sum window.  A bucket's cumsum is inherently sequential (it
+IS the document order), so parallelism = ``n_buckets``; choose
+n_buckets >= cluster cores (it is also the output shard count, so
+~thousands at the 100 TB design point).  All expressions are JVM-side
+codegen — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+from .sampling import _key_str
+from .textstats import ws_token_count
+
+
+def pack_sequences(docs: DataFrame, ctx_len: int = 512,
+                   key_col: str = 'doc_id', n_buckets: int = 8,
+                   salt: str = 'pack') -> DataFrame:
+    """Assign every document a deterministic position in a packed
+    fixed-length-sequence layout.
+
+    Per document: its shard (``bucket``), its token offset within the
+    shard's concatenated stream (``start_tok``), its whitespace token
+    count (``n_tokens``, see ``textstats.ws_token_count``), and the
+    first/last ``ctx_len``-token training sequence it lands in
+    (``seq_first``/``seq_last`` — concat-and-chunk lets a document
+    straddle a boundary, so a writer slices [start_tok, start_tok +
+    n_tokens) across sequences ``seq_first..seq_last``).
+
+    Order within a bucket is (salted hash, key): hashed order doubles
+    as the corpus shuffle every training run needs — no separate
+    shuffle pass, still fully deterministic.  Zero-token documents
+    are excluded (they occupy no stream positions).
+    """
+    if ctx_len <= 0:
+        raise ValueError('ctx_len must be positive, got %d' % ctx_len)
+    if n_buckets <= 0:
+        raise ValueError('n_buckets must be positive, got %d'
+                         % n_buckets)
+    ks = _key_str(key_col)
+    bucket = F.pmod(md5_int(F.concat(F.lit(salt + 'b|'), ks)),
+                    F.lit(n_buckets))
+    draw = md5_int(F.concat(F.lit(salt + '|'), ks))
+    toks = (docs
+            .select(key_col,
+                    ws_token_count().alias('n_tokens'),
+                    bucket.cast('int').alias('bucket'),
+                    draw.alias('_draw'))
+            .where(F.col('n_tokens') > 0))
+    w = (Window.partitionBy('bucket')
+         .orderBy(F.asc('_draw'), F.asc_nulls_last(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (toks
+            .withColumn('_fin', F.sum('n_tokens').over(w))
+            .withColumn('start_tok',
+                        (F.col('_fin') - F.col('n_tokens'))
+                        .cast('long'))
+            # integer DIV (not /): '/' is DOUBLE division in Spark
+            # SQL; a double quotient loses exactness past 2^53 and
+            # DuckDB's // is floor-integer — DIV matches it exactly
+            .withColumn('seq_first',
+                        F.expr('start_tok DIV %d' % ctx_len))
+            .withColumn('seq_last',
+                        F.expr('(_fin - 1) DIV %d' % ctx_len))
+            .select(key_col, 'bucket', 'start_tok', 'n_tokens',
+                    'seq_first', 'seq_last'))

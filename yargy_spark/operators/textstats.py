@@ -88,16 +88,25 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         keep.alias('keep'))
 
 
+def ws_token_count(text_col=None):
+    """Whitespace token-count expression (shared by ``token_counts``,
+    ``packing.pack_sequences`` and ``sampling.mixture_sample`` so the
+    three can never count differently).  split('') yields [''] (size
+    1): empty/whitespace-only docs must count 0 tokens, not 1.
+    DuckDB replay: ``CASE WHEN length(trim(lower(text))) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END``.
+    """
+    text = F.lower(text_col if text_col is not None else F.col('text'))
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(text), r'\s+')))
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + regex (BPE-ish) token count."""
     text = F.lower(F.col('text'))
-    # split('') yields [''] (size 1): empty/whitespace-only docs must
-    # count 0 whitespace tokens, not 1
-    ws = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(F.trim(text), r'\s+')))
     re_toks = F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN),
                                           F.lit(0)))
-    return docs.select('doc_id', ws.alias('ws_tokens'),
+    return docs.select('doc_id', ws_token_count().alias('ws_tokens'),
                        re_toks.alias('re_tokens'))
 
 
