@@ -423,6 +423,17 @@ def q_source_reservoir(spark, sf_dir) -> DataFrame:
             .select('source', 'doc_id'))
 
 
+def q_mixture_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic token-budget data mixture
+    (operators/sampling.py::mixture_sample): 50/30/20 en/zh/de shares
+    of a 6000-token budget; es/fr excluded by omission."""
+    from yargy_spark.operators.sampling import mixture_sample
+    return (mixture_sample(_docs(spark, sf_dir), 'lang',
+                           {'en': 0.5, 'zh': 0.3, 'de': 0.2},
+                           6000, 'doc_id')
+            .select('doc_id', 'lang', 'n_tokens'))
+
+
 def q_pack_sequences(spark, sf_dir) -> DataFrame:
     """Deterministic concat-and-chunk packing layout
     (operators/packing.py): per-doc shard, stream offset, and
@@ -542,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_splits': q_doc_splits,
         'lang_balanced_sample': q_lang_balanced_sample,
         'source_reservoir': q_source_reservoir,
+        'mixture_sample': q_mixture_sample,
         'pack_sequences': q_pack_sequences,
         'pricing_summary': q_pricing_summary,
         'top_customers': q_top_customers,
@@ -1249,6 +1261,34 @@ FROM (SELECT source, doc_id,
 WHERE r <= 5
 """.format(h="('0x' || substr(md5('reservoir|' || " + _KS +
              "), 1, 15))::int64")
+
+    # token-budget mixture (operators/sampling.py::mixture_sample):
+    # integer targets (weight_bp * budget DIV 10000 precomputed:
+    # en 3000 / zh 1800 / de 1200 of 6000) and integer keep
+    # thresholds replay exactly; sum(INT) is HUGEINT -> cast
+    oracles['mixture_sample'] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)),
+                                             '\\s+')) END
+         AS INT) AS n_tokens
+  FROM documents),
+tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+        FROM toks GROUP BY lang),
+kf AS (
+  SELECT lang,
+    CASE WHEN tot <= 0 THEN 0
+         ELSE LEAST(10000,
+                    CAST(CASE lang WHEN 'de' THEN 1200
+                                   WHEN 'en' THEN 3000
+                                   WHEN 'zh' THEN 1800 END
+                         AS BIGINT) * 10000 // tot) END AS keep_bp
+  FROM tot WHERE lang IN ('de', 'en', 'zh'))
+SELECT doc_id, lang, n_tokens
+FROM toks JOIN kf USING (lang)
+WHERE {b} < keep_bp
+""".format(b=_B.format(salt='mixture'))
 
     # concat-and-chunk packing (operators/packing.py): the token
     # count is the token_counts ws expression, the order is the

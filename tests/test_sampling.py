@@ -170,3 +170,58 @@ def test_stratum_reservoir_exact_k_and_plan(spark, docs):
     assert again == {(r['lang'], r['doc_id']) for r in rows}
     with pytest.raises(ValueError):
         stratum_reservoir(docs, 'lang', 0, 'doc_id')
+
+
+def test_mixture_sample_targets_and_exclusions(spark, docs):
+    """Weighted strata land near their token targets; unweighted
+    strata vanish; oversized weights keep the whole stratum."""
+    from yargy_spark.operators.sampling import mixture_sample
+    out = mixture_sample(docs, 'lang',
+                         {'en': 0.5, 'zh': 0.3, 'de': 0.2},
+                         6000, 'doc_id').persist()
+    kept = dict((r['lang'], r['toks']) for r in
+                out.groupBy('lang').agg(F.sum('n_tokens').alias('toks'))
+                .collect())
+    assert set(kept) <= {'en', 'zh', 'de'}  # es/fr dropped entirely
+    targets = {'en': 3000, 'zh': 1800, 'de': 1200}
+    for lang, tgt in targets.items():
+        # Bernoulli concentration: generous 2x band at this scale
+        assert 0.3 * tgt <= kept.get(lang, 0) <= 2.0 * tgt, (lang, kept)
+    # infeasible share keeps everything (budget under-filled, not
+    # rebalanced): weight 1.0 of a huge budget = the whole stratum
+    full = mixture_sample(docs, 'lang', {'zh': 1.0}, 10**9, 'doc_id')
+    pop = docs.where(F.col('lang') == 'zh').count()
+    assert full.count() == pop
+    out.unpersist()
+
+
+def test_mixture_sample_totals_path_matches_and_is_maponly(spark, docs):
+    """Manifest-supplied totals must reproduce the computed-totals
+    selection exactly, with a shuffle-free plan."""
+    from yargy_spark.operators.sampling import mixture_sample
+    weights = {'en': 0.5, 'zh': 0.3, 'de': 0.2}
+    computed = mixture_sample(docs, 'lang', weights, 6000, 'doc_id')
+    totals = dict(
+        (r['lang'], r['t']) for r in
+        mixture_sample(docs, 'lang', dict.fromkeys(
+            ['de', 'en', 'es', 'fr', 'zh'], 1.0), 10**9, 'doc_id')
+        .groupBy('lang').agg(F.sum('n_tokens').alias('t')).collect())
+    maponly = mixture_sample(docs, 'lang', weights, 6000, 'doc_id',
+                             totals=totals)
+    a = {r['doc_id'] for r in computed.collect()}
+    b = {r['doc_id'] for r in maponly.collect()}
+    assert a == b and a
+    plan = maponly._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan, plan
+    # deterministic across evaluations
+    assert {r['doc_id'] for r in computed.collect()} == a
+
+
+def test_mixture_sample_validation(docs):
+    from yargy_spark.operators.sampling import mixture_sample
+    with pytest.raises(ValueError):
+        mixture_sample(docs, 'lang', {'en': 0.5}, 0, 'doc_id')
+    with pytest.raises(ValueError):
+        mixture_sample(docs, 'lang', {'en': 1.5}, 100, 'doc_id')
+    with pytest.raises(ValueError):
+        mixture_sample(docs, 'lang', {}, 100, 'doc_id')

@@ -130,6 +130,99 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(bucket < thresh)
 
 
+def mixture_sample(docs: DataFrame, strata_col: str,
+                   weights: Dict[str, float], token_budget: int,
+                   key_col: str, salt: str = 'mixture',
+                   totals: Optional[Dict[str, int]] = None,
+                   text_col: str = 'text') -> DataFrame:
+    """Deterministic token-budget mixture sampling — the pretraining
+    data-mixture primitive: given per-stratum corpus shares (``{'en':
+    0.5, 'zh': 0.3, ...}``, fractions of ``token_budget``), keep a
+    hash-selected subset of each stratum whose expected token mass
+    hits that stratum's share of the budget.  Strata absent from
+    ``weights`` (including NULL strata) are dropped.
+
+    Exactness contract: per-stratum targets quantize to integers
+    (``target = weight_bp * token_budget DIV 10000``) and the keep
+    threshold is integer basis points (``least(10000, target * 10000
+    DIV stratum_total)``), so the decision for every document is a
+    pure integer function of the data — reproducible across reruns,
+    resumes and engines, and replayable by the DuckDB oracle.  The
+    realized token mass is Bernoulli-concentrated around the target
+    (tight at corpus scale); a stratum smaller than its target keeps
+    everything (budget under-filled — the caller's weights are
+    infeasible for that stratum, not silently rebalanced).
+
+    Scale shape: token totals come from ONE tiny aggregate
+    (map-side-combined, |strata| rows) broadcast-joined back — no
+    driver collect, no extra action, but inherently a second pass
+    over the text.  At the 100 TB design point pass the totals from
+    manifest/snapshot statistics (``totals={'en': 123, ...}``) and
+    the operator becomes a single map-only filtered scan in
+    whole-stage codegen: zero shuffles, zero joins.
+
+    Output: the input rows of selected documents plus ``n_tokens``
+    (the shared ``textstats.ws_token_count`` count over
+    ``text_col``).
+    """
+    if token_budget <= 0:
+        raise ValueError('token_budget must be positive, got %r'
+                         % (token_budget,))
+
+    def bp(f: float) -> int:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError('weight out of [0, 1]: %r' % (f,))
+        return int(round(f * BUCKETS))
+
+    if not weights:
+        raise ValueError('weights must name at least one stratum')
+    targets = {s: bp(w) * token_budget // BUCKETS
+               for s, w in weights.items()}
+
+    from .textstats import ws_token_count
+    toks = docs.withColumn('n_tokens',
+                           ws_token_count(F.col(text_col)))
+    bucket = _bucket(key_col, salt)
+
+    if totals is not None:
+        # map-only path: thresholds resolve to literals, the filter
+        # sits in codegen next to the scan
+        keep = None
+        for s in sorted(targets):
+            tot = int(totals.get(s, 0))
+            kbp = 0 if tot <= 0 else min(
+                BUCKETS, targets[s] * BUCKETS // tot)
+            cond = F.col(strata_col) == s
+            keep = (F.when(cond, kbp) if keep is None
+                    else keep.when(cond, kbp))
+        return toks.where(bucket < keep)
+
+    target = None
+    for s in sorted(targets):
+        cond = F.col(strata_col) == s
+        # LONG literal: an INT target would overflow at target *
+        # 10000 once a stratum's token target passes ~214k — i.e. on
+        # any real corpus
+        tgt = F.lit(targets[s]).cast('long')
+        target = (F.when(cond, tgt) if target is None
+                  else target.when(cond, tgt))
+    tot = (toks.groupBy(strata_col)
+           .agg(F.sum('n_tokens').cast('long').alias('_tot')))
+    out = (toks
+           .withColumn('_target', target)
+           .where(F.col('_target').isNotNull())
+           .join(F.broadcast(tot), strata_col)
+           .withColumn(
+               '_keep_bp',
+               F.when(F.col('_tot') <= 0, F.lit(0)).otherwise(
+                   F.least(F.lit(BUCKETS),
+                           F.expr('(_target * %d) DIV _tot'
+                                  % BUCKETS))))
+           .where(bucket < F.col('_keep_bp'))
+           .drop('_target', '_tot', '_keep_bp'))
+    return out
+
+
 def stratum_reservoir(df: DataFrame, strata_col: str, k: int,
                       key_col: str,
                       salt: str = 'reservoir') -> DataFrame:
