@@ -206,30 +206,10 @@ def q_kg_lemma_tokens(spark, sf_dir) -> DataFrame:
                     F.array_join('lemmas', ',').alias('lemmas')))
 
 
-def q_events_asof(spark, sf_dir) -> DataFrame:
-    """As-of join: each click annotated with the user's most recent
-    error at-or-before it (union-and-carry composition, one shuffle)."""
-    from pyspark.sql import Window
-    from yargy_spark.operators.events import asof_join
-    ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
-    clicks = (ev.where(F.col('event_type') == 'click')
-              .select('event_id', 'user_id', 'ts'))
-    w = Window.partitionBy('user_id', 'ts').orderBy(F.desc('event_id'))
-    errors = (ev.where(F.col('event_type') == 'error')
-              .withColumn('rn', F.row_number().over(w))
-              .where(F.col('rn') == 1)
-              .select('user_id', 'ts', 'event_id'))
-    out = asof_join(clicks, errors, on='user_id',
-                    right_cols=('event_id',))
-    return out.select('event_id', 'user_id',
-                      F.col('r_event_id').alias('last_error_id'))
-
-
-def q_events_asof_bucketed(spark, sf_dir) -> DataFrame:
-    """Same as-of join through the hot-key mitigation path: the carry
-    window partitions by (user_id, 6h time bucket) with per-bucket
-    seeds, so one hot user parallelizes across its time range.  Must
-    be row-identical to events_asof (same DuckDB ASOF oracle)."""
+def _asof_query(spark, sf_dir, ts_bucket_width=None) -> DataFrame:
+    """Shared body of the two as-of variants — they share ONE DuckDB
+    oracle and must stay row-identical, so the clicks/errors prep
+    exists exactly once and only the mitigation knob differs."""
     from pyspark.sql import Window
     from yargy_spark.operators.events import asof_join
     ev = spark.read.parquet(os.path.join(sf_dir, 'events.parquet'))
@@ -242,9 +222,23 @@ def q_events_asof_bucketed(spark, sf_dir) -> DataFrame:
               .select('user_id', 'ts', 'event_id'))
     out = asof_join(clicks, errors, on='user_id',
                     right_cols=('event_id',),
-                    ts_bucket_width=6 * 3600.0)
+                    ts_bucket_width=ts_bucket_width)
     return out.select('event_id', 'user_id',
                       F.col('r_event_id').alias('last_error_id'))
+
+
+def q_events_asof(spark, sf_dir) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent
+    error at-or-before it (union-and-carry composition, one shuffle)."""
+    return _asof_query(spark, sf_dir)
+
+
+def q_events_asof_bucketed(spark, sf_dir) -> DataFrame:
+    """Same as-of join through the hot-key mitigation path: the carry
+    window partitions by (user_id, 6h time bucket) with per-bucket
+    seeds, so one hot user parallelizes across its time range.  Must
+    be row-identical to events_asof (same DuckDB ASOF oracle)."""
+    return _asof_query(spark, sf_dir, ts_bucket_width=6 * 3600.0)
 
 
 def q_kg_entity_cooccurrence(spark, sf_dir) -> DataFrame:
@@ -906,12 +900,14 @@ FROM r GROUP BY role, tool
         ['win_start', 'fact_type', 'n_mentions'],
         casts={'win_start': 'BIGINT', 'n_mentions': 'BIGINT'})
 
+    # group key is (hash, normalized text) — collision guard parity
+    # with operators/dedup.py::exact_dedup
     oracles['exact_dedup'] = """
 WITH hashed AS (
-  SELECT doc_id, {h} AS h FROM documents)
+  SELECT doc_id, {h} AS h, {norm} AS t FROM documents)
 SELECT min(doc_id) AS rep_id, count(*) AS group_size
-FROM hashed GROUP BY h
-""".format(h=_H60.format(x=_NORM))
+FROM hashed GROUP BY h, t
+""".format(h=_H60.format(x=_NORM), norm=_NORM)
 
     oracles['ngram_jaccard_dups'] = """
 WITH {df},

@@ -225,3 +225,8 @@ def test_mixture_sample_validation(docs):
         mixture_sample(docs, 'lang', {'en': 1.5}, 100, 'doc_id')
     with pytest.raises(ValueError):
         mixture_sample(docs, 'lang', {}, 100, 'doc_id')
+    # a weighted stratum missing from manifest totals must raise,
+    # not silently drop the stratum (stale-manifest guard)
+    with pytest.raises(ValueError, match='missing weighted strata'):
+        mixture_sample(docs, 'lang', {'en': 0.5, 'de': 0.5}, 100,
+                       'doc_id', totals={'en': 1000})

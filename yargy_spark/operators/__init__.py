@@ -8,10 +8,14 @@ from .triples import materialize_triples         # noqa: F401
 from .tokens import (annotate_lemmas,            # noqa: F401
                      lexicon_table, token_table)
 from .events import asof_join                    # noqa: F401
-from .dedup import (exact_dedup,                 # noqa: F401
+from .dedup import (clean_corpus, exact_dedup,   # noqa: F401
                     embedding_dup_pairs, minhash_lsh_pairs,
                     minhash_signatures, ngram_jaccard_pairs,
                     simhash_docs, word_shingles)
+from .sampling import (hash_split,               # noqa: F401
+                       mixture_sample, stratified_sample,
+                       stratum_reservoir)
+from .packing import pack_sequences              # noqa: F401
 from .similarity import cosine_topk, ivf_topk    # noqa: F401
 from .textstats import (doc_fingerprints,        # noqa: F401
                         lang_id, quality_scores, token_counts)

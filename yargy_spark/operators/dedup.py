@@ -80,11 +80,19 @@ def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup on normalized text: one representative
-    (min doc_id) per distinct text + group size."""
+    (min doc_id) per distinct text + group size.
+
+    The group key is (hash, normalized text), not the hash alone —
+    the same birthday-collision guard as ``_exact_groups``: at the
+    10^9-doc design point a 60-bit collision merging two DISTINCT
+    texts is plausible (~50% at ~1.3e9 texts) and would silently
+    fold one text's documents into the other's group.  The hash is a
+    shuffle-balancing prefix; equality is decided on the text."""
+    norm = _norm_text(F.col('text'))
     return (docs
-            .select('doc_id',
-                    md5_int(_norm_text(F.col('text'))).alias('text_hash'))
-            .groupBy('text_hash')
+            .select('doc_id', md5_int(norm).alias('text_hash'),
+                    norm.alias('_norm'))
+            .groupBy('text_hash', '_norm')
             .agg(F.min('doc_id').alias('rep_id'),
                  F.count('*').alias('group_size'))
             .select('rep_id', 'group_size'))

@@ -49,6 +49,13 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 512,
     as the corpus shuffle every training run needs — no separate
     shuffle pass, still fully deterministic.  Zero-token documents
     are excluded (they occupy no stream positions).
+
+    Contract: ``key_col`` must uniquely identify rows (same contract
+    as ``sampling.stratum_reservoir``) — duplicate keys share one
+    (bucket, draw, key) sort position, making their relative order in
+    the cumsum partition-order-dependent, which breaks exactly the
+    byte-identical-layout guarantee above.  Run ``exact_dedup`` /
+    key-dedup upstream first.
     """
     if ctx_len <= 0:
         raise ValueError('ctx_len must be positive, got %d' % ctx_len)

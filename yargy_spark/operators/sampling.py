@@ -186,10 +186,20 @@ def mixture_sample(docs: DataFrame, strata_col: str,
 
     if totals is not None:
         # map-only path: thresholds resolve to literals, the filter
-        # sits in codegen next to the scan
+        # sits in codegen next to the scan.  Every weighted stratum
+        # must be present in totals: silently treating a missing
+        # stratum as empty would DROP it entirely — the opposite of
+        # the computed path's keep-everything-when-small behavior
+        # (e.g. manifest stats that predate a newly added language).
+        missing = sorted(set(targets) - set(totals))
+        if missing:
+            raise ValueError(
+                'totals missing weighted strata %r — stale manifest '
+                'statistics? (a missing stratum would be silently '
+                'dropped, not kept)' % (missing,))
         keep = None
         for s in sorted(targets):
-            tot = int(totals.get(s, 0))
+            tot = int(totals[s])
             kbp = 0 if tot <= 0 else min(
                 BUCKETS, targets[s] * BUCKETS // tot)
             cond = F.col(strata_col) == s

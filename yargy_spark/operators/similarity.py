@@ -166,7 +166,27 @@ def _seed_centroids(embeddings: DataFrame,
         lit, 'centroid_id int, centv array<double>')
 
 
-def nearest_centroid_udf(spark, cent_rows, n_assign: int):
+def codebook_broadcast(spark, cent_rows):
+    """One SparkContext broadcast of the codebook as ready ndarrays
+    (ascending-centroid-id order): ``(cids int64[k], C float64[k,d])``.
+
+    Shared by the assignment and probe UDFs of one IVF query so the
+    codebook ships once, and pre-converted so the hot-path UDF never
+    rebuilds arrays from Python lists per Arrow batch (at a
+    100k x 100-dim codebook that conversion would dominate the
+    assignment pass).  Lifecycle: the broadcast lives as long as a
+    plan references it; Spark's ContextCleaner reclaims it once the
+    last referencing DataFrame is garbage-collected."""
+    import numpy as np
+
+    rows = sorted(((int(r[0]), [float(v) for v in r[1]])
+                   for r in cent_rows), key=lambda t: t[0])
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    C = np.array([v for _, v in rows], dtype=np.float64)
+    return spark.sparkContext.broadcast((cids, C))
+
+
+def nearest_centroid_udf(spark, cent_rows, n_assign: int, bc=None):
     """Build a map-only pandas UDF ``embedding -> array<int>`` of the
     ``n_assign`` nearest centroid ids, in rank order.
 
@@ -192,17 +212,14 @@ def nearest_centroid_udf(spark, cent_rows, n_assign: int):
 
     from pyspark.sql.functions import pandas_udf
 
-    rows = sorted(((int(r[0]), [float(v) for v in r[1]])
-                   for r in cent_rows), key=lambda t: t[0])
-    bc = spark.sparkContext.broadcast(rows)
+    if bc is None:
+        bc = codebook_broadcast(spark, cent_rows)
     _NULL_SIM = -(1 << 62)  # valid sims live in [-10000, 10000]
 
     @pandas_udf('array<int>')
     def _assign(emb):
         import pandas as pd
-        cids_vecs = bc.value
-        cids = np.array([c for c, _ in cids_vecs], dtype=np.int64)
-        C = np.array([v for _, v in cids_vecs], dtype=np.float64)
+        cids, C = bc.value
         k, d = C.shape
         take = min(n_assign, k)
         # centroid-side norm terms: same per-row pairwise reduction the
@@ -239,7 +256,7 @@ def nearest_centroid_udf(spark, cent_rows, n_assign: int):
 
 
 def _nearest(embeddings: DataFrame, cent: DataFrame,
-             n_assign: int = 1) -> DataFrame:
+             n_assign: int = 1, bc=None) -> DataFrame:
     """(vec_id, embedding, centroid_id) for each vector's ``n_assign``
     nearest centroids — map-only (see ``nearest_centroid_udf``): no
     Exchange between the embedding scan and the assignment, and no
@@ -253,16 +270,17 @@ def _nearest(embeddings: DataFrame, cent: DataFrame,
     spark = embeddings.sparkSession
     if isinstance(cent, DataFrame):
         cent = [(r['centroid_id'], r['centv']) for r in cent.collect()]
-    assign = nearest_centroid_udf(spark, cent, n_assign)
+    assign = nearest_centroid_udf(spark, cent, n_assign, bc=bc)
     return (embeddings
             .select('vec_id', 'embedding',
                     F.explode(assign(F.col('embedding')))
                     .alias('centroid_id')))
 
 
-def _centroids(embeddings: DataFrame, n_centroids: int,
-               lloyd_rounds: int = 1) -> DataFrame:
-    """Deterministic seeded k-means centroids (the ONE centroid
+def _centroids_rows(embeddings: DataFrame, n_centroids: int,
+                    lloyd_rounds: int = 1) -> list:
+    """Deterministic seeded k-means centroids as a collected
+    ``[(centroid_id, centv), ...]`` list (the ONE centroid
     definition, shared by assignment and probing so they can never
     drift apart).
 
@@ -292,23 +310,30 @@ def _centroids(embeddings: DataFrame, n_centroids: int,
                      / F.lit(10000.0)).alias('val')))).alias('pv'))
                 .select('centroid_id',
                         F.col('pv.val').alias('centv')))
-    # materialize the (tiny: n_centroids rows) result as a literal
-    # frame: downstream plans reference centroids several times
-    # (assignment + probing) and would otherwise recompute the whole
-    # k-means subplan per reference.  An O(n_centroids) driver
-    # collect, not a data collect.
-    rows = [(int(r['centroid_id']), [float(v) for v in r['centv']])
+    # materialize the (tiny: n_centroids rows) result driver-side:
+    # downstream plans reference centroids several times (assignment
+    # + probing) and would otherwise recompute the whole k-means
+    # subplan per reference.  An O(n_centroids) driver collect, not
+    # a data collect.
+    return [(int(r['centroid_id']), [float(v) for v in r['centv']])
             for r in cent.collect()]
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int,
+               lloyd_rounds: int = 1) -> DataFrame:
+    """``_centroids_rows`` as a literal DataFrame, for callers that
+    compose it into further plans."""
     return embeddings.sparkSession.createDataFrame(
-        rows, 'centroid_id int, centv array<double>')
+        _centroids_rows(embeddings, n_centroids, lloyd_rounds),
+        'centroid_id int, centv array<double>')
 
 
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16,
                n_assign: int = 1) -> DataFrame:
     """Assign every vector to its ``n_assign`` nearest k-means
-    centroids; the assignment join broadcasts the centroid
-    dimension."""
-    return _nearest(embeddings, _centroids(embeddings, n_centroids),
+    centroids — map-only over the broadcast codebook."""
+    return _nearest(embeddings,
+                    _centroids_rows(embeddings, n_centroids),
                     n_assign)
 
 
@@ -317,10 +342,11 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     """IVF-lite approximate top-k: search only vectors assigned to the
     query's ``n_probe`` nearest centroids."""
     # compute the k-means subplan ONCE, collect the (tiny) codebook
-    # once, and share it between assignment and probing
-    cent = _centroids(embeddings, n_centroids)
-    cent_rows = [(r['centroid_id'], r['centv']) for r in cent.collect()]
-    assigned = _nearest(embeddings, cent_rows, 1)
+    # once, broadcast it ONCE, and share the broadcast between
+    # assignment and probing
+    cent_rows = _centroids_rows(embeddings, n_centroids)
+    bc = codebook_broadcast(embeddings.sparkSession, cent_rows)
+    assigned = _nearest(embeddings, cent_rows, 1, bc=bc)
 
     q = (embeddings.where(F.col('vec_id') < n_queries)
          .select(F.col('vec_id').alias('query_id'),
@@ -328,7 +354,7 @@ def ivf_topk(embeddings: DataFrame, k: int = 5, n_queries: int = 10,
     # probe selection is the same nearest-centroid problem at
     # n_assign=n_probe — map-only, no per-query window exchange
     probe_udf = nearest_centroid_udf(
-        embeddings.sparkSession, cent_rows, n_probe)
+        embeddings.sparkSession, cent_rows, n_probe, bc=bc)
     probes = q.select('query_id', 'qv',
                       F.explode(probe_udf(F.col('qv')))
                       .alias('centroid_id'))
