@@ -417,6 +417,18 @@ def q_source_reservoir(spark, sf_dir) -> DataFrame:
             .select('source', 'doc_id'))
 
 
+def q_decontam_pairs(spark, sf_dir) -> DataFrame:
+    """Eval-set decontamination (operators/dedup.py::decontaminate):
+    documents sharing >=2 distinct 3-gram shingles with the held-out
+    eval slice (doc_id % 97 == 0) — broadcast eval shingles, no
+    corpus shuffle."""
+    from yargy_spark.operators.dedup import decontaminate
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col('doc_id') % 97 != 0)
+    ev = docs.where(F.col('doc_id') % 97 == 0)
+    return decontaminate(train, ev, k=3, min_hits=2)
+
+
 def q_mixture_sample(spark, sf_dir) -> DataFrame:
     """Deterministic token-budget data mixture
     (operators/sampling.py::mixture_sample): 50/30/20 en/zh/de shares
@@ -547,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_splits': q_doc_splits,
         'lang_balanced_sample': q_lang_balanced_sample,
         'source_reservoir': q_source_reservoir,
+        'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
         'pack_sequences': q_pack_sequences,
         'pricing_summary': q_pricing_summary,
@@ -1257,6 +1270,31 @@ FROM (SELECT source, doc_id,
 WHERE r <= 5
 """.format(h="('0x' || substr(md5('reservoir|' || " + _KS +
              "), 1, 15))::int64")
+
+    # eval-set decontamination (operators/dedup.py::decontaminate):
+    # the hash join replays on the same 60-bit shingle hash both
+    # engines compute; count(*) is BIGINT in both
+    oracles['decontam_pairs'] = """
+WITH tnorm AS (SELECT doc_id, string_split({norm}, ' ') AS w
+               FROM documents WHERE doc_id % 97 <> 0),
+tsh AS (
+  SELECT DISTINCT doc_id,
+         {h_t} AS hsh
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM tnorm WHERE len(w) >= 3)),
+enorm AS (SELECT doc_id, string_split({norm}, ' ') AS w
+          FROM documents WHERE doc_id % 97 = 0),
+esh AS (
+  SELECT DISTINCT doc_id AS eval_id,
+         {h_t} AS hsh
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM enorm WHERE len(w) >= 3))
+SELECT t.doc_id, e.eval_id, count(*) AS n_hits
+FROM tsh t JOIN esh e USING (hsh)
+GROUP BY t.doc_id, e.eval_id
+HAVING count(*) >= 2
+""".format(norm=_NORM,
+           h_t=_H60.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]"))
 
     # token-budget mixture (operators/sampling.py::mixture_sample):
     # integer targets (weight_bp * budget DIV 10000 precomputed:

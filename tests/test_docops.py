@@ -391,3 +391,41 @@ def test_may_dates_carry_month(spark):
     rows = extract_mentions(df, ['date']).collect()
     assert _json.loads(rows[0]['fact_json']) == {
         'day': 8, 'month': 5, 'year': 2015}
+
+
+def test_decontaminate_flags_overlap_and_stays_broadcast(spark):
+    """A training doc sharing >=min_hits shingles with an eval doc is
+    flagged with the exact hit count; disjoint docs are not; the eval
+    side must enter as a broadcast (no corpus-side shuffle join)."""
+    from yargy_spark.operators.dedup import decontaminate
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, 'doc_id long, text string')
+    train = mk([
+        (1, 'alpha beta gamma delta epsilon'),   # 2 shared 3-grams
+        (2, 'alpha beta gamma zeta eta'),        # 1 shared 3-gram
+        (3, 'completely different words here'),  # none
+    ])
+    ev = mk([(100, 'alpha beta gamma delta epsilon theta')])
+    got = {(r['doc_id'], r['eval_id']): r['n_hits']
+           for r in decontaminate(train, ev, k=3, min_hits=2).collect()}
+    # doc 1 shares 'alpha beta gamma','beta gamma delta','gamma delta
+    # epsilon' = 3 hits; doc 2 only 'alpha beta gamma'; doc 3 nothing
+    assert got == {(1, 100): 3}
+    one = {(r['doc_id'], r['eval_id']): r['n_hits']
+           for r in decontaminate(train, ev, k=3, min_hits=1).collect()}
+    assert one == {(1, 100): 3, (2, 100): 1}
+    plan = decontaminate(train, ev)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan and 'SortMergeJoin' not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decontaminate(train, ev, min_hits=0)
+
+
+def test_decontaminate_clean_corpus_is_empty(spark, docs):
+    """An eval set with no lexical overlap yields zero pairs."""
+    from yargy_spark.operators.dedup import decontaminate
+    ev = spark.createDataFrame(
+        [(999999, 'zzz yyy xxx www vvv uuu')],
+        'doc_id long, text string')
+    assert decontaminate(docs, ev, k=3, min_hits=1).count() == 0

@@ -8,7 +8,8 @@ from .triples import materialize_triples         # noqa: F401
 from .tokens import (annotate_lemmas,            # noqa: F401
                      lexicon_table, token_table)
 from .events import asof_join                    # noqa: F401
-from .dedup import (clean_corpus, exact_dedup,   # noqa: F401
+from .dedup import (clean_corpus, decontaminate,  # noqa: F401
+                    exact_dedup,
                     embedding_dup_pairs, minhash_lsh_pairs,
                     minhash_signatures, ngram_jaccard_pairs,
                     simhash_docs, word_shingles)

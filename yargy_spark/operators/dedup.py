@@ -301,6 +301,47 @@ def _minhash_rep_pairs(reps: DataFrame, k: int,
             .select('a', 'b', 'jaccard_x10000'))
 
 
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  k: int = 3, min_hits: int = 1) -> DataFrame:
+    """Eval-set decontamination: which training documents share
+    ``>= min_hits`` distinct word ``k``-grams with which benchmark
+    documents — the pretraining hygiene pass that keeps test-set
+    leakage out of the training corpus.  Returns ``(doc_id, eval_id,
+    n_hits)``; remove contamination with a broadcast anti-join of
+    ``docs`` against the distinct ``doc_id``s.
+
+    Scale shape: the eval side is benchmark-sized (10^4-10^6 docs)
+    against a 100 TB training corpus, so the eval shingles are hashed
+    to 60-bit ints (~8 B each) and BROADCAST — the contamination
+    check is a map-side hash join against the streaming (doc_id,
+    shingle-hash) scan, no corpus shuffle.  The only exchange is the
+    final (doc_id, eval_id) hit count, whose input is |matching
+    shingles| rows — tiny, because contamination is rare by
+    construction.  Joining on the hash admits ~|shingle-pairs|/2^61
+    false hits (same tolerance as ``_pair_jaccard``); raise
+    ``min_hits`` (real decontamination uses 8-13-gram windows with
+    multiple hits) to make false positives vanishing.
+
+    Both inputs need (doc_id, text); normalization and shingling are
+    ``word_shingles`` — identical to the near-dup family, so one
+    shingle definition serves the whole hygiene pipeline.
+    """
+    if min_hits <= 0:
+        raise ValueError('min_hits must be positive, got %d'
+                         % min_hits)
+    train_sh = (word_shingles(docs, k)
+                .select('doc_id', md5_int(F.col('shingle'))
+                        .alias('hsh')))
+    eval_sh = (word_shingles(eval_docs, k)
+               .select(F.col('doc_id').alias('eval_id'),
+                       md5_int(F.col('shingle')).alias('hsh')))
+    return (train_sh
+            .join(F.broadcast(eval_sh), 'hsh')
+            .groupBy('doc_id', 'eval_id')
+            .agg(F.count('*').alias('n_hits'))
+            .where(F.col('n_hits') >= min_hits))
+
+
 def clean_corpus(docs: DataFrame,
                  k: int = 3,
                  threshold_x10000: int = LSH_DEFAULT_THRESHOLD,
