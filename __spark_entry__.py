@@ -313,6 +313,22 @@ def q_minhash_lsh_dups(spark, sf_dir) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-duplicate clusters: MinHash/LSH pairs fed into the SAME
+    alternating large/small-star connected-components operator the
+    KG entity linker uses (operators/linking.py) — cluster_id = min
+    doc_id of the component.  Gated against a DuckDB RECURSIVE-CTE
+    transitive closure of the identical pair set, putting the CC
+    kernel itself under the value-hash gate."""
+    from yargy_spark.operators.dedup import minhash_lsh_pairs
+    from yargy_spark.operators.linking import connected_components
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir))
+    cc = connected_components(
+        pairs.select(F.col('a').alias('src'), F.col('b').alias('dst')))
+    return cc.select(F.col('node').alias('doc_id'),
+                     F.col('component').alias('cluster_id'))
+
+
 def q_clean_corpus(spark, sf_dir) -> DataFrame:
     """End-to-end corpus cleanup composition: quality gate -> exact
     dedup -> MinHash/LSH near-dup pruning, one declarative plan."""
@@ -544,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
         'minhash_lsh_dups': q_minhash_lsh_dups,
         'clean_corpus': q_clean_corpus,
+        'dup_clusters': q_dup_clusters,
         'simhash_docs': q_simhash_docs,
         'simhash_dup_pairs': q_simhash_dup_pairs,
         'embedding_dup_pairs': q_embedding_dup_pairs,
@@ -954,6 +971,22 @@ WITH {df},
 """.format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, mc=minhash_cands,
            jv=_JACCARD_VERIFY, thr=LSH_DEFAULT_THRESHOLD,
            exp=_EXPAND_GROUPS)
+
+    # dup_clusters: the SAME minhash pair oracle, closed transitively
+    # by a recursive CTE (UNION dedups, so the fixpoint terminates);
+    # component id = min reachable node, exactly the CC contract
+    oracles['dup_clusters'] = """
+WITH RECURSIVE pairs AS ({mh}),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b AS src, a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION SELECT src AS node, dst AS r FROM edges
+  UNION SELECT e.src AS node, r.r
+        FROM edges e JOIN reach r ON e.dst = r.node)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""".format(mh=oracles['minhash_lsh_dups'])
 
     # clean_corpus replays the full composition: the quality_scores
     # keep-predicate as a row filter, dedup-first representatives over

@@ -429,3 +429,28 @@ def test_decontaminate_clean_corpus_is_empty(spark, docs):
         [(999999, 'zzz yyy xxx www vvv uuu')],
         'doc_id long, text string')
     assert decontaminate(docs, ev, k=3, min_hits=1).count() == 0
+
+
+def test_dup_clusters_composition(spark, docs):
+    """minhash pairs -> connected components: members of a returned
+    cluster are mutually reachable, cluster_id is the min member, and
+    every pair endpoint lands in one cluster."""
+    from yargy_spark.operators.dedup import minhash_lsh_pairs
+    from yargy_spark.operators.linking import connected_components
+    from pyspark.sql import functions as F
+    pairs = minhash_lsh_pairs(docs).persist()
+    cc = connected_components(
+        pairs.select(F.col('a').alias('src'),
+                     F.col('b').alias('dst'))).persist()
+    comp = {r['node']: r['component'] for r in cc.collect()}
+    if comp:  # sf0.001 may have few dups; property still must hold
+        # cluster id is the min member id
+        by = {}
+        for n, c in comp.items():
+            by.setdefault(c, []).append(n)
+        for c, members in by.items():
+            assert c == min(members)
+        # both endpoints of every edge share a cluster
+        for r in pairs.collect():
+            assert comp[r['a']] == comp[r['b']]
+    pairs.unpersist(); cc.unpersist()
