@@ -290,6 +290,33 @@ def q_stream_mention_rollup(spark, sf_dir) -> DataFrame:
                     .alias('win_start'), 'fact_type', 'n_mentions'))
 
 
+def q_stream_dedup(spark, sf_dir) -> DataFrame:
+    """Structured Streaming first-copy-wins dedup
+    (streaming/dedup.py): documents replayed as a file stream with
+    deterministic synthetic event times, drained with availableNow.
+    The emitted KEY SET is arrival-order-independent, so the query
+    projects the portable text hash — fully value-hash gated against
+    a batch DISTINCT oracle."""
+    import tempfile
+    from yargy_spark.streaming.dedup import stream_exact_dedup
+    base = tempfile.mkdtemp(prefix='ys_sdedup_q_')
+    src = os.path.join(base, 'src')
+    (_docs(spark, sf_dir)
+     .select('doc_id', 'text',
+             F.timestamp_seconds(F.lit(1767225600)
+                                 + F.col('doc_id') % 600).alias('ts'))
+     .coalesce(4).write.mode('overwrite').json(src))
+    stream = (spark.readStream
+              .schema('doc_id long, text string, ts timestamp')
+              .json(src))
+    deduped = stream_exact_dedup(stream, watermark='30 minutes')
+    name = 'sdedup_' + os.path.basename(base)[-8:]
+    q = (deduped.writeStream.format('memory').queryName(name)
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select('text_hash')
+
+
 def q_kg_token_table(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.tokens import token_table
     from yargy_spark.sources.transcripts import golden_only_transcripts
@@ -556,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
         'stream_mention_rollup': q_stream_mention_rollup,
+        'stream_dedup': q_stream_dedup,
         'exact_dedup': q_exact_dedup,
         'ngram_jaccard_dups': q_ngram_jaccard_dups,
         'minhash_lsh_dups': q_minhash_lsh_dups,
@@ -971,6 +999,12 @@ WITH {df},
 """.format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, mc=minhash_cands,
            jv=_JACCARD_VERIFY, thr=LSH_DEFAULT_THRESHOLD,
            exp=_EXPAND_GROUPS)
+
+    # streaming dedup: whichever copy survives arrival order, the
+    # emitted key set equals batch DISTINCT over normalized text
+    oracles['stream_dedup'] = """
+SELECT DISTINCT {h} AS text_hash FROM documents
+""".format(h=_H60.format(x=_NORM))
 
     # dup_clusters: the SAME minhash pair oracle, closed transitively
     # by a recursive CTE (UNION dedups, so the fixpoint terminates);

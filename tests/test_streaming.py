@@ -130,3 +130,38 @@ def test_watermark_drops_late_data(spark, tmp_path):
     got2 = {(r['window']['start'].minute, r['n_mentions'])
             for r in spark.read.parquet(out).collect()}
     assert got2 == {(0, 1), (30, 1)}   # no re-emit, late row gone
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """First-copy-wins within the watermark horizon: duplicates
+    across micro-batches are dropped, distinct texts all emit."""
+    import json as _json
+    from yargy_spark.streaming.dedup import stream_exact_dedup
+
+    src = tmp_path / 'docs_in'
+    src.mkdir()
+    mk = lambda i, text, m: {'doc_id': i, 'text': text,  # noqa: E731
+                             'ts': '2026-01-01T00:%02d:00.000Z' % m}
+    batch1 = [mk(1, 'alpha beta', 0), mk(2, 'gamma delta', 1),
+              mk(3, 'Alpha  beta', 2)]   # normalized dup of 1
+    batch2 = [mk(4, 'gamma delta', 3),   # dup of 2, later batch
+              mk(5, 'epsilon zeta', 4)]
+    for name, rows in (('b1.json', batch1), ('b2.json', batch2)):
+        with open(src / name, 'w') as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + '\n')
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, ts timestamp')
+              .option('maxFilesPerTrigger', 1)
+              .json(str(src)))
+    deduped = stream_exact_dedup(stream, watermark='30 minutes')
+    q = (deduped.writeStream.format('memory').queryName('sdedup')
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table('sdedup').collect()
+    # 5 docs, 2 dup pairs -> 3 distinct texts emitted exactly once
+    assert len(out) == 3
+    assert len({r['text_hash'] for r in out}) == 3
+    kept_texts = { ' '.join(r['text'].lower().split()) for r in out }
+    assert kept_texts == {'alpha beta', 'gamma delta', 'epsilon zeta'}
