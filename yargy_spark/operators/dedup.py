@@ -64,7 +64,14 @@ def md5_int(col):
 
 
 def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word k-grams of the normalized text."""
+    """(doc_id, shingle) distinct word k-grams of the normalized text.
+
+    Per-doc dedup happens MAP-SIDE via ``array_distinct`` before the
+    explode — a doc's shingles all live in its own row, so a
+    ``.distinct()`` here would shuffle the entire (doc_id, shingle)
+    stream just to remove within-row repeats.  Dropping it removes
+    one full-corpus Exchange from every shingle consumer (minhash,
+    n-gram Jaccard, fingerprints, decontaminate)."""
     arr = F.split(_norm_text(F.col('text')), ' ')
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     grams = F.expr(
@@ -74,8 +81,9 @@ def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
         "ELSE array() END".format(k=k))
     return (docs
             .select('doc_id', arr.alias('words'))
-            .select('doc_id', F.explode(grams).alias('shingle'))
-            .distinct())
+            .select('doc_id',
+                    F.explode(F.array_distinct(grams))
+                    .alias('shingle')))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
