@@ -646,6 +646,13 @@ def _kg_expected():
 
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
+# the ONE SQL twin of textstats.ws_token_count — shared by the
+# token_counts / mixture_sample / pack_sequences oracles so the three
+# can never count differently (mirrors the shared Spark expression)
+_WS_TOKENS = """CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(lower(text)),
+                                      '\\s+')) END AS INT)"""
+
 # Quality-gate fragments shared by oracles['quality_scores'] and the
 # clean_corpus keepdocs CTE — ONE definition so the two oracles (and
 # therefore the gate) can never run different keep thresholds than
@@ -1259,14 +1266,11 @@ FROM base
     oracles['token_counts'] = """
 SELECT doc_id,
   -- empty/whitespace-only text counts 0 tokens (split('') is [''])
-  CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(lower(text)),
-                                           '\\s+')) END
-       AS INT) AS ws_tokens,  -- Spark size() is INT
+  {ws} AS ws_tokens,  -- Spark size() is INT
   CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT)
     AS re_tokens
 FROM documents
-""".format(pat=TOKEN_PATTERN)
+""".format(pat=TOKEN_PATTERN, ws=_WS_TOKENS)
 
     oracles['top_ngrams'] = """
 WITH norm AS (SELECT doc_id, string_split({norm}, ' ') AS w
@@ -1341,27 +1345,23 @@ WHERE r <= 5
     # eval-set decontamination (operators/dedup.py::decontaminate):
     # the hash join replays on the same 60-bit shingle hash both
     # engines compute; count(*) is BIGINT in both
+    # ONE shingle-hash CTE for both sides (the Spark twin routes
+    # train and eval through the same word_shingles); the % 97 split
+    # applies as join-time filters
     oracles['decontam_pairs'] = """
-WITH tnorm AS (SELECT doc_id, string_split({norm}, ' ') AS w
-               FROM documents WHERE doc_id % 97 <> 0),
-tsh AS (
-  SELECT DISTINCT doc_id,
-         {h_t} AS hsh
+WITH norm AS (SELECT doc_id, string_split({norm}, ' ') AS w
+              FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {h} AS hsh
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        FROM tnorm WHERE len(w) >= 3)),
-enorm AS (SELECT doc_id, string_split({norm}, ' ') AS w
-          FROM documents WHERE doc_id % 97 = 0),
-esh AS (
-  SELECT DISTINCT doc_id AS eval_id,
-         {h_t} AS hsh
-  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        FROM enorm WHERE len(w) >= 3))
-SELECT t.doc_id, e.eval_id, count(*) AS n_hits
-FROM tsh t JOIN esh e USING (hsh)
-GROUP BY t.doc_id, e.eval_id
+        FROM norm WHERE len(w) >= 3))
+SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS n_hits
+FROM sh t JOIN sh e USING (hsh)
+WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+GROUP BY t.doc_id, e.doc_id
 HAVING count(*) >= 2
 """.format(norm=_NORM,
-           h_t=_H60.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]"))
+           h=_H60.format(x="w[i] || ' ' || w[i+1] || ' ' || w[i+2]"))
 
     # token-budget mixture (operators/sampling.py::mixture_sample):
     # integer targets (weight_bp * budget DIV 10000 precomputed:
@@ -1369,11 +1369,7 @@ HAVING count(*) >= 2
     # thresholds replay exactly; sum(INT) is HUGEINT -> cast
     oracles['mixture_sample'] = """
 WITH toks AS (
-  SELECT doc_id, lang,
-    CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(lower(text)),
-                                             '\\s+')) END
-         AS INT) AS n_tokens
+  SELECT doc_id, lang, {ws} AS n_tokens
   FROM documents),
 tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
         FROM toks GROUP BY lang),
@@ -1389,7 +1385,7 @@ kf AS (
 SELECT doc_id, lang, n_tokens
 FROM toks JOIN kf USING (lang)
 WHERE {b} < keep_bp
-""".format(b=_B.format(salt='mixture'))
+""".format(b=_B.format(salt='mixture'), ws=_WS_TOKENS)
 
     # concat-and-chunk packing (operators/packing.py): the token
     # count is the token_counts ws expression, the order is the
@@ -1397,11 +1393,7 @@ WHERE {b} < keep_bp
     # sum(INT) is HUGEINT in DuckDB -> cast the running sum back.
     oracles['pack_sequences'] = """
 WITH toks AS (
-  SELECT doc_id,
-    CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(lower(text)),
-                                             '\\s+')) END
-         AS INT) AS n_tokens,
+  SELECT doc_id, {ws} AS n_tokens,
     CAST(('0x' || substr(md5('packb|' || {ks}), 1, 15))::int64 % 8
          AS INT) AS bucket,
     ('0x' || substr(md5('pack|' || {ks}), 1, 15))::int64 AS draw
@@ -1418,7 +1410,7 @@ SELECT doc_id, bucket,
        CAST((fin - n_tokens) // 512 AS BIGINT) AS seq_first,
        CAST((fin - 1) // 512 AS BIGINT) AS seq_last
 FROM packed
-""".format(ks=_KS)
+""".format(ks=_KS, ws=_WS_TOKENS)
 
     oracles['pricing_summary'] = """
 SELECT l_returnflag, l_linestatus,

@@ -71,7 +71,15 @@ def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     ``.distinct()`` here would shuffle the entire (doc_id, shingle)
     stream just to remove within-row repeats.  Dropping it removes
     one full-corpus Exchange from every shingle consumer (minhash,
-    n-gram Jaccard, fingerprints, decontaminate)."""
+    n-gram Jaccard, fingerprints, decontaminate).
+
+    Contract: one row per ``doc_id`` (the standard row-identity
+    contract, same as ``pack_sequences``/``stratum_reservoir``).  A
+    doc_id appearing in several input rows emits its shingles once
+    PER ROW, inflating consumers that count per-doc shingles
+    (``decontaminate`` hit counts, ``top_ngrams`` document
+    frequencies) — run ``exact_dedup``/key-dedup upstream on dirty
+    re-ingested corpora."""
     arr = F.split(_norm_text(F.col('text')), ' ')
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     grams = F.expr(
@@ -330,9 +338,12 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     ``min_hits`` (real decontamination uses 8-13-gram windows with
     multiple hits) to make false positives vanishing.
 
-    Both inputs need (doc_id, text); normalization and shingling are
-    ``word_shingles`` — identical to the near-dup family, so one
-    shingle definition serves the whole hygiene pipeline.
+    Both inputs need (doc_id, text) with one row per doc_id
+    (``word_shingles``'s row-identity contract — duplicate rows
+    would inflate ``n_hits`` once per copy); normalization and
+    shingling are ``word_shingles`` — identical to the near-dup
+    family, so one shingle definition serves the whole hygiene
+    pipeline.
     """
     if min_hits <= 0:
         raise ValueError('min_hits must be positive, got %d'
