@@ -90,7 +90,10 @@ def main():
     for q in ['minhash_lsh_dups', 'ngram_jaccard_dups', 'simhash_docs',
               'simhash_dup_pairs',
               'ann_cosine_topk', 'ann_ivf_topk', 'token_counts',
-              'quality_scores', 'pricing_summary']:
+              'quality_scores', 'pricing_summary',
+              # round-3 pipeline family
+              'pack_sequences', 'mixture_sample', 'decontam_pairs',
+              'clean_corpus']:
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 
