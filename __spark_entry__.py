@@ -493,6 +493,28 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
                           n_buckets=8)
 
 
+def q_training_batches(spark, sf_dir) -> DataFrame:
+    """The WHOLE training-data preparation pipeline as one declarative
+    plan: quality gate -> exact dedup -> LSH near-dup prune
+    (clean_corpus) -> leakage-safe train split (hash_split) ->
+    token-budget language mixture (mixture_sample) -> concat-and-chunk
+    packing (pack_sequences).  Every stage is the scale-shaped
+    operator it reuses; the composed DuckDB oracle replays the chain
+    end-to-end from the same shared SQL fragments."""
+    from yargy_spark.operators.dedup import clean_corpus
+    from yargy_spark.operators.packing import pack_sequences
+    from yargy_spark.operators.sampling import (hash_split,
+                                                mixture_sample)
+    docs = _docs(spark, sf_dir)
+    cleaned = clean_corpus(docs, meta_cols=('text', 'lang'))
+    train = (hash_split(cleaned, 'doc_id')
+             .where(F.col('split') == 'train'))
+    mixed = mixture_sample(train, 'lang',
+                           {'en': 0.5, 'zh': 0.3, 'de': 0.2},
+                           6000, 'doc_id')
+    return pack_sequences(mixed, ctx_len=512, n_buckets=4)
+
+
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     """TPC-H Q1-style rollup. Money/quantity emitted as integer
     hundredths (BIGINT): floor(x*100) is IEEE-deterministic in both
@@ -607,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
         'pack_sequences': q_pack_sequences,
+        'training_batches': q_training_batches,
         'pricing_summary': q_pricing_summary,
         'top_customers': q_top_customers,
         'idle_customers': q_idle_customers,
@@ -1033,6 +1056,14 @@ FROM reach GROUP BY node
     # keep-predicate as a row filter, dedup-first representatives over
     # the kept docs, the SAME banded-minhash candidate chain, and
     # greater-id pruning of every verified pair.
+    # salted portable bucket fragments shared by the sampling oracles
+    # and the training_batches composition: coalesce(..., chr(0))
+    # mirrors sampling._key_str's NULL-key sentinel (a NULL key would
+    # otherwise poison the hash chain)
+    _KS = "coalesce(CAST(doc_id AS VARCHAR), chr(0))"
+    _B = ("('0x' || substr(md5('{{salt}}|' || {ks}), "
+          "1, 15))::int64 % 10000").format(ks=_KS)
+
     oracles['clean_corpus'] = """
 WITH keepdocs AS (
   SELECT doc_id, text FROM (
@@ -1055,6 +1086,54 @@ WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = r.doc_id)
            df=_dedup_first_sql('keepdocs'), sh=_SHINGLES_REPS,
            mc=minhash_cands, jv=_JACCARD_VERIFY,
            thr=LSH_DEFAULT_THRESHOLD)
+
+    # training_batches: the END-TO-END pipeline oracle, composed from
+    # the SAME fragments as its stage oracles — clean_corpus retained
+    # set (embedded verbatim as a CTE), the hash-split train bucket,
+    # the mixture integer thresholds, and the packing cumsum.  Any
+    # drift in a stage oracle shows up here too, by construction.
+    oracles['training_batches'] = """
+WITH clean AS ({clean}),
+cdocs AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN clean c ON c.doc_id = d.doc_id),
+train AS (SELECT * FROM cdocs WHERE {bsplit} < 9800),
+ttoks AS (SELECT doc_id, lang, {ws} AS n_tokens FROM train),
+tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+        FROM ttoks GROUP BY lang),
+kf AS (
+  SELECT lang,
+    CASE WHEN tot <= 0 THEN 0
+         ELSE LEAST(10000,
+                    CAST(CASE lang WHEN 'de' THEN 1200
+                                   WHEN 'en' THEN 3000
+                                   WHEN 'zh' THEN 1800 END
+                         AS BIGINT) * 10000 // tot) END AS keep_bp
+  FROM tot WHERE lang IN ('de', 'en', 'zh')),
+mix AS (SELECT t.doc_id, t.n_tokens FROM ttoks t JOIN kf USING (lang)
+        WHERE {bmix} < keep_bp),
+pk AS (
+  SELECT doc_id, n_tokens,
+    CAST(('0x' || substr(md5('packb|' || {ks}), 1, 15))::int64 % 4
+         AS INT) AS bucket,
+    ('0x' || substr(md5('pack|' || {ks}), 1, 15))::int64 AS draw
+  FROM mix WHERE n_tokens > 0),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY draw ASC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+  FROM pk)
+SELECT doc_id, bucket,
+       CAST(fin - n_tokens AS BIGINT) AS start_tok,
+       n_tokens,
+       CAST((fin - n_tokens) // 512 AS BIGINT) AS seq_first,
+       CAST((fin - 1) // 512 AS BIGINT) AS seq_last
+FROM packed
+""".format(clean=oracles['clean_corpus'],
+           bsplit=_B.format(salt='split'),
+           bmix=_B.format(salt='mixture'),
+           ks=_KS, ws=_WS_TOKENS)
 
     oracles['simhash_docs'] = """
 WITH toks AS (
@@ -1312,12 +1391,8 @@ FROM documents
 """
 
     # deterministic sampling / splits (operators/sampling.py): the
-    # salted 60-bit md5 bucket replays exactly — no rand() anywhere.
-    # coalesce(..., chr(0)) mirrors sampling._key_str's NULL-key
-    # sentinel (a NULL key would otherwise poison the hash chain)
-    _KS = "coalesce(CAST(doc_id AS VARCHAR), chr(0))"
-    _B = ("('0x' || substr(md5('{{salt}}|' || {ks}), "
-          "1, 15))::int64 % 10000").format(ks=_KS)
+    # salted 60-bit md5 bucket replays exactly — no rand() anywhere
+    # (_KS/_B defined above, before the training_batches composition)
     oracles['doc_splits'] = """
 SELECT doc_id,
   CASE WHEN b < 9800 THEN 'train'

@@ -93,7 +93,7 @@ def main():
               'quality_scores', 'pricing_summary',
               # round-3 pipeline family
               'pack_sequences', 'mixture_sample', 'decontam_pairs',
-              'clean_corpus']:
+              'training_batches']:
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 

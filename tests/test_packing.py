@@ -90,3 +90,34 @@ def test_pack_single_exchange_plan(spark, docs):
     plan = pack_sequences(docs, ctx_len=128)._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count('Exchange') == 1, plan
+
+
+def test_training_batches_composition(spark, docs):
+    """clean -> split -> mixture -> pack end-to-end: output docs are
+    retained-train-mixed docs only, and each bucket is a gapless
+    stream (the packing invariant survives the composition)."""
+    from yargy_spark.operators.dedup import clean_corpus
+    from yargy_spark.operators.packing import pack_sequences
+    from yargy_spark.operators.sampling import hash_split, mixture_sample
+    from pyspark.sql import functions as F
+    cleaned = clean_corpus(docs, meta_cols=('text', 'lang'))
+    train = (hash_split(cleaned, 'doc_id')
+             .where(F.col('split') == 'train'))
+    mixed = mixture_sample(train, 'lang', {'en': 1.0}, 10**9, 'doc_id')
+    packed = pack_sequences(mixed, ctx_len=128, n_buckets=2).persist()
+    rows = packed.collect()
+    assert rows
+    # subset of the mixed input
+    mixed_ids = {r['doc_id'] for r in mixed.select('doc_id').collect()}
+    assert {r['doc_id'] for r in rows} <= mixed_ids
+    # gapless per bucket
+    by = {}
+    for r in rows:
+        by.setdefault(r['bucket'], []).append(r)
+    for seg in by.values():
+        seg.sort(key=lambda r: r['start_tok'])
+        pos = 0
+        for r in seg:
+            assert r['start_tok'] == pos
+            pos += r['n_tokens']
+    packed.unpersist()
