@@ -135,3 +135,39 @@ def test_empty_commit_and_zero_row_lineage(spark, tmp_path):
     assert mf.pending_buckets(root, 2) == []   # no reprocessing loop
     _commit(spark, root, 1, rows=3)
     assert mf.read_table(spark, root).count() == 3
+
+
+def test_prep_bucket_granular_resume(spark, tmp_path):
+    """The packed layout commits at pack-bucket granularity: a table
+    holding only some buckets resumes by recomputing EXACTLY the
+    missing ones, and the re-derived rows are byte-identical to a
+    single-shot run (pure-function-of-(corpus, bucket) contract)."""
+    from pyspark.sql import functions as F
+    from yargy_spark.operators.packing import pack_sequences
+    from yargy_spark.sources import manifest as mf
+
+    docs = spark.read.parquet(
+        '/root/testdata/sf0.001/documents.parquet')
+    packed = pack_sequences(docs, ctx_len=128, n_buckets=4).persist()
+    root = str(tmp_path / 'prep')
+
+    # partial commit: only buckets 0 and 1 made it before the "crash"
+    part = packed.where(F.col(mf.BUCKET_COL).isin([0, 1]))
+    mf.commit_append(part, root, note='partial',
+                     expected_buckets=[0, 1], n_buckets=4)
+    assert mf.pending_buckets(root, 4) == [2, 3]
+
+    # resume: recompute + commit exactly the missing buckets
+    rest = packed.where(F.col(mf.BUCKET_COL).isin([2, 3]))
+    mf.commit_append(rest, root, note='resume',
+                     expected_buckets=[2, 3], n_buckets=4)
+    assert mf.pending_buckets(root, 4) == []
+
+    got = {tuple(r) for r in
+           mf.read_table(spark, root).select(
+               'doc_id', 'bucket', 'start_tok', 'n_tokens').collect()}
+    want = {tuple(r) for r in
+            packed.select('doc_id', 'bucket', 'start_tok',
+                          'n_tokens').collect()}
+    assert got == want
+    packed.unpersist()
