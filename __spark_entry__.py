@@ -483,6 +483,17 @@ def q_mixture_sample(spark, sf_dir) -> DataFrame:
             .select('doc_id', 'lang', 'n_tokens'))
 
 
+def q_mixture_epochs(spark, sf_dir) -> DataFrame:
+    """Upsampling mixture (sampling.py::mixture_epochs): de at 0.9 of
+    a 20k-token budget repeats ~5 epochs; en at 0.1 downsamples —
+    whole-epoch + hash-selected-partial repetition, all integer
+    arithmetic."""
+    from yargy_spark.operators.sampling import mixture_epochs
+    return (mixture_epochs(_docs(spark, sf_dir), 'lang',
+                           {'de': 0.9, 'en': 0.1}, 20000, 'doc_id')
+            .select('doc_id', 'lang', 'n_tokens', 'epoch'))
+
+
 def q_pack_sequences(spark, sf_dir) -> DataFrame:
     """Deterministic concat-and-chunk packing layout
     (operators/packing.py): per-doc shard, stream offset, and
@@ -628,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'source_reservoir': q_source_reservoir,
         'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
+        'mixture_epochs': q_mixture_epochs,
         'pack_sequences': q_pack_sequences,
         'training_batches': q_training_batches,
         'pricing_summary': q_pricing_summary,
@@ -1461,6 +1473,35 @@ SELECT doc_id, lang, n_tokens
 FROM toks JOIN kf USING (lang)
 WHERE {b} < keep_bp
 """.format(b=_B.format(salt='mixture'), ws=_WS_TOKENS)
+
+    # upsampling mixture (sampling.py::mixture_epochs): whole epochs
+    # = tgt DIV tot, partial epoch by the SAME mixture bucket;
+    # unnest(generate_series(0, nc-1)) is empty when nc = 0, exactly
+    # Spark's guarded sequence explode
+    oracles['mixture_epochs'] = """
+WITH toks AS (
+  SELECT doc_id, lang, {ws} AS n_tokens FROM documents),
+tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+        FROM toks GROUP BY lang),
+kf AS (
+  SELECT lang,
+    CASE WHEN tot <= 0 THEN 0 ELSE tgt // tot END AS n_full,
+    CASE WHEN tot <= 0 THEN 0
+         ELSE LEAST(10000,
+                    (tgt - (tgt // tot) * tot) * 10000 // tot)
+    END AS rem_bp
+  FROM (SELECT lang, tot,
+          CAST(CASE lang WHEN 'de' THEN 18000
+                         WHEN 'en' THEN 2000 END AS BIGINT) AS tgt
+        FROM tot WHERE lang IN ('de', 'en')))
+SELECT doc_id, lang, n_tokens,
+       CAST(unnest(generate_series(0, CAST(nc AS BIGINT) - 1))
+            AS INT) AS epoch
+FROM (
+  SELECT t.doc_id, t.lang, t.n_tokens,
+         kf.n_full + CASE WHEN {b} < kf.rem_bp THEN 1 ELSE 0 END AS nc
+  FROM toks t JOIN kf USING (lang))
+""".format(ws=_WS_TOKENS, b=_B.format(salt='mixture'))
 
     # concat-and-chunk packing (operators/packing.py): the token
     # count is the token_counts ws expression, the order is the

@@ -230,3 +230,66 @@ def test_mixture_sample_validation(docs):
     with pytest.raises(ValueError, match='missing weighted strata'):
         mixture_sample(docs, 'lang', {'en': 0.5, 'de': 0.5}, 100,
                        'doc_id', totals={'en': 1000})
+
+
+def test_mixture_epochs_upsamples_to_target(spark, docs):
+    """A stratum whose target exceeds its corpus repeats whole epochs
+    + a hash-selected partial epoch; token mass lands near target."""
+    from yargy_spark.operators.sampling import mixture_epochs
+    out = mixture_epochs(docs, 'lang', {'zh': 0.9, 'en': 0.1},
+                         20000, 'doc_id').persist()
+    agg = {r['lang']: (r['toks'], r['mx']) for r in
+           out.groupBy('lang')
+           .agg(F.sum('n_tokens').alias('toks'),
+                F.max('epoch').alias('mx')).collect()}
+    toks, mx = agg['zh']
+    assert mx >= 2                      # genuinely repeated epochs
+    assert 0.85 * 18000 <= toks <= 1.15 * 18000
+    # every (unit, epoch) pair unique; epochs are dense from 0
+    n = out.where(F.col('lang') == 'zh').count()
+    nd = (out.where(F.col('lang') == 'zh')
+          .select('doc_id', 'epoch').distinct().count())
+    assert n == nd
+    pop = docs.where(F.col('lang') == 'zh').count()
+    full_rows = (out.where((F.col('lang') == 'zh')
+                           & (F.col('epoch') < mx)).count())
+    assert full_rows == pop * mx        # full epochs contain everyone
+    out.unpersist()
+
+
+def test_mixture_epochs_downsample_parity(spark, docs):
+    """full = 0 degenerates to exactly mixture_sample's selection."""
+    from yargy_spark.operators.sampling import (mixture_epochs,
+                                                mixture_sample)
+    a = {r['doc_id'] for r in
+         mixture_sample(docs, 'lang', {'en': 0.35}, 6000,
+                        'doc_id').collect()}
+    b = [(r['doc_id'], r['epoch']) for r in
+         mixture_epochs(docs, 'lang', {'en': 0.35}, 6000,
+                        'doc_id').collect()]
+    assert {d for d, _ in b} == a
+    assert all(e == 0 for _, e in b)
+
+
+def test_mixture_epochs_totals_path_matches(spark, docs):
+    from yargy_spark.operators.sampling import mixture_epochs
+    import pytest as _pt
+    weights = {'zh': 0.9, 'en': 0.1}
+    computed = {(r['doc_id'], r['epoch']) for r in
+                mixture_epochs(docs, 'lang', weights, 20000,
+                               'doc_id').collect()}
+    totals = {r['lang']: r['t'] for r in
+              docs.groupBy('lang').agg(
+                  F.sum(F.when(F.length(F.trim(F.lower('text'))) == 0,
+                               0).otherwise(
+                      F.size(F.split(F.trim(F.lower('text')),
+                                     r'\s+')))).alias('t')).collect()}
+    maponly = mixture_epochs(docs, 'lang', weights, 20000, 'doc_id',
+                             totals=totals)
+    got = {(r['doc_id'], r['epoch']) for r in maponly.collect()}
+    assert got == computed
+    plan = maponly._jdf.queryExecution().executedPlan().toString()
+    assert 'Exchange' not in plan
+    with _pt.raises(ValueError, match='missing weighted strata'):
+        mixture_epochs(docs, 'lang', weights, 100, 'doc_id',
+                       totals={'zh': 10})

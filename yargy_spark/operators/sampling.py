@@ -233,6 +233,121 @@ def mixture_sample(docs: DataFrame, strata_col: str,
     return out
 
 
+def mixture_epochs(docs: DataFrame, strata_col: str,
+                   weights: Dict[str, float], token_budget: int,
+                   key_col: str, salt: str = 'mixture',
+                   totals: Optional[Dict[str, int]] = None,
+                   text_col: str = 'text') -> DataFrame:
+    """Upsampling mixture — the data-REPETITION primitive: like
+    ``mixture_sample`` but a stratum whose token target EXCEEDS its
+    corpus size contributes whole repeated epochs plus a
+    hash-selected partial epoch, instead of capping at one pass.
+    (Rare-language/high-quality upsampling in pretraining mixtures:
+    a 0.9-weight stratum with 1/5th the tokens repeats ~4.5x.)
+
+    Per stratum with target ``T`` and token total ``S``:
+    ``full = T DIV S`` whole epochs (every unit repeated), plus a
+    partial epoch of the units whose salted bucket falls under
+    ``rem_bp = min(10000, (T - full*S) * 10000 DIV S)``.  All integer
+    arithmetic — engine-portable, DuckDB-replayable, deterministic
+    across reruns/resumes.  The partial epoch reuses the unit's ONE
+    mixture bucket, so it is always a prefix of the same hash order
+    ``mixture_sample`` uses (downsampling is the ``full = 0`` special
+    case; at weights where both apply the two operators select the
+    same subset).
+
+    Output: input rows + ``n_tokens`` + ``epoch`` (0-based copy
+    index); feed through ``pack_sequences`` with a per-epoch salt or
+    key = (doc, epoch) so repeated copies spread across the stream.
+
+    Scale shape: identical to ``mixture_sample`` — one tiny
+    per-stratum aggregate broadcast back (or map-only with manifest
+    ``totals``), then a codegen ``sequence``/explode; no extra
+    shuffle for the repetition.
+    """
+    if token_budget <= 0:
+        raise ValueError('token_budget must be positive, got %r'
+                         % (token_budget,))
+
+    def bp(f: float) -> int:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError('weight out of [0, 1]: %r' % (f,))
+        return int(round(f * BUCKETS))
+
+    if not weights:
+        raise ValueError('weights must name at least one stratum')
+    targets = {s: bp(w) * token_budget // BUCKETS
+               for s, w in weights.items()}
+
+    from .textstats import ws_token_count
+    toks = docs.withColumn('n_tokens',
+                           ws_token_count(F.col(text_col)))
+    bucket = _bucket(key_col, salt)
+
+    # epoch explode: CASE guards sequence(0, -1), which would yield a
+    # DESCENDING [0, -1] in Spark rather than an empty array
+    def _explode(frame, n_copies_col):
+        return (frame
+                .withColumn('_nc', n_copies_col)
+                .where(F.col('_nc') > 0)
+                .withColumn(
+                    'epoch',
+                    F.explode(F.expr(
+                        'sequence(0, cast(_nc as int) - 1)')))
+                .withColumn('epoch', F.col('epoch').cast('int'))
+                .drop('_nc'))
+
+    if totals is not None:
+        missing = sorted(set(targets) - set(totals))
+        if missing:
+            raise ValueError(
+                'totals missing weighted strata %r — stale manifest '
+                'statistics? (a missing stratum would be silently '
+                'dropped, not kept)' % (missing,))
+        ncopies = None
+        for s in sorted(targets):
+            tot = int(totals[s])
+            if tot <= 0:
+                full, rem_bp = 0, 0
+            else:
+                full = targets[s] // tot
+                rem_bp = min(BUCKETS,
+                             (targets[s] - full * tot)
+                             * BUCKETS // tot)
+            expr = (F.lit(full)
+                    + F.when(bucket < rem_bp, 1).otherwise(0))
+            cond = F.col(strata_col) == s
+            ncopies = (F.when(cond, expr) if ncopies is None
+                       else ncopies.when(cond, expr))
+        return _explode(toks, ncopies.cast('long'))
+
+    target = None
+    for s in sorted(targets):
+        cond = F.col(strata_col) == s
+        tgt = F.lit(targets[s]).cast('long')
+        target = (F.when(cond, tgt) if target is None
+                  else target.when(cond, tgt))
+    tot = (toks.groupBy(strata_col)
+           .agg(F.sum('n_tokens').cast('long').alias('_tot')))
+    joined = (toks
+              .withColumn('_target', target)
+              .where(F.col('_target').isNotNull())
+              .join(F.broadcast(tot), strata_col)
+              .withColumn('_full',
+                          F.when(F.col('_tot') <= 0, F.lit(0))
+                          .otherwise(F.expr('_target DIV _tot')))
+              .withColumn(
+                  '_rem_bp',
+                  F.when(F.col('_tot') <= 0, F.lit(0)).otherwise(
+                      F.least(F.lit(BUCKETS),
+                              F.expr('((_target - _full * _tot) * %d)'
+                                     ' DIV _tot' % BUCKETS)))))
+    ncopies = (F.col('_full')
+               + F.when(bucket < F.col('_rem_bp'), 1).otherwise(0))
+    return (_explode(joined, ncopies)
+            .drop('_target', '_tot', '_full', '_rem_bp'))
+
+
 def stratum_reservoir(df: DataFrame, strata_col: str, k: int,
                       key_col: str,
                       salt: str = 'reservoir') -> DataFrame:
