@@ -77,13 +77,22 @@ def main():
                 .where(F.col(mf.BUCKET_COL).isin(pending))
                 .persist())
     n_docs = bucketed.count()
-    tok_row = bucketed.agg(
-        F.sum('n_tokens').alias('t'),
-        F.countDistinct('seq_first').alias('s')).first()
+    # exact sequence count: packing is contiguous within a bucket
+    # (seq ids 0..max(seq_last) all exist), so the per-bucket count is
+    # max(seq_last)+1; countDistinct(seq_first) would miss sequences
+    # that start mid-document AND double-count across buckets (seq
+    # numbering restarts per bucket).
+    tok_row = (bucketed
+               .groupBy(mf.BUCKET_COL)
+               .agg(F.sum('n_tokens').alias('t'),
+                    F.max('seq_last').alias('m'))
+               .agg(F.sum('t').alias('t'),
+                    F.sum(F.col('m') + 1).alias('s'))
+               .first())
     counters = {
         'packed_docs': n_docs,
         'packed_tokens': int(tok_row['t'] or 0),
-        'approx_sequences': int(tok_row['s'] or 0),
+        'packed_sequences': int(tok_row['s'] or 0),
         'wall_sec': round(time.time() - t0, 3),
         'buckets': pending,
     }

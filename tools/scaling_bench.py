@@ -116,11 +116,46 @@ def run_ceiling(procs: int, per_proc: int = 3200) -> dict:
     return {'procs': procs, 'turns_per_sec': round(total / wall, 1)}
 
 
+def _pinned_leg(q, cpus: int, n_turns: int, runs: int):
+    """Child-process body: restrict THIS process (and the JVM +
+    python workers it spawns — affinity is inherited) to exactly
+    ``cpus`` CPUs, then run a normal leg.
+
+    This closes the structural bias of unpinned local-mode legs: a
+    `local[8]` session on a 32-core box runs 8 task slots but its
+    JVM service threads, GC, Arrow serialization and Python workers
+    spill onto the 24 idle cores, inflating the low leg (measured:
+    ~2.3k turns/s/core unpinned-low vs ~1.3k at 32 cores — the
+    spinner-load equalization only partially compensates).  Separate
+    N- and 4N-executor clusters never borrow idle cores, so pinned
+    legs are the faithful sandbox stand-in."""
+    os.sched_setaffinity(0, set(range(cpus)))
+    q.put(run_spark(cpus, n_turns, runs))
+
+
+def run_spark_pinned(cpus: int, n_turns: int, runs: int = 3) -> dict:
+    ctx = mp.get_context('spawn')  # fresh interpreter, no JVM inherited
+    q = ctx.Queue()
+    p = ctx.Process(target=_pinned_leg, args=(q, cpus, n_turns, runs))
+    p.start()
+    res = q.get()
+    p.join()
+    res['pinned'] = True
+    return res
+
+
 def main():
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = low * 4
 
+    # pinned legs (primary metric): true low-core vs high-core boxes
+    pin_lo = run_spark_pinned(low, n_turns)
+    pin_hi = run_spark_pinned(high, n_turns)
+    pinned_eff = (pin_hi['turns_per_sec']
+                  / pin_lo['turns_per_sec']) / (high / low)
+
+    # unpinned legs (legacy protocol, kept for cross-round comparison)
     lo_idle = run_spark(low, n_turns)
     lo_load = run_spark(low, n_turns, loaded=True)
     hi = run_spark(high, n_turns)
@@ -133,14 +168,18 @@ def main():
                / ceil_lo['turns_per_sec']) / (high / low)
     print(json.dumps({
         'protocol': 'local[%d] vs local[%d], identical input, warm '
-                    'workers' % (low, high),
+                    'workers; PINNED legs via sched_setaffinity are '
+                    'the primary metric' % (low, high),
         'n_turns': n_turns,
+        'pinned_low': pin_lo, 'pinned_high': pin_hi,
+        'pinned_efficiency': round(pinned_eff, 3),
         'low_idle': lo_idle, 'low_loaded': lo_load, 'high': hi,
         'mp_ceiling': {'low': ceil_lo, 'high': ceil_hi,
                        'efficiency': round(ceiling, 3)},
         'raw_efficiency': round(raw, 3),
         'load_normalized_efficiency': round(norm, 3),
         'target': 0.8,
+        'pass_pinned': pinned_eff >= 0.8,
         'pass_load_normalized': norm >= 0.8,
     }))
 
