@@ -106,14 +106,28 @@ def _mp_init():
                          else f + ', ' + f)
 
 
-def run_ceiling(procs: int, per_proc: int = 3200) -> dict:
-    with mp.Pool(procs, initializer=_mp_init) as pool:
-        pool.map(_mp_worker, [(100, 0)] * procs)   # warm
-        t0 = time.time()
-        pool.map(_mp_worker, [(per_proc, 0)] * procs)
-        wall = time.time() - t0
+def run_ceiling(procs: int, per_proc: int = 3200,
+                pinned: bool = False) -> dict:
+    """Pure-Python multiprocessing ceiling: what this box physically
+    allows for the same kernel with zero Spark.  With ``pinned`` the
+    pool is confined to CPUs [0, procs) exactly like the pinned Spark
+    legs (children inherit the parent's affinity), so the
+    pinned-engine / pinned-ceiling ratio is apples-to-apples."""
+    prev = os.sched_getaffinity(0)
+    if pinned:
+        os.sched_setaffinity(0, set(range(procs)))
+    try:
+        with mp.Pool(procs, initializer=_mp_init) as pool:
+            pool.map(_mp_worker, [(100, 0)] * procs)   # warm
+            t0 = time.time()
+            pool.map(_mp_worker, [(per_proc, 0)] * procs)
+            wall = time.time() - t0
+    finally:
+        if pinned:
+            os.sched_setaffinity(0, prev)
     total = per_proc * procs
-    return {'procs': procs, 'turns_per_sec': round(total / wall, 1)}
+    return {'procs': procs, 'pinned': pinned,
+            'turns_per_sec': round(total / wall, 1)}
 
 
 def _pinned_leg(q, cpus: int, n_turns: int, runs: int):
@@ -154,6 +168,10 @@ def main():
     pin_hi = run_spark_pinned(high, n_turns)
     pinned_eff = (pin_hi['turns_per_sec']
                   / pin_lo['turns_per_sec']) / (high / low)
+    pceil_lo = run_ceiling(low, pinned=True)
+    pceil_hi = run_ceiling(high, pinned=True)
+    pceil_eff = (pceil_hi['turns_per_sec']
+                 / pceil_lo['turns_per_sec']) / (high / low)
 
     # unpinned legs (legacy protocol, kept for cross-round comparison)
     lo_idle = run_spark(low, n_turns)
@@ -173,6 +191,10 @@ def main():
         'n_turns': n_turns,
         'pinned_low': pin_lo, 'pinned_high': pin_hi,
         'pinned_efficiency': round(pinned_eff, 3),
+        'pinned_ceiling': {'low': pceil_lo, 'high': pceil_hi,
+                           'efficiency': round(pceil_eff, 3)},
+        'pinned_vs_ceiling': round(pinned_eff / pceil_eff, 3)
+        if pceil_eff else None,
         'low_idle': lo_idle, 'low_loaded': lo_load, 'high': hi,
         'mp_ceiling': {'low': ceil_lo, 'high': ceil_hi,
                        'efficiency': round(ceiling, 3)},
