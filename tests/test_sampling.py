@@ -293,3 +293,73 @@ def test_mixture_epochs_totals_path_matches(spark, docs):
     with _pt.raises(ValueError, match='missing weighted strata'):
         mixture_epochs(docs, 'lang', weights, 100, 'doc_id',
                        totals={'zh': 10})
+
+
+def test_temperature_weights_laws():
+    """Pure driver-side math: proportional at tau=1, uniform at
+    tau=0, tail upsampled monotonically in between, degenerate
+    inputs rejected."""
+    from yargy_spark.operators.sampling import temperature_weights
+    totals = {'en': 8000, 'zh': 1500, 'de': 500}
+
+    w1 = temperature_weights(totals, 1.0)
+    assert abs(w1['en'] - 0.8) < 1e-12 and abs(w1['de'] - 0.05) < 1e-12
+    w0 = temperature_weights(totals, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())
+    wt = temperature_weights(totals, 0.3)
+    assert abs(sum(wt.values()) - 1.0) < 1e-12
+    # tail share grows monotonically as tau drops toward uniform
+    assert w1['de'] < wt['de'] < w0['de']
+    assert w1['en'] > wt['en'] > w0['en']
+    # zero-count strata are excluded, not given a uniform share
+    assert 'ru' not in temperature_weights(dict(totals, ru=0), 0.5)
+    import pytest as _pt
+    with _pt.raises(ValueError, match='tau'):
+        temperature_weights(totals, -0.1)
+    with _pt.raises(ValueError, match='positive'):
+        temperature_weights({'en': 0}, 0.5)
+
+
+def test_mixture_epochs_max_epochs_cap(spark, docs):
+    """The cap binds: every unit of the over-weighted stratum gets
+    exactly max_epochs copies (partial epoch dropped); a non-binding
+    cap leaves the selection identical to uncapped; both branches
+    (aggregate and manifest-totals) agree."""
+    from yargy_spark.operators.sampling import mixture_epochs
+    weights = {'zh': 0.9}
+    budget = 200000  # far beyond the zh corpus: uncapped repeats a lot
+
+    uncapped = mixture_epochs(docs, 'lang', weights, budget, 'doc_id')
+    mx_un = uncapped.agg(F.max('epoch')).first()[0]
+    assert mx_un >= 3  # the hazard exists at this budget
+
+    capped = (mixture_epochs(docs, 'lang', weights, budget, 'doc_id',
+                             max_epochs=3)
+              .groupBy('doc_id').count().persist())
+    counts = {r['doc_id']: r['count'] for r in capped.collect()}
+    assert counts and set(counts.values()) == {3}
+    capped.unpersist()
+
+    # non-binding cap == uncapped, row for row
+    a = {(r['doc_id'], r['epoch']) for r in uncapped.collect()}
+    b = {(r['doc_id'], r['epoch']) for r in
+         mixture_epochs(docs, 'lang', weights, budget, 'doc_id',
+                        max_epochs=mx_un + 1).collect()}
+    assert a == b
+
+    # totals (map-only) branch applies the same cap
+    totals = {r['lang']: r['t'] for r in
+              docs.groupBy('lang').agg(
+                  F.sum(F.when(F.length(F.trim(F.lower('text'))) == 0,
+                               0).otherwise(
+                      F.size(F.split(F.trim(F.lower('text')),
+                                     r'\s+')))).alias('t')).collect()}
+    c = {(r['doc_id'], r['epoch']) for r in
+         mixture_epochs(docs, 'lang', weights, budget, 'doc_id',
+                        totals=totals, max_epochs=3).collect()}
+    assert c == {(d, e) for d in counts for e in range(3)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match='max_epochs'):
+        mixture_epochs(docs, 'lang', weights, budget, 'doc_id',
+                       max_epochs=0)

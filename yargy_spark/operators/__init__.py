@@ -15,7 +15,8 @@ from .dedup import (clean_corpus, decontaminate,  # noqa: F401
                     simhash_docs, word_shingles)
 from .sampling import (hash_split,               # noqa: F401
                        mixture_epochs, mixture_sample,
-                       stratified_sample, stratum_reservoir)
+                       stratified_sample, stratum_reservoir,
+                       temperature_weights)
 from .packing import pack_sequences              # noqa: F401
 from .similarity import cosine_topk, ivf_topk    # noqa: F401
 from .textstats import (doc_fingerprints,        # noqa: F401

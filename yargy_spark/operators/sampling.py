@@ -233,10 +233,39 @@ def mixture_sample(docs: DataFrame, strata_col: str,
     return out
 
 
+def temperature_weights(totals: Dict[str, int],
+                        tau: float) -> Dict[str, float]:
+    """Temperature-scaled mixture weights: ``w_s`` proportional to
+    ``n_s ** tau``, normalized to sum to 1 — the standard
+    multilingual / multi-domain rebalancing rule.  ``tau=1`` keeps
+    proportions (no rebalance), ``tau=0`` is uniform across strata,
+    ``tau~0.2-0.5`` upsamples the tail without letting a huge stratum
+    drown it.
+
+    Driver-side arithmetic over a ``|strata|``-row dict (manifest
+    statistics or the mixture operators' own tiny aggregate) — it
+    never touches the data plane, and the weights it returns feed
+    ``mixture_sample`` / ``mixture_epochs`` whose integer-threshold
+    per-row decisions stay engine-portable.  Zero/negative-count
+    strata are excluded (they have nothing to contribute; a uniform
+    share for an empty stratum would silently burn budget)."""
+    if tau < 0:
+        raise ValueError('tau must be >= 0, got %r' % (tau,))
+    pos = {s: int(n) for s, n in totals.items() if int(n) > 0}
+    if not pos:
+        raise ValueError(
+            'totals must contain at least one positive count, got %r'
+            % (totals,))
+    raw = {s: float(n) ** tau for s, n in pos.items()}
+    z = sum(raw.values())
+    return {s: r / z for s, r in sorted(raw.items())}
+
+
 def mixture_epochs(docs: DataFrame, strata_col: str,
                    weights: Dict[str, float], token_budget: int,
                    key_col: str, salt: str = 'mixture',
                    totals: Optional[Dict[str, int]] = None,
+                   max_epochs: Optional[int] = None,
                    text_col: str = 'text') -> DataFrame:
     """Upsampling mixture — the data-REPETITION primitive: like
     ``mixture_sample`` but a stratum whose token target EXCEEDS its
@@ -264,10 +293,23 @@ def mixture_epochs(docs: DataFrame, strata_col: str,
     per-stratum aggregate broadcast back (or map-only with manifest
     ``totals``), then a codegen ``sequence``/explode; no extra
     shuffle for the repetition.
+
+    ``max_epochs`` caps the copies per unit (full + partial): a
+    near-empty stratum handed a large weight would otherwise explode
+    row counts without bound (10 tokens of 'yo' under a 10^11-token
+    target = 10^10 copies), and repetition past a handful of epochs
+    has sharply diminishing training value anyway.  When the cap
+    binds, the partial epoch is dropped too (every unit gets exactly
+    ``max_epochs`` copies) and the stratum undershoots its token
+    target — deliberately: the cap exists to say 'this stratum cannot
+    absorb its budget'.
     """
     if token_budget <= 0:
         raise ValueError('token_budget must be positive, got %r'
                          % (token_budget,))
+    if max_epochs is not None and max_epochs < 1:
+        raise ValueError('max_epochs must be >= 1, got %r'
+                         % (max_epochs,))
 
     def bp(f: float) -> int:
         if not 0.0 <= f <= 1.0:
@@ -314,6 +356,8 @@ def mixture_epochs(docs: DataFrame, strata_col: str,
                 rem_bp = min(BUCKETS,
                              (targets[s] - full * tot)
                              * BUCKETS // tot)
+            if max_epochs is not None and full >= max_epochs:
+                full, rem_bp = max_epochs, 0
             expr = (F.lit(full)
                     + F.when(bucket < rem_bp, 1).otherwise(0))
             cond = F.col(strata_col) == s
@@ -342,6 +386,13 @@ def mixture_epochs(docs: DataFrame, strata_col: str,
                       F.least(F.lit(BUCKETS),
                               F.expr('((_target - _full * _tot) * %d)'
                                      ' DIV _tot' % BUCKETS)))))
+    if max_epochs is not None:
+        cap = F.lit(max_epochs).cast('long')
+        joined = (joined
+                  .withColumn('_rem_bp',
+                              F.when(F.col('_full') >= cap, F.lit(0))
+                              .otherwise(F.col('_rem_bp')))
+                  .withColumn('_full', F.least(F.col('_full'), cap)))
     ncopies = (F.col('_full')
                + F.when(bucket < F.col('_rem_bp'), 1).otherwise(0))
     return (_explode(joined, ncopies)
