@@ -91,6 +91,37 @@ def q_kg_entities(spark, sf_dir) -> DataFrame:
             .agg(F.count('*').alias('n_mentions')))
 
 
+def q_kg_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental linking (linking.py::link_entities_incremental):
+    even-parity golden conversations are the batch-linked PRIOR
+    corpus, odd-parity conversations arrive as the increment and link
+    against the compact entity-key state without global CC.  One row
+    per entity over the increment: canonical, mention count, and
+    whether the entity was adopted from the prior state (1) or
+    freshly minted (0) — deterministic because every tier is an
+    equi-join plus the same deterministic CC/canonicalization the
+    batch path uses."""
+    from yargy_spark.operators.extract import extract_mentions
+    from yargy_spark.operators.linking import (
+        entity_key_table, link_entities, link_entities_incremental)
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    t = golden_only_transcripts(spark)
+    parity = (F.substring('conv_id', 2, 6).cast('int') % 2)
+    prior_m = extract_mentions(t.where(parity == 0))
+    prior_links = link_entities(prior_m)
+    keys = entity_key_table(prior_m, prior_links)
+    new_m = extract_mentions(t.where(parity == 1))
+    links, _merges = link_entities_incremental(new_m, keys)
+    prior_ids = (keys.select('entity_id').distinct()
+                 .withColumn('flag', F.lit(1)))
+    return (links
+            .join(prior_ids, 'entity_id', 'left')
+            .groupBy('canonical')
+            .agg(F.count('*').alias('n_mentions'),
+                 F.max(F.coalesce('flag', F.lit(0)))
+                 .cast('int').alias('adopted')))
+
+
 def q_kg_person_triples(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.linking import link_entities
     from yargy_spark.operators.triples import materialize_triples
@@ -603,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_facts_golden': q_kg_facts_golden,
         'kg_triples_date': q_kg_triples_date,
         'kg_entities': q_kg_entities,
+        'kg_incremental': q_kg_incremental,
         'kg_person_triples': q_kg_person_triples,
         'kg_token_table': q_kg_token_table,
         'kg_money_triples': q_kg_money_triples,
@@ -843,6 +875,16 @@ def oracle_sql() -> dict[str, str]:
         ('иван|ульянов', 5), ('владимир|путин', 2),
         ('саша|иванов', 1), ('саша|иванова', 1), ('саша|быков', 1),
     ], ['canonical', 'n_mentions'], casts={'n_mentions': 'BIGINT'})
+
+    # incremental linking over the parity-split golden corpus: the
+    # lone odd-half Иван Ульянов mention adopts the even-half entity
+    # (its norm_key is in the prior state); the two odd-half Саша
+    # keys never occur in the even half, so they mint fresh entities
+    oracles['kg_incremental'] = _values_rows([
+        ('иван|ульянов', 1, 1),
+        ('саша|быков', 1, 0), ('саша|иванов', 1, 0),
+    ], ['canonical', 'n_mentions', 'adopted'],
+        casts={'n_mentions': 'BIGINT', 'adopted': 'INT'})
 
     oracles['kg_oov_person'] = _values_rows([
         ('v000000', 'name',

@@ -1,0 +1,146 @@
+"""Incremental entity linking (operators/linking.py::
+link_entities_incremental): new batches link against the compact
+entity-key state without global CC; prior-entity merges are surfaced
+as candidates, never applied silently."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope='module')
+def halves(spark):
+    """Golden corpus split by conversation parity: batch-link the even
+    half (the 'prior' corpus), treat the odd half as the increment."""
+    from yargy_spark.operators.extract import extract_mentions
+    from yargy_spark.operators.linking import (entity_key_table,
+                                               link_entities)
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+    t = golden_only_transcripts(spark)
+    parity = (F.substring('conv_id', 2, 6).cast('int') % 2)
+    prior_mentions = extract_mentions(t.where(parity == 0)).persist()
+    new_mentions = extract_mentions(t.where(parity == 1)).persist()
+    prior_links = link_entities(prior_mentions).persist()
+    prior_keys = entity_key_table(prior_mentions, prior_links).persist()
+    return prior_mentions, prior_links, prior_keys, new_mentions
+
+
+def test_every_new_mention_assigned_once(spark, halves):
+    from yargy_spark.operators.linking import link_entities_incremental
+    _, _, prior_keys, new_mentions = halves
+    links, _ = link_entities_incremental(new_mentions, prior_keys)
+    links = links.persist()
+    pm = new_mentions.where(F.col('norm_key').isNotNull())
+    assert links.count() == pm.count()
+    assert links.select('mention_id').distinct().count() == pm.count()
+    links.unpersist()
+
+
+def test_shared_key_adopts_prior_entity(spark, halves):
+    """A norm_key seen in the prior corpus resolves every new mention
+    to the prior entity id — the direct tier."""
+    from yargy_spark.operators.linking import link_entities_incremental
+    prior_mentions, prior_links, prior_keys, new_mentions = halves
+    links, _ = link_entities_incremental(new_mentions, prior_keys)
+
+    shared = (new_mentions.select('norm_key').distinct()
+              .join(prior_keys.select('norm_key', 'entity_id'),
+                    'norm_key'))
+    rows = shared.collect()
+    assert rows, 'fixture must have keys spanning both halves'
+    got = {r['norm_key']: r['entity_id'] for r in
+           (new_mentions.select('mention_id', 'norm_key')
+            .join(links, 'mention_id')
+            .join(shared.select('norm_key'), 'norm_key')
+            .select('norm_key', 'entity_id').distinct().collect())}
+    want = {r['norm_key']: r['entity_id'] for r in rows}
+    assert got == want
+
+    # fresh ids never collide with prior ids
+    prior_ids = {r['entity_id'] for r in
+                 prior_links.select('entity_id').distinct().collect()}
+    new_only_ids = {r['entity_id'] for r in links.select('entity_id')
+                    .distinct().collect()} - set(want.values())
+    assert not (new_only_ids & prior_ids)
+
+
+def test_residual_grouping_matches_batch(spark, halves):
+    """Mentions sharing no key with the prior corpus cluster exactly
+    as a standalone batch link of the increment would cluster them
+    (their components cannot touch matched mentions by construction)."""
+    from yargy_spark.operators.linking import (link_entities,
+                                               link_entities_incremental)
+    _, _, prior_keys, new_mentions = halves
+    links, _ = link_entities_incremental(new_mentions, prior_keys)
+    prior_ids = {r['entity_id'] for r in
+                 prior_keys.select('entity_id').distinct().collect()}
+
+    fresh = {r['mention_id']: r['entity_id'] for r in links.collect()
+             if r['entity_id'] not in prior_ids}
+    batch = {r['mention_id']: r['entity_id'] for r in
+             link_entities(new_mentions).collect()}
+
+    def groups(assign, keys):
+        by = {}
+        for m in keys:
+            by.setdefault(assign[m], set()).add(m)
+        return {frozenset(v) for v in by.values()}
+
+    assert fresh, 'fixture must leave some keys unique to the increment'
+    assert groups(fresh, fresh) <= groups(batch, batch)
+
+
+def test_coref_adoption_and_merge_candidates(spark):
+    """Synthetic tiers: an unmatched mention sharing the conversation
+    coref key with a direct match adopts that entity; two prior
+    entities bridged by one new conversation become merge candidates
+    (and are NOT merged in the links output)."""
+    from yargy_spark.operators.linking import link_entities_incremental
+    prior_keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров'),
+         ('борис|петров', 'ent_200', 'борис|петров')],
+        'norm_key string, entity_id string, canonical string')
+    new_mentions = spark.createDataFrame(
+        [(1, 'cX', 'анна|петров'),     # direct -> ent_100
+         (2, 'cX', 'вера|петров'),     # coref adopt -> min = ent_100
+         (3, 'cX', 'борис|петров'),    # direct -> ent_200 (bridges!)
+         (4, 'cY', 'глеб|сидоров')],   # residual -> fresh entity
+        'mention_id long, conv_id string, norm_key string')
+
+    links, merges = link_entities_incremental(new_mentions, prior_keys)
+    got = {r['mention_id']: (r['entity_id'], r['canonical'])
+           for r in links.collect()}
+    assert got[1] == ('ent_100', 'анна|петров')
+    assert got[2] == ('ent_100', 'анна|петров')  # adopted, min entity
+    assert got[3] == ('ent_200', 'борис|петров')
+    assert got[4][0] not in ('ent_100', 'ent_200')  # fresh id
+    assert got[4][1] == 'глеб|сидоров'
+
+    mc = merges.collect()
+    assert [(r['entity_a'], r['entity_b'], r['conv_id'],
+             r['last_lemma']) for r in mc] == \
+        [('ent_100', 'ent_200', 'cX', 'петров')]
+
+
+def test_empty_increment_and_empty_prior(spark):
+    """Degenerate shapes: an empty increment yields empty outputs; an
+    empty prior state degrades to plain batch linking."""
+    from yargy_spark.operators.linking import (link_entities,
+                                               link_entities_incremental)
+    prior_keys = spark.createDataFrame(
+        [], 'norm_key string, entity_id string, canonical string')
+    new_mentions = spark.createDataFrame(
+        [(1, 'cZ', 'иван|ульянов'), (2, 'cZ', 'пётр|ульянов')],
+        'mention_id long, conv_id string, norm_key string')
+
+    links, merges = link_entities_incremental(new_mentions, prior_keys)
+    batch = link_entities(new_mentions)
+    assert ({tuple(r) for r in links.collect()}
+            == {tuple(r) for r in batch.collect()})
+    assert merges.count() == 0
+
+    empty = new_mentions.where(F.lit(False))
+    links2, merges2 = link_entities_incremental(empty, prior_keys)
+    assert links2.count() == 0 and merges2.count() == 0

@@ -3,7 +3,8 @@ COVERAGE.md for the operator -> test -> query map)."""
 
 from .extract import extract_mentions            # noqa: F401
 from .linking import (connected_components,      # noqa: F401
-                      link_entities, mention_edges)
+                      entity_key_table, link_entities,
+                      link_entities_incremental, mention_edges)
 from .triples import materialize_triples         # noqa: F401
 from .tokens import (annotate_lemmas,            # noqa: F401
                      lexicon_table, token_table)

@@ -231,6 +231,122 @@ def link_entities(mentions: DataFrame) -> DataFrame:
             .select('mention_id', 'entity_id', 'canonical'))
 
 
+# ------------------------------------------------ incremental linking
+
+def entity_key_table(mentions: DataFrame, links: DataFrame
+                     ) -> DataFrame:
+    """The compact incremental-linking state: one row per distinct
+    blocking key, ``(norm_key, entity_id, canonical)``.
+
+    Derived from a linked corpus (mentions joined to a
+    ``link_entities`` output); bounded by |distinct surface keys| —
+    at the 10^12-turn design point that is ~10^8 rows (person-name
+    keys), ~GBs as parquet, vs the 10^10+ mention rows it summarizes.
+    Within one batch-linked corpus ``norm_key -> entity`` is
+    functional (all mentions sharing a key share the 'k#' blocking
+    key, hence the component); the min() below is a deterministic
+    belt-and-braces for state that was itself built incrementally
+    with unapplied merges."""
+    keyed = (mentions
+             .where(F.col('norm_key').isNotNull())
+             .select('mention_id', 'norm_key')
+             .join(links.select('mention_id', 'entity_id'),
+                   'mention_id'))
+    canon = links.select('entity_id', 'canonical').distinct()
+    return (keyed.groupBy('norm_key')
+            .agg(F.min('entity_id').alias('entity_id'))
+            .join(canon, 'entity_id')
+            .select('norm_key', 'entity_id', 'canonical'))
+
+
+def link_entities_incremental(new_mentions: DataFrame,
+                              prior_keys: DataFrame) -> tuple:
+    """Link a NEW batch of mentions against an already-linked corpus
+    WITHOUT re-running global connected components — the bounded-
+    staleness fast path that complements the REPLACE-snapshot full
+    re-link (jobs/run_kg.py): at 10^12 turns a daily increment is
+    ~10^9 turns, and global CC over the full mention graph per
+    increment is the one cost the two-phase resume design could not
+    avoid (SCALE.md "Failure / resume").
+
+    Three assignment tiers, each one equi-join (no new shuffle
+    shapes):
+
+    1. **direct** — new mention's ``norm_key`` exists in
+       ``prior_keys`` (the `entity_key_table` state): adopt that
+       entity.  Plain equi-join: the key table is distinct-key-
+       bounded but can exceed broadcast size at the design point;
+       AQE picks broadcast when it fits.
+    2. **coref-adopted** — unmatched mention shares the
+       conversation-surname coref key ('c#' family of
+       ``mention_edges``) with a direct match in the SAME new
+       conversation: adopt the (deterministic min) matched entity.
+       Conversation ids are never reused across batches, so coref
+       keys cannot span prior/new — one join, no recursion.
+    3. **fresh** — the residual links among itself via the normal
+       batch ``link_entities`` (star edges + CC over residual-sized
+       input only).  Fresh ids reuse the 'ent_<min mention_id>'
+       scheme; mention ids are 63-bit content hashes unique across
+       batches, so fresh ids cannot collide with prior ids.
+
+    Returns ``(links, merge_candidates)``:
+
+    * ``links`` — (mention_id, entity_id, canonical) for every
+      person-like new mention, same contract as ``link_entities``.
+    * ``merge_candidates`` — (entity_a, entity_b, conv_id,
+      last_lemma): pairs of PRIOR entities that a new conversation's
+      coref key now connects.  Incremental assignment never merges
+      prior entities (that would rewrite committed triples); the
+      candidates are the work-list for the next full re-link —
+      bounded staleness, loud rather than silent.
+    """
+    pm = (new_mentions
+          .where(F.col('norm_key').isNotNull())
+          .select('mention_id', 'conv_id', 'norm_key')
+          .withColumn('last_lemma',
+                      F.element_at(F.split('norm_key', r'\|'), 2)))
+
+    direct = (pm.join(prior_keys, 'norm_key')
+              .select('mention_id', 'conv_id', 'last_lemma',
+                      'entity_id', 'canonical'))
+    rest = pm.join(prior_keys.select('norm_key'), 'norm_key',
+                   'left_anti')
+
+    # tier 2: the coref anchor is the min matched entity per
+    # (conversation, surname lemma) — deterministic under conflicts,
+    # and the conflicts themselves are exactly the merge candidates
+    matched_coref = (direct
+                     .where(F.col('last_lemma').isNotNull())
+                     .select('conv_id', 'last_lemma', 'entity_id')
+                     .distinct())
+    anchor = (matched_coref
+              .groupBy('conv_id', 'last_lemma')
+              .agg(F.min('entity_id').alias('entity_id')))
+    ent_canon = prior_keys.select('entity_id', 'canonical').distinct()
+    adopted = (rest
+               .where(F.col('last_lemma').isNotNull())
+               .join(anchor, ['conv_id', 'last_lemma'])
+               .join(ent_canon, 'entity_id')
+               .select('mention_id', 'entity_id', 'canonical'))
+
+    residual = rest.join(adopted.select('mention_id'), 'mention_id',
+                         'left_anti')
+    fresh = link_entities(residual)
+
+    links = (direct.select('mention_id', 'entity_id', 'canonical')
+             .union(adopted)
+             .union(fresh))
+
+    a, b = matched_coref.alias('a'), matched_coref.alias('b')
+    merge_candidates = (a.join(b, ['conv_id', 'last_lemma'])
+                        .where(F.col('a.entity_id')
+                               < F.col('b.entity_id'))
+                        .select(F.col('a.entity_id').alias('entity_a'),
+                                F.col('b.entity_id').alias('entity_b'),
+                                'conv_id', 'last_lemma'))
+    return links, merge_candidates
+
+
 # ------------------------------------------------------- graph edges
 
 def entity_cooccurrence(mentions: DataFrame, entities: DataFrame,
