@@ -98,9 +98,9 @@ def q_kg_incremental(spark, sf_dir) -> DataFrame:
     against the compact entity-key state without global CC.  One row
     per entity over the increment: canonical, mention count, and
     whether the entity was adopted from the prior state (1) or
-    freshly minted (0) — deterministic because every tier is an
-    equi-join plus the same deterministic CC/canonicalization the
-    batch path uses."""
+    freshly minted (0) — deterministic because adoption is an
+    equi-join against the key state plus the same deterministic
+    CC/canonicalization the batch path runs over the increment."""
     from yargy_spark.operators.extract import extract_mentions
     from yargy_spark.operators.linking import (
         entity_key_table, link_entities, link_entities_incremental)

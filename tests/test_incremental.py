@@ -67,9 +67,9 @@ def test_shared_key_adopts_prior_entity(spark, halves):
 
 
 def test_residual_grouping_matches_batch(spark, halves):
-    """Mentions sharing no key with the prior corpus cluster exactly
-    as a standalone batch link of the increment would cluster them
-    (their components cannot touch matched mentions by construction)."""
+    """Mentions whose components touch no prior entity cluster exactly
+    as a standalone batch link of the increment clusters them (they
+    keep their fresh batch component ids)."""
     from yargy_spark.operators.linking import (link_entities,
                                                link_entities_incremental)
     _, _, prior_keys, new_mentions = halves
@@ -93,10 +93,11 @@ def test_residual_grouping_matches_batch(spark, halves):
 
 
 def test_coref_adoption_and_merge_candidates(spark):
-    """Synthetic tiers: an unmatched mention sharing the conversation
-    coref key with a direct match adopts that entity; two prior
-    entities bridged by one new conversation become merge candidates
-    (and are NOT merged in the links output)."""
+    """Synthetic shapes: an unmatched mention sharing the conversation
+    coref key with a direct match adopts that entity (min per
+    component); two prior entities bridged by one new conversation
+    become merge candidates (and are NOT merged in the links output —
+    each direct match keeps its own prior entity)."""
     from yargy_spark.operators.linking import link_entities_incremental
     prior_keys = spark.createDataFrame(
         [('анна|петров', 'ent_100', 'анна|петров'),
@@ -122,6 +123,31 @@ def test_coref_adoption_and_merge_candidates(spark):
     assert [(r['entity_a'], r['entity_b'], r['conv_id'],
              r['last_lemma']) for r in mc] == \
         [('ent_100', 'ent_200', 'cX', 'петров')]
+
+
+def test_chain_adoption_closes_over_components(spark):
+    """Adoption is decided per increment component, so it closes over
+    chains: a mention whose only connection to a direct match is
+    same-norm_key with a coref NEIGHBOR of the match (different
+    conversation, key unseen in the prior corpus) still adopts the
+    prior entity — a per-neighbor tier scheme would split this pair
+    across an adopted and a fresh entity."""
+    from yargy_spark.operators.linking import link_entities_incremental
+    prior_keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров')],
+        'norm_key string, entity_id string, canonical string')
+    new_mentions = spark.createDataFrame(
+        [(1, 'cA', 'анна|петров'),    # direct -> ent_100
+         (2, 'cA', 'мария|петров'),   # coref neighbor of the match
+         (3, 'cB', 'мария|петров')],  # chain: same key as 2, other conv
+        'mention_id long, conv_id string, norm_key string')
+    links, merges = link_entities_incremental(new_mentions, prior_keys)
+    got = {r['mention_id']: (r['entity_id'], r['canonical'])
+           for r in links.collect()}
+    assert got == {1: ('ent_100', 'анна|петров'),
+                   2: ('ent_100', 'анна|петров'),
+                   3: ('ent_100', 'анна|петров')}
+    assert merges.count() == 0
 
 
 def test_empty_increment_and_empty_prior(spark):

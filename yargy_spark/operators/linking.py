@@ -269,34 +269,34 @@ def link_entities_incremental(new_mentions: DataFrame,
     increment is the one cost the two-phase resume design could not
     avoid (SCALE.md "Failure / resume").
 
-    Three assignment tiers, each one equi-join (no new shuffle
-    shapes):
+    Component adoption: batch-link the INCREMENT (star edges + CC
+    over increment-local edges only — never the historical mention
+    graph), then one equi-join of the components' member keys against
+    ``prior_keys`` (the `entity_key_table` state — distinct-key-
+    bounded; can exceed broadcast size at the design point, AQE picks
+    broadcast when it fits) decides each component's fate:
 
-    1. **direct** — new mention's ``norm_key`` exists in
-       ``prior_keys`` (the `entity_key_table` state): adopt that
-       entity.  Plain equi-join: the key table is distinct-key-
-       bounded but can exceed broadcast size at the design point;
-       AQE picks broadcast when it fits.
-    2. **coref-adopted** — unmatched mention shares the
-       conversation-surname coref key ('c#' family of
-       ``mention_edges``) with a direct match in the SAME new
-       conversation: adopt the (deterministic min) matched entity.
-       Conversation ids are never reused across batches, so coref
-       keys cannot span prior/new — one join, no recursion.
-    3. **fresh** — the residual links among itself via the normal
-       batch ``link_entities`` (star edges + CC over residual-sized
-       input only).  Fresh ids reuse the 'ent_<min mention_id>'
-       scheme; mention ids are 63-bit content hashes unique across
-       batches, so fresh ids cannot collide with prior ids.
+    * a mention whose own ``norm_key`` is in the prior state keeps
+      THAT entity unconditionally — re-assigning it would silently
+      merge prior entities and rewrite committed triples;
+    * every other mention of a component that touches >= 1 prior
+      entity adopts the (deterministic min) touched entity — this is
+      closed over chains (same-key mentions in other conversations,
+      coref neighbors of those, ...) because adoption is decided per
+      CC component, not per direct neighbor;
+    * components touching no prior entity keep their fresh batch id
+      ('ent_<min mention_id>'; mention ids are 63-bit content hashes
+      unique across batches, so fresh ids cannot collide with prior
+      ids).
 
     Returns ``(links, merge_candidates)``:
 
     * ``links`` — (mention_id, entity_id, canonical) for every
       person-like new mention, same contract as ``link_entities``.
     * ``merge_candidates`` — (entity_a, entity_b, conv_id,
-      last_lemma): pairs of PRIOR entities that a new conversation's
-      coref key now connects.  Incremental assignment never merges
-      prior entities (that would rewrite committed triples); the
+      last_lemma): pairs of PRIOR entities that one increment
+      component now connects, with a witness conversation/lemma.
+      Incremental assignment never merges prior entities; the
       candidates are the work-list for the next full re-link —
       bounded staleness, loud rather than silent.
     """
@@ -306,44 +306,51 @@ def link_entities_incremental(new_mentions: DataFrame,
           .withColumn('last_lemma',
                       F.element_at(F.split('norm_key', r'\|'), 2)))
 
+    inc = (link_entities(pm)
+           .withColumnRenamed('entity_id', 'comp_id')
+           .withColumnRenamed('canonical', 'comp_canonical'))
     direct = (pm.join(prior_keys, 'norm_key')
               .select('mention_id', 'conv_id', 'last_lemma',
                       'entity_id', 'canonical'))
-    rest = pm.join(prior_keys.select('norm_key'), 'norm_key',
-                   'left_anti')
 
-    # tier 2: the coref anchor is the min matched entity per
-    # (conversation, surname lemma) — deterministic under conflicts,
-    # and the conflicts themselves are exactly the merge candidates
-    matched_coref = (direct
-                     .where(F.col('last_lemma').isNotNull())
-                     .select('conv_id', 'last_lemma', 'entity_id')
-                     .distinct())
-    anchor = (matched_coref
-              .groupBy('conv_id', 'last_lemma')
-              .agg(F.min('entity_id').alias('entity_id')))
+    # prior entities touched by each increment component, with one
+    # deterministic witness row per (component, prior entity)
+    touched = (inc.select('mention_id', 'comp_id')
+               .join(direct.select(
+                   'mention_id', 'conv_id', 'last_lemma',
+                   F.col('entity_id').alias('prior_id')), 'mention_id')
+               .groupBy('comp_id', 'prior_id')
+               .agg(F.min('conv_id').alias('conv_id'),
+                    F.min('last_lemma').alias('last_lemma')))
+
     ent_canon = prior_keys.select('entity_id', 'canonical').distinct()
-    adopted = (rest
-               .where(F.col('last_lemma').isNotNull())
-               .join(anchor, ['conv_id', 'last_lemma'])
-               .join(ent_canon, 'entity_id')
-               .select('mention_id', 'entity_id', 'canonical'))
+    adopt = (touched.groupBy('comp_id')
+             .agg(F.min('prior_id').alias('adopt_id'))
+             .join(ent_canon.select(
+                 F.col('entity_id').alias('adopt_id'),
+                 F.col('canonical').alias('adopt_canonical')),
+                 'adopt_id'))
 
-    residual = rest.join(adopted.select('mention_id'), 'mention_id',
+    nondirect = inc.join(direct.select('mention_id'), 'mention_id',
                          'left_anti')
-    fresh = link_entities(residual)
-
+    assigned = (nondirect.join(adopt, 'comp_id', 'left')
+                .select('mention_id',
+                        F.coalesce('adopt_id', 'comp_id')
+                        .alias('entity_id'),
+                        F.coalesce('adopt_canonical', 'comp_canonical')
+                        .alias('canonical')))
     links = (direct.select('mention_id', 'entity_id', 'canonical')
-             .union(adopted)
-             .union(fresh))
+             .union(assigned))
 
-    a, b = matched_coref.alias('a'), matched_coref.alias('b')
-    merge_candidates = (a.join(b, ['conv_id', 'last_lemma'])
-                        .where(F.col('a.entity_id')
-                               < F.col('b.entity_id'))
-                        .select(F.col('a.entity_id').alias('entity_a'),
-                                F.col('b.entity_id').alias('entity_b'),
-                                'conv_id', 'last_lemma'))
+    a, b = touched.alias('a'), touched.alias('b')
+    merge_candidates = (a.join(b, 'comp_id')
+                        .where(F.col('a.prior_id')
+                               < F.col('b.prior_id'))
+                        .select(F.col('a.prior_id').alias('entity_a'),
+                                F.col('b.prior_id').alias('entity_b'),
+                                F.col('a.conv_id').alias('conv_id'),
+                                F.col('a.last_lemma')
+                                .alias('last_lemma')))
     return links, merge_candidates
 
 
