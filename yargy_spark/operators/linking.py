@@ -306,12 +306,19 @@ def link_entities_incremental(new_mentions: DataFrame,
           .withColumn('last_lemma',
                       F.element_at(F.split('norm_key', r'\|'), 2)))
 
-    inc = (link_entities(pm)
-           .withColumnRenamed('entity_id', 'comp_id')
-           .withColumnRenamed('canonical', 'comp_canonical'))
-    direct = (pm.join(prior_keys, 'norm_key')
-              .select('mention_id', 'conv_id', 'last_lemma',
-                      'entity_id', 'canonical'))
+    # both frames feed three subtrees each (touched, the anti-join,
+    # the links output); truncate once so the increment CC and the
+    # prior-state join are not re-derived per reference — after this,
+    # the adoption superstructure is a handful of equi-joins and
+    # aggregations over increment- / key-table-bounded rows
+    inc = _checkpointed(
+        link_entities(pm)
+        .withColumnRenamed('entity_id', 'comp_id')
+        .withColumnRenamed('canonical', 'comp_canonical'))
+    direct = _checkpointed(
+        pm.join(prior_keys, 'norm_key')
+        .select('mention_id', 'conv_id', 'last_lemma',
+                'entity_id', 'canonical'))
 
     # prior entities touched by each increment component, with one
     # deterministic witness row per (component, prior entity)
