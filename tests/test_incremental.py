@@ -150,6 +150,58 @@ def test_chain_adoption_closes_over_components(spark):
     assert merges.count() == 0
 
 
+def test_run_incremental_job(spark, tmp_path):
+    """Job surface: the batch job commits the entity_keys state; the
+    increment job links a disjoint continuation corpus against it,
+    committing increment triples + the merge_candidates work-list,
+    nooping on rerun, and refusing drift / a missing base."""
+    import pytest as _pytest
+    from yargy_spark.pipeline import run_incremental, run_resumable
+    from yargy_spark.sources import manifest as mf
+    from yargy_spark.sources.transcripts import synth_transcripts
+
+    base_out = str(tmp_path / 'base')
+    inc_out = str(tmp_path / 'inc')
+    base = synth_transcripts(spark, n_turns=96, partitions=4)
+    assert run_resumable(spark, base, base_out, n_buckets=4,
+                         chunk_size=4) is not None
+
+    # the batch job now also REPLACE-commits the entity-key state,
+    # stamped with the mentions snapshot it derived from
+    keys = mf.read_table(spark, base_out + '/entity_keys')
+    base_ids = {r['entity_id'] for r in
+                keys.select('entity_id').distinct().collect()}
+    assert base_ids
+
+    # increment = deterministic continuation, disjoint conversations
+    inc = synth_transcripts(spark, n_turns=96, partitions=4,
+                            start_turn=96)
+    snap = run_incremental(spark, inc, base_out, inc_out, n_buckets=4)
+    assert snap is not None
+    assert snap['counters']['mentions'] > 0
+    assert snap['counters']['base_keys_snapshot'] == \
+        mf.current_snapshot(base_out + '/entity_keys')
+
+    # the golden pool repeats across the continuation, so increment
+    # triples must reuse base entity ids (adoption, not re-minting)
+    inc_subjects = {r['subj'] for r in
+                    mf.read_table(spark, inc_out + '/triples')
+                    .select('subj').distinct().collect()}
+    assert inc_subjects & base_ids
+    assert mf.current_snapshot(inc_out + '/merge_candidates')
+
+    # rerun: increment and base state both unchanged -> noop
+    assert run_incremental(spark, inc, base_out, inc_out,
+                           n_buckets=4) is None
+
+    # drift guard and missing-base guard stay loud
+    with _pytest.raises(ValueError, match='n_buckets'):
+        run_incremental(spark, inc, base_out, inc_out, n_buckets=8)
+    with _pytest.raises(ValueError, match='entity_keys'):
+        run_incremental(spark, inc, str(tmp_path / 'nobase'),
+                        str(tmp_path / 'inc2'), n_buckets=4)
+
+
 def test_empty_increment_and_empty_prior(spark):
     """Degenerate shapes: an empty increment yields empty outputs; an
     empty prior state degrades to plain batch linking."""

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.extract import extract_mentions
-from .operators.linking import link_entities
+from .operators.linking import (entity_key_table, link_entities,
+                                link_entities_incremental)
 from .operators.triples import materialize_triples
 from .sources import manifest as mf
 
@@ -46,36 +47,12 @@ def run_pipeline(transcripts: DataFrame,
             'triples': triples}
 
 
-def run_resumable(spark: SparkSession, transcripts: DataFrame,
-                  out_root: str, n_buckets: int = 16,
-                  extractor_names=None,
-                  chunk_size: int = 4) -> Optional[dict]:
-    """Two-phase resumable pipeline:
-
-    PHASE 1 — extraction (bucket-granular, incremental): pending
-    buckets are processed in chunks of ``chunk_size`` and each chunk's
-    MENTIONS commit atomically to ``<out_root>/mentions`` — a mid-run
-    kill loses at most one chunk, and restart resumes from the
-    manifest (true partition-granular checkpoint/resume).
-
-    PHASE 2 — linking + triples (global, snapshot-consistent): entity
-    resolution is a GLOBAL computation (blocking keys cross buckets),
-    so it always runs over ALL committed mentions and the triples
-    table at ``<out_root>/triples`` is committed as a full-REPLACE
-    snapshot stamped with the mentions snapshot it derived from.
-    Linking only a pending subset would mint conflicting entity_ids
-    for the same real-world entity across snapshots.
-
-    Re-running after success is a no-op (no pending buckets AND the
-    triples snapshot is already derived from the current mentions
-    head).  ``n_buckets`` is recorded in the manifests and a rerun
-    with a different value is refused (silent bucket-count drift
-    would duplicate committed conversations)."""
-    m_root = f'{out_root}/mentions'
-    t_root = f'{out_root}/triples'
-    mf.check_n_buckets(m_root, n_buckets)
-
-    t0 = time.time()
+def _extract_phase(transcripts: DataFrame, m_root: str,
+                   n_buckets: int, extractor_names,
+                   chunk_size: int):
+    """PHASE 1 shared by the batch and increment jobs: extract the
+    pending buckets in chunks, each chunk's mentions committing
+    atomically to ``m_root`` (bucket-granular checkpoint/resume)."""
     pending = mf.pending_buckets(m_root, n_buckets)
     # turns_in: ONE scan over all pending buckets (not one per chunk;
     # the column-pruned count reads conv_id only)
@@ -106,16 +83,62 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
             mentions.unpersist()
         chunk_stats['mentions'] += n_mentions
         chunk_stats['chunks'] += 1
+    return pending, n_turns, chunk_stats
+
+
+def _last_replace(root: str) -> Optional[dict]:
+    return next(
+        (s for s in reversed(mf.snapshots(root)) if s.get('replace')),
+        None)
+
+
+def run_resumable(spark: SparkSession, transcripts: DataFrame,
+                  out_root: str, n_buckets: int = 16,
+                  extractor_names=None,
+                  chunk_size: int = 4) -> Optional[dict]:
+    """Two-phase resumable pipeline:
+
+    PHASE 1 — extraction (bucket-granular, incremental): pending
+    buckets are processed in chunks of ``chunk_size`` and each chunk's
+    MENTIONS commit atomically to ``<out_root>/mentions`` — a mid-run
+    kill loses at most one chunk, and restart resumes from the
+    manifest (true partition-granular checkpoint/resume).
+
+    PHASE 2 — linking + triples (global, snapshot-consistent): entity
+    resolution is a GLOBAL computation (blocking keys cross buckets),
+    so it always runs over ALL committed mentions and the triples
+    table at ``<out_root>/triples`` is committed as a full-REPLACE
+    snapshot stamped with the mentions snapshot it derived from.
+    Linking only a pending subset would mint conflicting entity_ids
+    for the same real-world entity across snapshots.
+
+    Re-running after success is a no-op (no pending buckets AND the
+    triples snapshot is already derived from the current mentions
+    head).  ``n_buckets`` is recorded in the manifests and a rerun
+    with a different value is refused (silent bucket-count drift
+    would duplicate committed conversations)."""
+    m_root = f'{out_root}/mentions'
+    t_root = f'{out_root}/triples'
+    k_root = f'{out_root}/entity_keys'
+    mf.check_n_buckets(m_root, n_buckets)
+
+    t0 = time.time()
+    pending, n_turns, chunk_stats = _extract_phase(
+        transcripts, m_root, n_buckets, extractor_names, chunk_size)
 
     head = mf.current_snapshot(m_root)
     if head is None:
         return None  # no mentions table at all, nothing to link
-    last_replace = next(
-        (s for s in reversed(mf.snapshots(t_root)) if s.get('replace')),
-        None)
-    if not pending and last_replace and \
-            last_replace.get('source_snapshot') == head:
-        return None  # extraction AND derivation already up to date
+    last_triples = _last_replace(t_root)
+    last_keys = _last_replace(k_root)
+    if not pending and \
+            last_triples and \
+            last_triples.get('source_snapshot') == head and \
+            last_keys and last_keys.get('source_snapshot') == head:
+        # extraction AND both derived tables already up to date (the
+        # keys check also upgrades pre-entity_keys table roots on
+        # their next run instead of nooping past them)
+        return None
 
     if mf.committed_data_dirs(m_root):
         all_mentions = mf.read_table(spark, m_root)
@@ -129,6 +152,16 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
                                     F.lit(0).cast('int')))
     entities = link_entities(all_mentions).persist()
     try:
+        # the entity-key state (the increment jobs' prior-corpus
+        # representation) commits FIRST: a crash between the two
+        # REPLACE commits leaves the triples snapshot stale, so the
+        # rerun re-derives both — committing triples first would let
+        # the noop check skip a keys table that was never written
+        keys = mf.with_bucket(
+            entity_key_table(all_mentions, entities), n_buckets,
+            key='norm_key')
+        mf.commit_replace(keys, k_root, note='entity_keys',
+                          source_snapshot=head, n_buckets=n_buckets)
         triples = mf.with_bucket(
             materialize_triples(all_mentions, entities), n_buckets)
         counters = {
@@ -146,4 +179,87 @@ def run_resumable(spark: SparkSession, transcripts: DataFrame,
                                  n_buckets=n_buckets)
     finally:
         entities.unpersist()
+    return snap
+
+
+def run_incremental(spark: SparkSession, new_transcripts: DataFrame,
+                    base_root: str, out_root: str,
+                    n_buckets: int = 16, extractor_names=None,
+                    chunk_size: int = 4) -> Optional[dict]:
+    """The bounded-staleness increment job: link a NEW transcript
+    batch against a batch-built base (``run_resumable`` output) via
+    ``link_entities_incremental`` — global CC never reruns over the
+    base, only the base's entity_keys state table enters the plan.
+
+    Same two-phase shape as the batch job: PHASE 1 commits the
+    increment's mentions bucket-granularly to ``<out_root>/mentions``;
+    PHASE 2 REPLACE-commits ``<out_root>/merge_candidates`` (prior-
+    entity pairs the increment connects — the work-list that
+    schedules the next full base re-link) and ``<out_root>/triples``,
+    each stamped with BOTH the increment-mentions snapshot and the
+    base entity_keys snapshot it linked against.  A rerun is a no-op
+    only while both are unchanged; a re-linked base (new keys
+    snapshot) re-derives the increment's links."""
+    m_root = f'{out_root}/mentions'
+    t_root = f'{out_root}/triples'
+    c_root = f'{out_root}/merge_candidates'
+    k_root = f'{base_root}/entity_keys'
+
+    keys_snap = mf.current_snapshot(k_root)
+    if keys_snap is None:
+        raise ValueError(
+            'no entity_keys state at %s — build the base with '
+            'run_resumable (jobs/run_kg.py) first' % k_root)
+    mf.check_n_buckets(m_root, n_buckets)
+
+    t0 = time.time()
+    pending, n_turns, chunk_stats = _extract_phase(
+        new_transcripts, m_root, n_buckets, extractor_names,
+        chunk_size)
+
+    head = mf.current_snapshot(m_root)
+    if head is None:
+        return None
+    last_triples = _last_replace(t_root)
+    if not pending and last_triples and \
+            last_triples.get('source_snapshot') == head and \
+            last_triples.get('counters', {}) \
+                        .get('base_keys_snapshot') == keys_snap:
+        return None  # increment AND base state both unchanged
+
+    if mf.committed_data_dirs(m_root):
+        new_mentions = mf.read_table(spark, m_root)
+    else:
+        from .operators.extract import MENTION_SCHEMA
+        new_mentions = (spark.createDataFrame([], MENTION_SCHEMA)
+                        .withColumn(mf.BUCKET_COL,
+                                    F.lit(0).cast('int')))
+    prior_keys = (mf.read_table(spark, k_root)
+                  .select('norm_key', 'entity_id', 'canonical'))
+    links, merges = link_entities_incremental(new_mentions,
+                                              prior_keys)
+    links = links.persist()
+    try:
+        stamp = {'source_snapshot': head, 'n_buckets': n_buckets}
+        merge_snap = mf.commit_replace(
+            mf.with_bucket(merges, n_buckets, key='entity_a'),
+            c_root, note='merge_candidates',
+            counters={'base_keys_snapshot': keys_snap}, **stamp)
+        triples = mf.with_bucket(
+            materialize_triples(new_mentions, links), n_buckets)
+        counters = {
+            'turns_in': n_turns,
+            'mentions': chunk_stats['mentions'],
+            'extraction_chunks': chunk_stats['chunks'],
+            'entities': links.select('entity_id')
+                             .distinct().count(),
+            'merge_candidates': merge_snap['totals']['rows'],
+            'base_keys_snapshot': keys_snap,
+            'wall_sec': round(time.time() - t0, 3),
+            'buckets': pending,
+        }
+        snap = mf.commit_replace(triples, t_root, note='triples',
+                                 counters=counters, **stamp)
+    finally:
+        links.unpersist()
     return snap

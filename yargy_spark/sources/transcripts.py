@@ -60,11 +60,19 @@ TURNS_PER_CONV = 8
 
 def synth_transcripts(spark: SparkSession, sf: float = 0.01,
                       n_turns: int | None = None,
-                      partitions: int | None = None) -> DataFrame:
-    """Build the deterministic transcripts table at the given scale."""
+                      partitions: int | None = None,
+                      start_turn: int = 0) -> DataFrame:
+    """Build the deterministic transcripts table at the given scale.
+
+    ``start_turn`` shifts the row-id range: every cell is a function
+    of the row id, so ``start_turn=N`` yields the deterministic
+    continuation of the corpus after turn N — the increment source
+    for the incremental-linking job (round up to a TURNS_PER_CONV
+    multiple so conversation ids never span batches)."""
     if n_turns is None:
         n_turns = max(64, int(TURNS_PER_SF * sf))
-    df = spark.range(0, n_turns, 1, partitions or 32)
+    df = spark.range(start_turn, start_turn + n_turns, 1,
+                     partitions or 32)
 
     golden = F.array(*[F.lit(s) for s in GOLDEN_SENTENCES])
     filler = F.array(*[F.lit(s) for s in FILLERS])
