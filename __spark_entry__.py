@@ -122,6 +122,34 @@ def q_kg_incremental(spark, sf_dir) -> DataFrame:
                  .cast('int').alias('adopted')))
 
 
+def q_kg_merge_candidates(spark, sf_dir) -> DataFrame:
+    """Merge-candidate work-list
+    (linking.py::link_entities_incremental): prior entities bridged
+    by one increment component surface as candidates — and are NOT
+    merged in the links output.  The fixture frames are inline
+    because the golden corpus's parity split never bridges prior
+    entities; the driver hash pins the operator's full output
+    contract (pair orientation, witness conversation and lemma)."""
+    from yargy_spark.operators.linking import link_entities_incremental
+    prior_keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров'),
+         ('борис|петров', 'ent_200', 'борис|петров'),
+         ('иван|ульянов', 'ent_300', 'иван|ульянов'),
+         ('пётр|ульянов', 'ent_400', 'пётр|ульянов')],
+        'norm_key string, entity_id string, canonical string')
+    new_mentions = spark.createDataFrame(
+        [(1, 'cX', 'анна|петров'),    # direct -> ent_100
+         (2, 'cX', 'вера|петров'),    # coref: joins the cX component
+         (3, 'cX', 'борис|петров'),   # direct -> ent_200 (bridge!)
+         (4, 'cY', 'иван|ульянов'),   # direct -> ent_300
+         (5, 'cY', 'пётр|ульянов'),   # direct -> ent_400 (bridge!)
+         (6, 'cZ', 'глеб|сидоров')],  # fresh, no candidates
+        'mention_id long, conv_id string, norm_key string')
+    _links, merges = link_entities_incremental(new_mentions,
+                                               prior_keys)
+    return merges
+
+
 def q_kg_person_triples(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.linking import link_entities
     from yargy_spark.operators.triples import materialize_triples
@@ -635,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_triples_date': q_kg_triples_date,
         'kg_entities': q_kg_entities,
         'kg_incremental': q_kg_incremental,
+        'kg_merge_candidates': q_kg_merge_candidates,
         'kg_person_triples': q_kg_person_triples,
         'kg_token_table': q_kg_token_table,
         'kg_money_triples': q_kg_money_triples,
@@ -885,6 +914,14 @@ def oracle_sql() -> dict[str, str]:
         ('саша|быков', 1, 0), ('саша|иванов', 1, 0),
     ], ['canonical', 'n_mentions', 'adopted'],
         casts={'n_mentions': 'BIGINT', 'adopted': 'INT'})
+
+    # merge work-list over the inline bridge fixture: each increment
+    # conversation that connects two prior entities emits exactly one
+    # oriented pair with its witness conversation and surname lemma
+    oracles['kg_merge_candidates'] = _values_rows([
+        ('ent_100', 'ent_200', 'cX', 'петров'),
+        ('ent_300', 'ent_400', 'cY', 'ульянов'),
+    ], ['entity_a', 'entity_b', 'conv_id', 'last_lemma'])
 
     oracles['kg_oov_person'] = _values_rows([
         ('v000000', 'name',

@@ -14,6 +14,11 @@ job's default corpus size rounded up to a conversation boundary, so
 the synthetic increment is the deterministic continuation of the base
 corpus with disjoint conversation ids.  Swap ``synth_transcripts``
 for a real incremental source to run on production data.
+
+One ``<inc_out>`` root per increment BATCH: the root's manifests
+define that batch's resume state, so pointing a second day's batch at
+an already-committed root would noop past it.  Daily cadence =
+``<inc_out>/<date>`` roots, compacted away by the next full re-link.
 """
 
 from __future__ import annotations
