@@ -471,6 +471,14 @@ def q_quality_scores(spark, sf_dir) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_repetition_scores(spark, sf_dir) -> DataFrame:
+    """Gopher repetition filters (textstats.repetition_scores): the
+    Spark side is a map-only in-array run-length scan; the oracle
+    replays it through unnest -> GROUP BY -> window."""
+    from yargy_spark.operators.textstats import repetition_scores
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def q_token_counts(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.textstats import token_counts
     return token_counts(_docs(spark, sf_dir))
@@ -691,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_ivf_topk': q_ann_ivf_topk,
         'lang_id': q_lang_id,
         'quality_scores': q_quality_scores,
+        'repetition_scores': q_repetition_scores,
         'token_counts': q_token_counts,
         'top_ngrams': q_top_ngrams,
         'doc_fingerprints': q_doc_fingerprints,
@@ -1432,6 +1441,68 @@ SELECT doc_id,
        THEN 1 ELSE 0 END AS keep
 FROM base
 """.format(qb=_Q_BASE_COLS, qk=_Q_KEEP_PRED, stops=stop_list)
+
+    # Gopher repetition filters: the Spark side computes everything
+    # in-array per document (sorted run-length scans); the oracle is
+    # the orthodox relational formulation — same math, independent
+    # plumbing.  Multiplication-before-division order matches the
+    # Spark expressions exactly so the float64 floors agree.
+    oracles['repetition_scores'] = r"""
+WITH l0 AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+  FROM documents),
+l1 AS (
+  SELECT doc_id, trim(l) AS ln FROM l0 WHERE length(trim(l)) > 0),
+lc AS (
+  SELECT doc_id, ln, count(*) AS c, length(ln) AS len
+  FROM l1 GROUP BY doc_id, ln),
+lstat AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(c) - count(*) AS dup_lines,
+         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars,
+         sum(c * len) AS tot_chars
+  FROM lc GROUP BY doc_id),
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wa
+  FROM documents),
+g0 AS (
+  SELECT doc_id, wa[i] || ' ' || wa[i+1] AS g
+  FROM (SELECT doc_id, wa,
+               unnest(generate_series(1, len(wa) - 1)) AS i
+        FROM w WHERE len(wa) >= 2)),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY doc_id, g),
+top AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, c, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g ASC) AS rn
+    FROM gc) WHERE rn = 1),
+nl AS (SELECT doc_id, length(array_to_string(wa, ' ')) AS norm_len,
+              len(wa) AS n_words
+       FROM w),
+scored AS (
+  SELECT d.doc_id, nl.n_words,
+    CAST(COALESCE(floor(10000.0 * ls.dup_lines / ls.n_lines), 0)
+         AS BIGINT) AS dup_line_ratio_x10000,
+    CAST(COALESCE(floor(10000.0 * ls.dup_chars / ls.tot_chars), 0)
+         AS BIGINT) AS dup_line_char_ratio_x10000,
+    CAST(COALESCE(floor(10000.0 * t.c * length(t.g) / nl.norm_len),
+                  0) AS BIGINT) AS top_2gram_char_ratio_x10000
+  FROM documents d
+  LEFT JOIN lstat ls USING (doc_id)
+  LEFT JOIN top t USING (doc_id)
+  LEFT JOIN nl USING (doc_id))
+SELECT doc_id, dup_line_ratio_x10000, dup_line_char_ratio_x10000,
+       top_2gram_char_ratio_x10000,
+       CAST(CASE WHEN n_words >= 20
+                  AND (dup_line_ratio_x10000 > 3000
+                       OR dup_line_char_ratio_x10000 > 3000
+                       OR top_2gram_char_ratio_x10000 > 2000)
+                 THEN 1 ELSE 0 END AS INT) AS repetitive
+FROM scored
+"""
 
     oracles['token_counts'] = """
 SELECT doc_id,

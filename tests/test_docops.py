@@ -311,6 +311,35 @@ def test_quality_and_tokens(spark, docs):
                for r in t.values())
 
 
+def test_repetition_scores(spark):
+    """Gopher repetition filters, hand-computed goldens:
+    duplicate-line and duplicate-line-char fractions from the sorted
+    run-length scan, the (overlap-counting) top-2gram char share, and
+    the >= 20-word guard on the drop flag."""
+    from yargy_spark.operators.textstats import repetition_scores
+    rows = [
+        # 4 lines, 'aaa' twice: dup 1/4; dup chars 6/12; top 2-gram
+        # 'aaa bbb' (1 of 3, 7 chars over 15); 4 words -> flag 0
+        (1, 'aaa\nbbb\naaa\nccc'),
+        # one line, overlapping 'spam spam' x3: 3*9/19 > 1.0 -> the
+        # share legitimately exceeds 10000 on degenerate docs
+        (2, 'spam spam spam spam'),
+        # 25 repeated words: flag trips via the 2-gram share
+        (3, ('ля ' * 25).strip()),
+        (4, ''),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: (r['dup_line_ratio_x10000'],
+                         r['dup_line_char_ratio_x10000'],
+                         r['top_2gram_char_ratio_x10000'],
+                         r['repetitive'])
+           for r in repetition_scores(df).collect()}
+    assert got[1] == (2500, 5000, 4666, 0)
+    assert got[2] == (0, 0, 14210, 0)
+    assert got[3] == (0, 0, 16216, 1)
+    assert got[4] == (0, 0, 0, 0)
+
+
 def test_multimodal_plumbing(spark, docs):
     from yargy_spark.operators.multimodal import (decode_image,
                                                   extract_features,

@@ -110,6 +110,111 @@ def token_counts(docs: DataFrame) -> DataFrame:
                        re_toks.alias('re_tokens'))
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al.
+    2021, "Scaling Language Models", appendix A1.1 — the repetitious-
+    text heuristics): duplicate-line fraction, duplicate-line
+    CHARACTER fraction, and the character share of the most frequent
+    word 2-gram, plus a ``repetitive`` drop flag.
+
+    Scale shape: everything is computed IN-ARRAY per document
+    (``array_sort`` + one ``aggregate`` run-length pass — O(L log L)
+    per doc), so the operator is a map-only projection in whole-stage
+    codegen: no explode, no shuffle, nothing leaves the row.  The
+    DuckDB oracle replays the same math through the orthodox
+    unnest -> GROUP BY -> window formulation.
+
+    (doc_id, dup_line_ratio_x10000, dup_line_char_ratio_x10000,
+     top_2gram_char_ratio_x10000, repetitive).  The 2-gram share
+    counts every (overlapping) occurrence, so a degenerate
+    one-token-repeated doc can exceed 10000 — a score, not a
+    probability, exactly as in the reference heuristic."""
+    text = F.coalesce(F.col('text'), F.lit(''))
+
+    # --- duplicate non-empty lines (trim-normalized) ---
+    lines = F.filter(
+        F.transform(F.split(text, '\n'), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast('long'), lambda acc, x: acc + F.length(x))
+    zero = F.struct(
+        F.lit('').alias('prev'), F.lit(0).cast('long').alias('run'),
+        F.lit(0).cast('long').alias('dup'),
+        F.lit(0).cast('long').alias('dupch'))
+
+    def line_step(acc, x):
+        # run-length scan over the sorted lines: each repeat beyond a
+        # run's first element counts once; a run's chars enter dupch
+        # in full (2*len when the run becomes a duplicate, then len)
+        same = acc['prev'] == x
+        run = F.when(same, acc['run'] + 1).otherwise(
+            F.lit(1).cast('long'))
+        dup = F.when(same, acc['dup'] + 1).otherwise(acc['dup'])
+        dupch = (F.when(same & (acc['run'] == 1),
+                        acc['dupch'] + 2 * F.length(x))
+                 .when(same, acc['dupch'] + F.length(x))
+                 .otherwise(acc['dupch']))
+        return F.struct(x.alias('prev'), run.alias('run'),
+                        dup.alias('dup'), dupch.alias('dupch'))
+
+    lstat = F.aggregate(F.array_sort(lines), zero, line_step)
+    dup_line = F.when(n_lines > 0, F.floor(
+        F.lit(10000.0) * lstat['dup'] / n_lines)).otherwise(F.lit(0))
+    dup_char = F.when(n_lines > 0, F.floor(
+        F.lit(10000.0) * lstat['dupch'] / tot_chars)).otherwise(
+        F.lit(0))
+
+    # --- most frequent word 2-gram's character share ---
+    words = F.split(F.trim(F.lower(text)), r'\s+')
+    tail = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    # zip_with pads the shorter side with NULL and concat propagates
+    # it, so the trailing word's half-gram filters out cleanly
+    grams = F.filter(
+        F.zip_with(words, tail,
+                   lambda a, b: F.concat(a, F.lit(' '), b)),
+        lambda g: g.isNotNull())
+    gzero = F.struct(
+        F.lit('').alias('prev'), F.lit(0).cast('long').alias('run'),
+        F.lit(0).cast('long').alias('best'), F.lit('').alias('bestg'))
+
+    def gram_step(acc, x):
+        # strict '>' keeps the FIRST maximal run of the ascending
+        # sort = the lexicographically smallest gram among count ties
+        # (mirrors the oracle's ORDER BY c DESC, g ASC)
+        run = F.when(acc['prev'] == x, acc['run'] + 1).otherwise(
+            F.lit(1).cast('long'))
+        better = run > acc['best']
+        return F.struct(
+            x.alias('prev'), run.alias('run'),
+            F.when(better, run).otherwise(acc['best']).alias('best'),
+            F.when(better, x).otherwise(acc['bestg']).alias('bestg'))
+
+    g = F.aggregate(F.array_sort(grams), gzero, gram_step)
+    norm_len = F.length(F.array_join(words, ' '))
+    top_gram = F.when(F.size(grams) > 0, F.floor(
+        F.lit(10000.0) * g['best'] * F.length(g['bestg']) / norm_len
+    )).otherwise(F.lit(0))
+
+    out = docs.select(
+        'doc_id',
+        dup_line.cast('long').alias('dup_line_ratio_x10000'),
+        dup_char.cast('long').alias('dup_line_char_ratio_x10000'),
+        top_gram.cast('long').alias('top_2gram_char_ratio_x10000'),
+        F.size(words).alias('_n_words'))
+    # the flag only judges docs of >= 20 words: a 4-gram document
+    # trivially gives its top 2-gram a >20% character share, and
+    # Gopher applies the repetition filters jointly with length gates
+    repetitive = F.when(
+        (F.col('_n_words') >= 20)
+        & ((F.col('dup_line_ratio_x10000') > 3000)
+           | (F.col('dup_line_char_ratio_x10000') > 3000)
+           | (F.col('top_2gram_char_ratio_x10000') > 2000)),
+        F.lit(1)).otherwise(F.lit(0))
+    return (out.withColumn('repetitive', repetitive.cast('int'))
+            .drop('_n_words'))
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 4,
                      k: int = 3) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` smallest distinct
