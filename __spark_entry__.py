@@ -324,6 +324,17 @@ def q_transcripts_tool_stats(spark, sf_dir) -> DataFrame:
                  F.countDistinct('conv_id').alias('n_convs')))
 
 
+def q_context_windows(spark, sf_dir) -> DataFrame:
+    """Rolling k-turn context assembly (packing.context_windows —
+    the SFT chat-data input layout) over the deterministic generator
+    corpus; the oracle replays the id-derived text generator AND the
+    window frame in SQL."""
+    from yargy_spark.operators.packing import context_windows
+    from yargy_spark.sources.transcripts import synth_transcripts
+    t = synth_transcripts(spark, n_turns=1024, partitions=8)
+    return context_windows(t, k=3)
+
+
 def q_stream_mention_rollup(spark, sf_dir) -> DataFrame:
     """Structured Streaming: file source -> extraction kernel ->
     watermarked event-time rollup, drained with availableNow."""
@@ -684,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_asof': q_events_asof,
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
+        'context_windows': q_context_windows,
         'stream_mention_rollup': q_stream_mention_rollup,
         'stream_dedup': q_stream_dedup,
         'exact_dedup': q_exact_dedup,
@@ -1071,6 +1083,40 @@ SELECT role, tool, count(*) AS n_turns,
        count(DISTINCT conv) AS n_convs
 FROM r GROUP BY role, tool
 """
+
+    # context-window oracle: replay the id-derived text generator
+    # (same modular selectors as transcripts_tool_stats, plus the
+    # golden/filler sentence pools) and the rolling frame in SQL
+    from yargy_spark.sources.transcripts import (FILLERS,
+                                                 GOLDEN_SENTENCES)
+
+    def _sql_list(items):
+        return '[%s]' % ', '.join(
+            "'%s'" % s.replace("'", "''") for s in items)
+
+    oracles['context_windows'] = """
+WITH t AS (
+  SELECT i AS id, i // 8 AS conv, CAST(i % 8 AS INT) AS turn_idx,
+         (i % 8) % 3 AS role_idx
+  FROM (SELECT unnest(generate_series(0, 1023)) AS i)),
+txt AS (
+  SELECT printf('c%012d', conv) AS conv_id, turn_idx,
+         ['user','assistant','tool'][role_idx + 1] AS role,
+         CASE WHEN id % 3 = 0
+              THEN {f}[id % {nf} + 1] || '. ' || {g}[id % {ng} + 1]
+                   || '. ' || {f}[(id * 7 + 3) % {nf} + 1]
+              ELSE {f}[id % {nf} + 1] || ', '
+                   || {f}[(id * 7 + 3) % {nf} + 1]
+         END AS text
+  FROM t)
+SELECT conv_id, turn_idx, role,
+       count(text) OVER w AS n_ctx_turns,
+       coalesce(string_agg(text, chr(10)) OVER w, '') AS context
+FROM txt
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+""".format(f=_sql_list(FILLERS), g=_sql_list(GOLDEN_SENTENCES),
+           nf=len(FILLERS), ng=len(GOLDEN_SENTENCES))
 
     # streaming rollup oracle: event-time windows computed from the
     # SAME fixture rows the query streams (sources/transcripts.

@@ -89,3 +89,31 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 512,
                         F.expr('(_fin - 1) DIV %d' % ctx_len))
             .select(key_col, 'bucket', 'start_tok', 'n_tokens',
                     'seq_first', 'seq_last'))
+
+
+def context_windows(transcripts: DataFrame, k: int = 3,
+                    sep: str = '\n') -> DataFrame:
+    """SFT-style training-example assembly over transcripts: for
+    every turn, the previous ``k`` turns of its conversation joined
+    as the rolling context (the standard chat-fine-tuning input
+    layout: context -> current turn).
+
+    Scale shape: ONE shuffle on conv_id (the window partition);
+    the frame is ``ROWS BETWEEN k PRECEDING AND 1 PRECEDING`` so each
+    row does O(k) work and state — no per-conversation collect, no
+    quadratic blowup on long conversations.  Conversations are
+    bounded (TURNS_PER_CONV) and ids are hash-distributed, so the
+    window partitions are skew-free by construction; a pathological
+    mega-conversation source would reuse the asof_join ts-bucket
+    mitigation (events.py).
+
+    (conv_id, turn_idx, role, n_ctx_turns, context)."""
+    w = (Window.partitionBy('conv_id').orderBy('turn_idx')
+         .rowsBetween(-k, -1))
+    return transcripts.select(
+        'conv_id', 'turn_idx', 'role',
+        F.count('text').over(w).alias('n_ctx_turns'),
+        # collect_list over the bounded frame preserves the frame's
+        # turn_idx order; empty frame (first turn) joins to ''
+        F.array_join(F.collect_list('text').over(w), sep)
+        .alias('context'))
