@@ -490,6 +490,26 @@ def q_repetition_scores(spark, sf_dir) -> DataFrame:
     return repetition_scores(_docs(spark, sf_dir))
 
 
+# the synthetic corpus carries no PII, so the scrub query unions
+# crafted rows onto it; the oracle mirrors them as VALUES literals
+PII_ROWS = [
+    (1000001, 'contact me at john.doe@example.com or call '
+              '+7 (495) 123-45-67 today'),
+    (1000002, 'two mails: a@b.io and c.d@e.org; fax 84951234567'),
+    (1000003, 'no pii here, just words'),
+]
+
+
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """Email/phone redaction (textstats.pii_scrub): corpus plus
+    crafted PII rows; full scrubbed text under the value hash."""
+    from yargy_spark.operators.textstats import pii_scrub
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    crafted = spark.createDataFrame(PII_ROWS,
+                                    'doc_id long, text string')
+    return pii_scrub(docs.unionByName(crafted))
+
+
 def q_token_counts(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.textstats import token_counts
     return token_counts(_docs(spark, sf_dir))
@@ -712,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_id': q_lang_id,
         'quality_scores': q_quality_scores,
         'repetition_scores': q_repetition_scores,
+        'pii_scrub': q_pii_scrub,
         'token_counts': q_token_counts,
         'top_ngrams': q_top_ngrams,
         'doc_fingerprints': q_doc_fingerprints,
@@ -1549,6 +1570,30 @@ SELECT doc_id, dup_line_ratio_x10000, dup_line_char_ratio_x10000,
                  THEN 1 ELSE 0 END AS INT) AS repetitive
 FROM scored
 """
+
+    from yargy_spark.operators.textstats import (EMAIL_PATTERN,
+                                                 PHONE_PATTERN)
+    pii_values = ',\n    '.join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in PII_ROWS)
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark's is global by default — flag required for parity
+    oracles['pii_scrub'] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    %(rows)s) AS v(doc_id, text)),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '%(em)s')) AS INT)
+           AS n_emails,
+         regexp_replace(text, '%(em)s', '<EMAIL>', 'g') AS t1
+  FROM base)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '%(ph)s')) AS INT) AS n_phones,
+       regexp_replace(t1, '%(ph)s', '<PHONE>', 'g') AS clean_text
+FROM e
+""" % {'rows': pii_values, 'em': EMAIL_PATTERN, 'ph': PHONE_PATTERN}
 
     oracles['token_counts'] = """
 SELECT doc_id,

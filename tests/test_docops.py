@@ -483,3 +483,27 @@ def test_dup_clusters_composition(spark, docs):
         for r in pairs.collect():
             assert comp[r['a']] == comp[r['b']]
     pairs.unpersist(); cc.unpersist()
+
+
+def test_pii_scrub_redaction(spark):
+    """Emails redact before phones (an address's digits must not be
+    half-eaten), counts come from the same strings the replacements
+    see, and PII-free text passes through byte-identical."""
+    from yargy_spark.operators.textstats import pii_scrub
+    rows = [
+        (1, 'contact me at john.doe@example.com or call '
+            '+7 (495) 123-45-67 today'),
+        (2, 'two mails: a@b.io and c.d@e.org; fax 84951234567'),
+        (3, 'no pii here, just words'),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_emails'], r['n_phones'],
+                         r['clean_text'])
+           for r in pii_scrub(df).collect()}
+    assert got[1] == (1, 1,
+                      'contact me at <EMAIL> or call <PHONE> today')
+    assert got[2] == (2, 1, 'two mails: <EMAIL> and <EMAIL>; '
+                            'fax <PHONE>')
+    assert got[3] == (0, 0, 'no pii here, just words')
+    assert got[4] == (0, 0, '')

@@ -215,6 +215,37 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
             .drop('_n_words'))
 
 
+# PII patterns kept to portable constructs (no lookarounds, no
+# backreferences) so the Java-regex engine (Spark) and RE2 (DuckDB)
+# produce identical matches
+EMAIL_PATTERN = r'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
+PHONE_PATTERN = r'\+?[0-9][0-9()\- ]{7,}[0-9]'
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: redact email addresses and
+    phone-number-shaped digit runs, emitting per-document counts and
+    the scrubbed text.  Email redaction runs FIRST — an address's
+    digits must not be half-eaten by the phone pattern — and the
+    phone count is taken on the email-redacted text so both sides of
+    the oracle count the same string.
+
+    Map-only regexp projection in whole-stage codegen: no shuffle,
+    no UDF.  (doc_id, n_emails, n_phones, clean_text)."""
+    text = F.coalesce(F.col('text'), F.lit(''))
+    n_emails = F.size(F.regexp_extract_all(
+        text, F.lit(EMAIL_PATTERN), F.lit(0)))
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, '<EMAIL>')
+    n_phones = F.size(F.regexp_extract_all(
+        no_email, F.lit(PHONE_PATTERN), F.lit(0)))
+    clean = F.regexp_replace(no_email, PHONE_PATTERN, '<PHONE>')
+    return docs.select(
+        'doc_id',
+        n_emails.cast('int').alias('n_emails'),
+        n_phones.cast('int').alias('n_phones'),
+        clean.alias('clean_text'))
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 4,
                      k: int = 3) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` smallest distinct
