@@ -93,7 +93,9 @@ def main():
               'quality_scores', 'pricing_summary',
               # round-3 pipeline family
               'pack_sequences', 'mixture_sample', 'decontam_pairs',
-              'training_batches']:
+              'training_batches',
+              # round-3 tail: text filters + SFT assembly
+              'repetition_scores', 'pii_scrub', 'context_windows']:
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 
