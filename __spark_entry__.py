@@ -510,6 +510,28 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
     return pii_scrub(docs.unionByName(crafted))
 
 
+# crafted rows exercising each stage of the composed filter chain:
+# a PII-bearing survivor, a repetition drop, a quality drop
+FILTER_ROWS = [
+    (2000001, 'please write to support at team dot example dot com '
+              'or email me directly at help.desk@example.com '
+              'whenever anything breaks'),
+    (2000002, ('ля ' * 25).strip()),
+    (2000003, 'короткий'),
+]
+
+
+def q_filter_corpus(spark, sf_dir) -> DataFrame:
+    """The composed one-pass filter chain (textstats.filter_corpus:
+    quality gate -> repetition drop -> PII scrub, zero exchanges);
+    oracle composed from the same fragments as the stage oracles."""
+    from yargy_spark.operators.textstats import filter_corpus
+    docs = _docs(spark, sf_dir).select('doc_id', 'text')
+    crafted = spark.createDataFrame(FILTER_ROWS,
+                                    'doc_id long, text string')
+    return filter_corpus(docs.unionByName(crafted))
+
+
 def q_token_counts(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.textstats import token_counts
     return token_counts(_docs(spark, sf_dir))
@@ -733,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_scores': q_quality_scores,
         'repetition_scores': q_repetition_scores,
         'pii_scrub': q_pii_scrub,
+        'filter_corpus': q_filter_corpus,
         'token_counts': q_token_counts,
         'top_ngrams': q_top_ngrams,
         'doc_fingerprints': q_doc_fingerprints,
@@ -808,6 +831,67 @@ _Q_KEEP_PRED = """n_words >= 10 AND n_chars_txt >= 50
             BETWEEN 200 AND 1000
         AND floor(10000.0 * punct / greatest(n_chars_txt, 1)) <= 2000"""
 _H60 = "('0x' || substr(md5({x}), 1, 15))::int64"
+
+
+def _repetition_sql(src):
+    """CTE chain ending in ``rep_scored(doc_id, n_words,
+    dup_line_ratio_x10000, dup_line_char_ratio_x10000,
+    top_2gram_char_ratio_x10000)`` over ``src`` — ONE definition
+    shared by the repetition_scores and filter_corpus oracles
+    (mirrors textstats._repetition_cols the same way the quality
+    fragments mirror _quality_features)."""
+    return r"""l0 AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+  FROM {src}),
+l1 AS (
+  SELECT doc_id, trim(l) AS ln FROM l0 WHERE length(trim(l)) > 0),
+lc AS (
+  SELECT doc_id, ln, count(*) AS c, length(ln) AS len
+  FROM l1 GROUP BY doc_id, ln),
+lstat AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(c) - count(*) AS dup_lines,
+         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars,
+         sum(c * len) AS tot_chars
+  FROM lc GROUP BY doc_id),
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS wa
+  FROM {src}),
+g0 AS (
+  SELECT doc_id, wa[i] || ' ' || wa[i+1] AS g
+  FROM (SELECT doc_id, wa,
+               unnest(generate_series(1, len(wa) - 1)) AS i
+        FROM w WHERE len(wa) >= 2)),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY doc_id, g),
+top AS (
+  SELECT doc_id, c, g FROM (
+    SELECT doc_id, c, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g ASC) AS rn
+    FROM gc) WHERE rn = 1),
+nl AS (SELECT doc_id, length(array_to_string(wa, ' ')) AS norm_len,
+              len(wa) AS n_words
+       FROM w),
+rep_scored AS (
+  SELECT d.doc_id, nl.n_words,
+    CAST(COALESCE(floor(10000.0 * ls.dup_lines / ls.n_lines), 0)
+         AS BIGINT) AS dup_line_ratio_x10000,
+    CAST(COALESCE(floor(10000.0 * ls.dup_chars / ls.tot_chars), 0)
+         AS BIGINT) AS dup_line_char_ratio_x10000,
+    CAST(COALESCE(floor(10000.0 * t.c * length(t.g) / nl.norm_len),
+                  0) AS BIGINT) AS top_2gram_char_ratio_x10000
+  FROM {src} d
+  LEFT JOIN lstat ls USING (doc_id)
+  LEFT JOIN top t USING (doc_id)
+  LEFT JOIN nl USING (doc_id))""".replace('{src}', src)
+
+
+_REP_FLAG_PRED = """n_words >= 20
+                  AND (dup_line_ratio_x10000 > 3000
+                       OR dup_line_char_ratio_x10000 > 3000
+                       OR top_2gram_char_ratio_x10000 > 2000)"""
 
 def _shingles_sql(src):
     """norm + shingles CTEs over ``src`` (documents or repdocs)."""
@@ -1514,62 +1598,56 @@ FROM base
     # the orthodox relational formulation — same math, independent
     # plumbing.  Multiplication-before-division order matches the
     # Spark expressions exactly so the float64 floors agree.
-    oracles['repetition_scores'] = r"""
-WITH l0 AS (
-  SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-  FROM documents),
-l1 AS (
-  SELECT doc_id, trim(l) AS ln FROM l0 WHERE length(trim(l)) > 0),
-lc AS (
-  SELECT doc_id, ln, count(*) AS c, length(ln) AS len
-  FROM l1 GROUP BY doc_id, ln),
-lstat AS (
-  SELECT doc_id,
-         sum(c) AS n_lines,
-         sum(c) - count(*) AS dup_lines,
-         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars,
-         sum(c * len) AS tot_chars
-  FROM lc GROUP BY doc_id),
-w AS (
-  SELECT doc_id,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS wa
-  FROM documents),
-g0 AS (
-  SELECT doc_id, wa[i] || ' ' || wa[i+1] AS g
-  FROM (SELECT doc_id, wa,
-               unnest(generate_series(1, len(wa) - 1)) AS i
-        FROM w WHERE len(wa) >= 2)),
-gc AS (SELECT doc_id, g, count(*) AS c FROM g0 GROUP BY doc_id, g),
-top AS (
-  SELECT doc_id, c, g FROM (
-    SELECT doc_id, c, g,
-           row_number() OVER (PARTITION BY doc_id
-                              ORDER BY c DESC, g ASC) AS rn
-    FROM gc) WHERE rn = 1),
-nl AS (SELECT doc_id, length(array_to_string(wa, ' ')) AS norm_len,
-              len(wa) AS n_words
-       FROM w),
-scored AS (
-  SELECT d.doc_id, nl.n_words,
-    CAST(COALESCE(floor(10000.0 * ls.dup_lines / ls.n_lines), 0)
-         AS BIGINT) AS dup_line_ratio_x10000,
-    CAST(COALESCE(floor(10000.0 * ls.dup_chars / ls.tot_chars), 0)
-         AS BIGINT) AS dup_line_char_ratio_x10000,
-    CAST(COALESCE(floor(10000.0 * t.c * length(t.g) / nl.norm_len),
-                  0) AS BIGINT) AS top_2gram_char_ratio_x10000
-  FROM documents d
-  LEFT JOIN lstat ls USING (doc_id)
-  LEFT JOIN top t USING (doc_id)
-  LEFT JOIN nl USING (doc_id))
+    oracles['repetition_scores'] = """
+WITH """ + _repetition_sql('documents') + """
 SELECT doc_id, dup_line_ratio_x10000, dup_line_char_ratio_x10000,
        top_2gram_char_ratio_x10000,
-       CAST(CASE WHEN n_words >= 20
-                  AND (dup_line_ratio_x10000 > 3000
-                       OR dup_line_char_ratio_x10000 > 3000
-                       OR top_2gram_char_ratio_x10000 > 2000)
+       CAST(CASE WHEN """ + _REP_FLAG_PRED + """
                  THEN 1 ELSE 0 END AS INT) AS repetitive
-FROM scored
+FROM rep_scored
 """
+
+    # filter_corpus composes the SAME fragments the stage oracles use
+    # (quality keep, repetition flag, PII regexps) — like
+    # training_batches, the composition can never diverge from its
+    # stages' gated definitions
+    from yargy_spark.operators.textstats import (EMAIL_PATTERN,
+                                                 PHONE_PATTERN)
+    filter_values = ',\n    '.join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in
+        FILTER_ROWS)
+    oracles['filter_corpus'] = ("""
+WITH fbase AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    """ + filter_values + """) AS v(doc_id, text)),
+""" + _repetition_sql('fbase') + """,
+qkeep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, """ + _Q_BASE_COLS + """
+    FROM fbase)
+  WHERE """ + _Q_KEEP_PRED + """),
+surv AS (
+  SELECT b.doc_id, b.text FROM fbase b
+  JOIN qkeep USING (doc_id)
+  JOIN rep_scored r USING (doc_id)
+  WHERE NOT (""" + _REP_FLAG_PRED.replace(
+        'n_words', 'r.n_words').replace(
+        'dup_line_ratio', 'r.dup_line_ratio').replace(
+        'dup_line_char_ratio', 'r.dup_line_char_ratio').replace(
+        'top_2gram_char_ratio', 'r.top_2gram_char_ratio') + """)),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '%(em)s')) AS INT)
+           AS n_emails,
+         regexp_replace(text, '%(em)s', '<EMAIL>', 'g') AS t1
+  FROM surv)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '%(ph)s')) AS INT) AS n_phones,
+       regexp_replace(t1, '%(ph)s', '<PHONE>', 'g') AS clean_text
+FROM e
+""") % {'em': EMAIL_PATTERN, 'ph': PHONE_PATTERN}
 
     from yargy_spark.operators.textstats import (EMAIL_PATTERN,
                                                  PHONE_PATTERN)

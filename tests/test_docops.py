@@ -507,3 +507,28 @@ def test_pii_scrub_redaction(spark):
                             'fax <PHONE>')
     assert got[3] == (0, 0, 'no pii here, just words')
     assert got[4] == (0, 0, '')
+
+
+def test_filter_corpus_one_pass(spark, docs):
+    """The composed quality -> repetition -> PII chain stays ONE
+    map-only projection (no Exchange in the executed plan over a
+    parquet scan), and each stage actually drops/redacts."""
+    from yargy_spark.operators.textstats import filter_corpus
+    plan = (filter_corpus(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert 'Exchange' not in plan
+
+    rows = [
+        # survives quality and repetition; email gets redacted
+        (1, 'please write to support at team dot example dot com '
+            'or email me directly at help.desk@example.com '
+            'whenever anything breaks'),
+        (2, ('ля ' * 25).strip()),     # repetitive: dropped
+        (3, 'короткий'),               # fails the quality gate
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_emails'], r['clean_text'])
+           for r in filter_corpus(df).collect()}
+    assert set(got) == {1}
+    assert got[1][0] == 1 and '<EMAIL>' in got[1][1]
+    assert 'help.desk' not in got[1][1]

@@ -45,10 +45,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select('doc_id', detected.alias('detected_lang'))
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Gopher-style quality features + keep/drop flag:
-    (doc_id, n_chars_txt, n_words, mean_word_len_x100,
-     punct_ratio_x10000, stop_ratio_x10000, keep)."""
+def _quality_features() -> dict:
+    """The Gopher quality feature Columns over ``col('text')`` —
+    shared by ``quality_scores`` and ``filter_corpus`` so the two can
+    never score differently."""
     text = F.lower(F.col('text'))
     # ANY whitespace separates words: a literal-space split would
     # collapse newline/tab-separated documents to n_words=1 and
@@ -72,20 +72,34 @@ def quality_scores(docs: DataFrame) -> DataFrame:
                          / F.greatest(n_words, F.lit(1)))
     punct_ratio = F.floor(F.lit(10000.0) * punct
                           / F.greatest(n_chars, F.lit(1)))
-    # when/otherwise(0), not a bare boolean cast: null text must
-    # yield keep=0 like the oracle's CASE ... ELSE 0, never NULL
-    keep = F.when((n_words >= 10) & (n_chars >= 50)
-                  & (mean_wl >= 200) & (mean_wl <= 1000)
-                  & (punct_ratio <= 2000),
+    return {'n_chars': n_chars, 'n_words': n_words,
+            'mean_wl': mean_wl, 'punct_ratio': punct_ratio,
+            'stop_ratio': stop_ratio}
+
+
+def _quality_keep(f: dict):
+    """keep/drop Column from the shared feature dict.
+    when/otherwise(0), not a bare boolean cast: null text must
+    yield keep=0 like the oracle's CASE ... ELSE 0, never NULL."""
+    return F.when((f['n_words'] >= 10) & (f['n_chars'] >= 50)
+                  & (f['mean_wl'] >= 200) & (f['mean_wl'] <= 1000)
+                  & (f['punct_ratio'] <= 2000),
                   F.lit(1)).otherwise(F.lit(0))
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality features + keep/drop flag:
+    (doc_id, n_chars_txt, n_words, mean_word_len_x100,
+     punct_ratio_x10000, stop_ratio_x10000, keep)."""
+    f = _quality_features()
     return docs.select(
         'doc_id',
-        n_chars.alias('n_chars_txt'),
-        n_words.alias('n_words'),
-        mean_wl.cast('long').alias('mean_word_len_x100'),
-        punct_ratio.cast('long').alias('punct_ratio_x10000'),
-        stop_ratio.cast('long').alias('stop_ratio_x10000'),
-        keep.alias('keep'))
+        f['n_chars'].alias('n_chars_txt'),
+        f['n_words'].alias('n_words'),
+        f['mean_wl'].cast('long').alias('mean_word_len_x100'),
+        f['punct_ratio'].cast('long').alias('punct_ratio_x10000'),
+        f['stop_ratio'].cast('long').alias('stop_ratio_x10000'),
+        _quality_keep(f).alias('keep'))
 
 
 def ws_token_count(text_col=None):
@@ -110,25 +124,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
                        re_toks.alias('re_tokens'))
 
 
-def repetition_scores(docs: DataFrame) -> DataFrame:
-    """Gopher-style intra-document repetition filters (Rae et al.
-    2021, "Scaling Language Models", appendix A1.1 — the repetitious-
-    text heuristics): duplicate-line fraction, duplicate-line
-    CHARACTER fraction, and the character share of the most frequent
-    word 2-gram, plus a ``repetitive`` drop flag.
-
-    Scale shape: everything is computed IN-ARRAY per document
-    (``array_sort`` + one ``aggregate`` run-length pass — O(L log L)
-    per doc), so the operator is a map-only projection in whole-stage
-    codegen: no explode, no shuffle, nothing leaves the row.  The
-    DuckDB oracle replays the same math through the orthodox
-    unnest -> GROUP BY -> window formulation.
-
-    (doc_id, dup_line_ratio_x10000, dup_line_char_ratio_x10000,
-     top_2gram_char_ratio_x10000, repetitive).  The 2-gram share
-    counts every (overlapping) occurrence, so a degenerate
-    one-token-repeated doc can exceed 10000 — a score, not a
-    probability, exactly as in the reference heuristic."""
+def _repetition_cols() -> dict:
+    """The repetition feature Columns over ``col('text')`` — shared
+    by ``repetition_scores`` and ``filter_corpus``."""
     text = F.coalesce(F.col('text'), F.lit(''))
 
     # --- duplicate non-empty lines (trim-normalized) ---
@@ -196,23 +194,50 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         F.lit(10000.0) * g['best'] * F.length(g['bestg']) / norm_len
     )).otherwise(F.lit(0))
 
-    out = docs.select(
+    return {'dup_line': dup_line.cast('long'),
+            'dup_char': dup_char.cast('long'),
+            'top_gram': top_gram.cast('long'),
+            'n_words': F.size(words)}
+
+
+def _repetitive_flag(c: dict):
+    """Drop flag from the shared repetition dict.  Only judges docs
+    of >= 20 words: a 4-gram document trivially gives its top 2-gram
+    a >20% character share, and Gopher applies the repetition filters
+    jointly with length gates."""
+    return F.when(
+        (c['n_words'] >= 20)
+        & ((c['dup_line'] > 3000) | (c['dup_char'] > 3000)
+           | (c['top_gram'] > 2000)),
+        F.lit(1)).otherwise(F.lit(0)).cast('int')
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al.
+    2021, "Scaling Language Models", appendix A1.1 — the repetitious-
+    text heuristics): duplicate-line fraction, duplicate-line
+    CHARACTER fraction, and the character share of the most frequent
+    word 2-gram, plus a ``repetitive`` drop flag.
+
+    Scale shape: everything is computed IN-ARRAY per document
+    (``array_sort`` + one ``aggregate`` run-length pass — O(L log L)
+    per doc), so the operator is a map-only projection in whole-stage
+    codegen: no explode, no shuffle, nothing leaves the row.  The
+    DuckDB oracle replays the same math through the orthodox
+    unnest -> GROUP BY -> window formulation.
+
+    (doc_id, dup_line_ratio_x10000, dup_line_char_ratio_x10000,
+     top_2gram_char_ratio_x10000, repetitive).  The 2-gram share
+    counts every (overlapping) occurrence, so a degenerate
+    one-token-repeated doc can exceed 10000 — a score, not a
+    probability, exactly as in the reference heuristic."""
+    c = _repetition_cols()
+    return docs.select(
         'doc_id',
-        dup_line.cast('long').alias('dup_line_ratio_x10000'),
-        dup_char.cast('long').alias('dup_line_char_ratio_x10000'),
-        top_gram.cast('long').alias('top_2gram_char_ratio_x10000'),
-        F.size(words).alias('_n_words'))
-    # the flag only judges docs of >= 20 words: a 4-gram document
-    # trivially gives its top 2-gram a >20% character share, and
-    # Gopher applies the repetition filters jointly with length gates
-    repetitive = F.when(
-        (F.col('_n_words') >= 20)
-        & ((F.col('dup_line_ratio_x10000') > 3000)
-           | (F.col('dup_line_char_ratio_x10000') > 3000)
-           | (F.col('top_2gram_char_ratio_x10000') > 2000)),
-        F.lit(1)).otherwise(F.lit(0))
-    return (out.withColumn('repetitive', repetitive.cast('int'))
-            .drop('_n_words'))
+        c['dup_line'].alias('dup_line_ratio_x10000'),
+        c['dup_char'].alias('dup_line_char_ratio_x10000'),
+        c['top_gram'].alias('top_2gram_char_ratio_x10000'),
+        _repetitive_flag(c).alias('repetitive'))
 
 
 # PII patterns kept to portable constructs (no lookarounds, no
@@ -244,6 +269,25 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_emails.cast('int').alias('n_emails'),
         n_phones.cast('int').alias('n_phones'),
         clean.alias('clean_text'))
+
+
+def filter_corpus(docs: DataFrame) -> DataFrame:
+    """The document filter chain for corpus prep: Gopher quality
+    gate -> repetition drop -> PII scrub, composed from the SAME
+    shared expressions the standalone operators select
+    (`_quality_features`/`_quality_keep`, `_repetition_cols`/
+    `_repetitive_flag`, `pii_scrub`) so the composition can never
+    apply different thresholds than its stages.
+
+    Scale shape: every stage is per-row, so the whole chain is ONE
+    map-only projection — a single codegen stage over the scan with
+    zero exchanges (plan-asserted in test_docops).  At 100 TB this is
+    the difference between one pass over the corpus and three.
+    Returns the ``pii_scrub`` contract over surviving documents."""
+    kept = docs.where(
+        (_quality_keep(_quality_features()) == 1)
+        & (_repetitive_flag(_repetition_cols()) == 0))
+    return pii_scrub(kept)
 
 
 def doc_fingerprints(docs: DataFrame, n: int = 4,
