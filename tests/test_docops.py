@@ -532,3 +532,67 @@ def test_filter_corpus_one_pass(spark, docs):
     assert set(got) == {1}
     assert got[1][0] == 1 and '<EMAIL>' in got[1][1]
     assert 'help.desk' not in got[1][1]
+
+
+def test_repetition_scores_randomized_reference(spark):
+    """300 seeded random documents (newlines, runs of repeated words,
+    degenerate whitespace) cross-checked against an independent
+    pure-Python reference of the three repetition metrics — the
+    in-array run-length scans must agree everywhere, not just on the
+    hand-picked goldens.  Mirrors Spark's exact semantics: F.trim
+    strips SPACES only, split('\\s+') keeps a leading empty token."""
+    import math
+    import random
+    import re
+    from collections import Counter
+    from yargy_spark.operators.textstats import repetition_scores
+
+    rng = random.Random(20260817)
+    vocab = ['ля', 'тра', 'слово', 'aaa', 'b', 'длинное']
+
+    def gen_doc():
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            n_words = rng.randint(0, 12)
+            words = [rng.choice(vocab) for _ in range(n_words)]
+            if words and rng.random() < 0.5:  # repetition bursts
+                words += [words[-1]] * rng.randint(0, 10)
+            lines.append(' '.join(words))
+        if lines and rng.random() < 0.4:      # duplicate whole lines
+            lines += [rng.choice(lines)] * rng.randint(1, 3)
+        return '\n'.join(lines)
+
+    def ref(text):
+        lines = [l.strip(' ') for l in (text or '').split('\n')]
+        lines = [l for l in lines if l]
+        lc = Counter(lines)
+        n_l, tot = len(lines), sum(len(l) for l in lines)
+        dup = n_l - len(lc)
+        dupch = sum(c * len(l) for l, c in lc.items() if c > 1)
+        dl = math.floor(10000.0 * dup / n_l) if n_l else 0
+        dc = math.floor(10000.0 * dupch / tot) if n_l else 0
+        words = re.split(r'\s+', (text or '').lower().strip(' '))
+        grams = [words[i] + ' ' + words[i + 1]
+                 for i in range(len(words) - 1)]
+        if grams:
+            gc = Counter(grams)
+            best = max(gc.values())
+            g = min(x for x, c in gc.items() if c == best)
+            tg = math.floor(10000.0 * best * len(g)
+                            / len(' '.join(words)))
+        else:
+            tg = 0
+        flag = int(len(words) >= 20
+                   and (dl > 3000 or dc > 3000 or tg > 2000))
+        return (dl, dc, tg, flag)
+
+    docs = [(i, gen_doc()) for i in range(300)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: (r['dup_line_ratio_x10000'],
+                         r['dup_line_char_ratio_x10000'],
+                         r['top_2gram_char_ratio_x10000'],
+                         r['repetitive'])
+           for r in repetition_scores(df).collect()}
+    for i, text in docs:
+        assert got[i] == ref(text), (i, repr(text), got[i], ref(text))
