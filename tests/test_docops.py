@@ -596,3 +596,75 @@ def test_repetition_scores_randomized_reference(spark):
            for r in repetition_scores(df).collect()}
     for i, text in docs:
         assert got[i] == ref(text), (i, repr(text), got[i], ref(text))
+
+
+def test_pii_scrub_randomized_reference(spark):
+    """200 seeded random documents with embedded emails, phones and
+    near-miss tokens, cross-checked against Python's re module — a
+    THIRD regex engine agreeing with the Java-regex (Spark) and RE2
+    (DuckDB oracle) implementations on counts and scrubbed text."""
+    import random
+    import re
+    from yargy_spark.operators.textstats import (EMAIL_PATTERN,
+                                                 PHONE_PATTERN,
+                                                 pii_scrub)
+    rng = random.Random(20260818)
+    fill = ['привет', 'data', 'про', 'order', 'сегодня']
+    piis = [
+        lambda: '%s.%s@%s.%s' % (rng.choice(fill), rng.choice(fill),
+                                 rng.choice(['mail', 'ex-a.b']),
+                                 rng.choice(['com', 'io', 'org'])),
+        lambda: '+7 (4%d5) 123-45-6%d' % (rng.randint(0, 9),
+                                          rng.randint(0, 9)),
+        lambda: '8%d951234567' % rng.randint(0, 9),
+        # near-misses: too short / no TLD / trailing letters
+        lambda: 'a@b', lambda: '12-34', lambda: 'x@y.z',
+        lambda: '%d-%d' % (rng.randint(10, 99), rng.randint(10, 99)),
+    ]
+
+    def gen_doc():
+        toks = [rng.choice(fill) if rng.random() < 0.7
+                else rng.choice(piis)()
+                for _ in range(rng.randint(0, 14))]
+        return ' '.join(toks)
+
+    def ref(text):
+        t = text or ''
+        n_e = len(re.findall(EMAIL_PATTERN, t))
+        t1 = re.sub(EMAIL_PATTERN, '<EMAIL>', t)
+        n_p = len(re.findall(PHONE_PATTERN, t1))
+        return (n_e, n_p, re.sub(PHONE_PATTERN, '<PHONE>', t1))
+
+    docs = [(i, gen_doc()) for i in range(200)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_emails'], r['n_phones'], r['clean_text'])
+           for r in pii_scrub(df).collect()}
+    for i, text in docs:
+        assert got[i] == ref(text), (i, repr(text), got[i], ref(text))
+    assert any(got[i][0] > 0 for i, _ in docs)    # fixtures fired
+    assert any(got[i][1] > 0 for i, _ in docs)
+
+
+def test_context_windows_randomized_reference(spark):
+    """Random conversation shapes vs a pure-Python sliding window."""
+    import random
+    from yargy_spark.operators.packing import context_windows
+    rng = random.Random(20260819)
+    rows = []
+    for c in range(40):
+        for t in range(rng.randint(1, 12)):
+            rows.append(('c%02d' % c, t, 'user',
+                         '%s%d' % (rng.choice('ab'), t)))
+    df = spark.createDataFrame(
+        rows, 'conv_id string, turn_idx int, role string, text string')
+    got = {(r['conv_id'], r['turn_idx']): (r['n_ctx_turns'],
+                                           r['context'])
+           for r in context_windows(df, k=3).collect()}
+    by_conv = {}
+    for cid, t, _, text in rows:
+        by_conv.setdefault(cid, []).append((t, text))
+    for cid, turns in by_conv.items():
+        turns.sort()
+        for j, (t, _) in enumerate(turns):
+            prev = [x for _, x in turns[max(0, j - 3):j]]
+            assert got[(cid, t)] == (len(prev), '\n'.join(prev))
