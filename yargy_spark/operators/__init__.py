@@ -18,9 +18,12 @@ from .sampling import (hash_split,               # noqa: F401
                        mixture_epochs, mixture_sample,
                        stratified_sample, stratum_reservoir,
                        temperature_weights)
-from .packing import pack_sequences              # noqa: F401
+from .packing import (context_windows,           # noqa: F401
+                      pack_sequences)
 from .similarity import cosine_topk, ivf_topk    # noqa: F401
 from .textstats import (doc_fingerprints,        # noqa: F401
-                        lang_id, quality_scores, token_counts)
+                        filter_corpus, lang_id, pii_scrub,
+                        quality_scores, repetition_scores,
+                        token_counts, top_ngrams)
 from .multimodal import (extract_features,       # noqa: F401
                          media_metadata, synth_media)
