@@ -286,6 +286,15 @@ def _asof_query(spark, sf_dir, ts_bucket_width=None) -> DataFrame:
                       F.col('r_event_id').alias('last_error_id'))
 
 
+def q_kg_entity_degree(spark, sf_dir) -> DataFrame:
+    """Graph analytics over the materialized entity graph
+    (linking.py::entity_degree): neighbor count + total co-mention
+    weight per canonical entity, derived from the same edges
+    kg_entity_cooccurrence gates."""
+    from yargy_spark.operators.linking import entity_degree
+    return entity_degree(q_kg_entity_cooccurrence(spark, sf_dir))
+
+
 def q_events_asof(spark, sf_dir) -> DataFrame:
     """As-of join: each click annotated with the user's most recent
     error at-or-before it (union-and-carry composition, one shuffle)."""
@@ -734,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_address': q_kg_address,
         'kg_lemma_tokens': q_kg_lemma_tokens,
         'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
+        'kg_entity_degree': q_kg_entity_degree,
         'events_asof': q_events_asof,
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
@@ -1157,6 +1167,15 @@ def oracle_sql() -> dict[str, str]:
         ('иван|ульянов', 'саша|иванова', 1),
         ('саша|быков', 'саша|иванов', 1),
     ], ['a', 'b', 'n_groups'], casts={'n_groups': 'BIGINT'})
+
+    # degree over the same three gated edges: each undirected edge
+    # contributes both endpoints
+    oracles['kg_entity_degree'] = _values_rows([
+        ('владимир|путин', 1, 1), ('иван|ульянов', 2, 2),
+        ('саша|быков', 1, 1), ('саша|иванов', 1, 1),
+        ('саша|иванова', 1, 1),
+    ], ['entity', 'n_neighbors', 'degree_weight'],
+        casts={'n_neighbors': 'BIGINT', 'degree_weight': 'BIGINT'})
 
     oracles['events_asof'] = """
 WITH err AS (

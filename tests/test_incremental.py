@@ -222,3 +222,15 @@ def test_empty_increment_and_empty_prior(spark):
     empty = new_mentions.where(F.lit(False))
     links2, merges2 = link_entities_incremental(empty, prior_keys)
     assert links2.count() == 0 and merges2.count() == 0
+
+
+def test_entity_degree(spark):
+    """Degree centrality over co-occurrence edges: each undirected
+    a<b edge contributes both endpoints once."""
+    from yargy_spark.operators.linking import entity_degree
+    edges = spark.createDataFrame(
+        [('a', 'b', 2), ('a', 'c', 1), ('b', 'c', 3)],
+        'a string, b string, n_groups long')
+    got = {r['entity']: (r['n_neighbors'], r['degree_weight'])
+           for r in entity_degree(edges).collect()}
+    assert got == {'a': (2, 3), 'b': (2, 5), 'c': (2, 4)}

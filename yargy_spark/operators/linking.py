@@ -384,3 +384,22 @@ def entity_cooccurrence(mentions: DataFrame, entities: DataFrame,
             .where(F.col('a') < F.col('b'))
             .groupBy('a', 'b')
             .agg(F.count('*').alias('n_groups')))
+
+
+def entity_degree(edges: DataFrame) -> DataFrame:
+    """Degree centrality over the entity co-occurrence graph (edges
+    from ``entity_cooccurrence``): per canonical entity, the number
+    of distinct neighbors and the total co-mention weight — the
+    basic graph-analytics readout over the materialized KG.
+
+    Scale shape: one union (each undirected a<b edge contributes
+    both endpoints) + one map-side-combined groupBy on the entity
+    key; no joins.  The edge table is pair-of-entities bounded —
+    orders of magnitude smaller than the mention table it derives
+    from."""
+    both = (edges.select(F.col('a').alias('entity'), 'n_groups')
+            .union(edges.select(F.col('b').alias('entity'),
+                                'n_groups')))
+    return (both.groupBy('entity')
+            .agg(F.count('*').alias('n_neighbors'),
+                 F.sum('n_groups').alias('degree_weight')))
