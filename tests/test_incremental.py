@@ -200,6 +200,27 @@ def test_run_incremental_job(spark, tmp_path):
     with _pytest.raises(ValueError, match='entity_keys'):
         run_incremental(spark, inc, str(tmp_path / 'nobase'),
                         str(tmp_path / 'inc2'), n_buckets=4)
+    with _pytest.raises(ValueError, match='own table root'):
+        run_incremental(spark, inc, base_out, base_out, n_buckets=4)
+
+    # CHAINING: day 2 links against day 1's rolled entity_keys state
+    # instead of the base — repeated keys adopt day-1 entity ids,
+    # never re-mint them
+    inc2_out = str(tmp_path / 'inc_day2')
+    inc2 = synth_transcripts(spark, n_turns=96, partitions=4,
+                             start_turn=192)
+    snap2 = run_incremental(spark, inc2, inc_out, inc2_out,
+                            n_buckets=4)
+    assert snap2 is not None
+    state1 = {r['entity_id'] for r in
+              mf.read_table(spark, inc_out + '/entity_keys')
+              .select('entity_id').distinct().collect()}
+    assert state1 >= base_ids    # rolled forward, never dropped
+    inc2_ents = {r['subj'] for r in
+                 mf.read_table(spark, inc2_out + '/triples')
+                 .select('subj').distinct().collect()
+                 if r['subj'].startswith('ent_')}
+    assert inc2_ents and inc2_ents <= state1
 
 
 def test_empty_increment_and_empty_prior(spark):

@@ -193,13 +193,23 @@ def run_incremental(spark: SparkSession, new_transcripts: DataFrame,
 
     Same two-phase shape as the batch job: PHASE 1 commits the
     increment's mentions bucket-granularly to ``<out_root>/mentions``;
-    PHASE 2 REPLACE-commits ``<out_root>/merge_candidates`` (prior-
-    entity pairs the increment connects — the work-list that
-    schedules the next full base re-link) and ``<out_root>/triples``,
-    each stamped with BOTH the increment-mentions snapshot and the
-    base entity_keys snapshot it linked against.  A rerun is a no-op
-    only while both are unchanged; a re-linked base (new keys
-    snapshot) re-derives the increment's links."""
+    PHASE 2 REPLACE-commits ``<out_root>/entity_keys`` (the prior
+    state rolled forward with this batch's keys — the NEXT increment
+    chains off this root: daily cadence is base -> day1 -> day2 ...
+    without re-minting earlier days' fresh entities),
+    ``<out_root>/merge_candidates`` (prior-entity pairs the increment
+    connects — the work-list that schedules the next full base
+    re-link) and ``<out_root>/triples``, each stamped with BOTH the
+    increment-mentions snapshot and the base entity_keys snapshot it
+    linked against.  A rerun is a no-op only while both are
+    unchanged; a re-linked base (new keys snapshot) re-derives the
+    increment's links."""
+    if out_root == base_root:
+        raise ValueError(
+            'increment out_root must differ from base_root — each '
+            'increment batch is its own table root (its mentions '
+            'manifests would otherwise collide with the base and '
+            'noop past the new conversations)')
     m_root = f'{out_root}/mentions'
     t_root = f'{out_root}/triples'
     c_root = f'{out_root}/merge_candidates'
@@ -241,6 +251,28 @@ def run_incremental(spark: SparkSession, new_transcripts: DataFrame,
     links = links.persist()
     try:
         stamp = {'source_snapshot': head, 'n_buckets': n_buckets}
+        # roll the key state FORWARD: prior keys plus the increment's
+        # (adopted rows repeat prior mappings; fresh keys are new by
+        # construction) — committed to <out_root>/entity_keys so the
+        # NEXT increment can chain off this root instead of re-minting
+        # this batch's fresh entities.  min() is the same
+        # belt-and-braces determinism entity_key_table uses.
+        inc_keys = entity_key_table(new_mentions, links)
+        canon = (prior_keys.select('entity_id', 'canonical')
+                 .unionByName(inc_keys.select('entity_id',
+                                              'canonical'))
+                 .distinct())
+        state = (prior_keys.select('norm_key', 'entity_id')
+                 .unionByName(inc_keys.select('norm_key',
+                                              'entity_id'))
+                 .groupBy('norm_key')
+                 .agg(F.min('entity_id').alias('entity_id'))
+                 .join(canon, 'entity_id')
+                 .select('norm_key', 'entity_id', 'canonical'))
+        mf.commit_replace(
+            mf.with_bucket(state, n_buckets, key='norm_key'),
+            f'{out_root}/entity_keys', note='entity_keys',
+            counters={'base_keys_snapshot': keys_snap}, **stamp)
         merge_snap = mf.commit_replace(
             mf.with_bucket(merges, n_buckets, key='entity_a'),
             c_root, note='merge_candidates',
