@@ -3,6 +3,7 @@ COVERAGE.md for the operator -> test -> query map)."""
 
 from .extract import extract_mentions            # noqa: F401
 from .linking import (connected_components,      # noqa: F401
+                      entity_cooccurrence, entity_degree,
                       entity_key_table, link_entities,
                       link_entities_incremental, mention_edges)
 from .triples import materialize_triples         # noqa: F401
