@@ -509,6 +509,13 @@ PII_ROWS = [
 ]
 
 
+def q_corpus_vocabulary(spark, sf_dir) -> DataFrame:
+    """Corpus vocabulary (textstats.corpus_vocabulary) — the feed
+    for the vocabulary-filtered dictionary load."""
+    from yargy_spark.operators.textstats import corpus_vocabulary
+    return corpus_vocabulary(_docs(spark, sf_dir))
+
+
 def q_pii_scrub(spark, sf_dir) -> DataFrame:
     """Email/phone redaction (textstats.pii_scrub): corpus plus
     crafted PII rows; full scrubbed text under the value hash."""
@@ -766,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_scores': q_repetition_scores,
         'pii_scrub': q_pii_scrub,
         'filter_corpus': q_filter_corpus,
+        'corpus_vocabulary': q_corpus_vocabulary,
         'token_counts': q_token_counts,
         'top_ngrams': q_top_ngrams,
         'doc_fingerprints': q_doc_fingerprints,
@@ -1691,6 +1699,12 @@ SELECT doc_id, n_emails,
        regexp_replace(t1, '%(ph)s', '<PHONE>', 'g') AS clean_text
 FROM e
 """ % {'rows': pii_values, 'em': EMAIL_PATTERN, 'ph': PHONE_PATTERN}
+
+    oracles['corpus_vocabulary'] = """
+SELECT DISTINCT
+  unnest(regexp_extract_all(lower(text), '[а-яёa-z]+')) AS word
+FROM documents
+"""
 
     oracles['token_counts'] = """
 SELECT doc_id,

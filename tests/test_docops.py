@@ -668,3 +668,38 @@ def test_context_windows_randomized_reference(spark):
         for j, (t, _) in enumerate(turns):
             prev = [x for _, x in turns[max(0, j - 3):j]]
             assert got[(cid, t)] == (len(prev), '\n'.join(prev))
+
+
+def test_corpus_vocabulary_feeds_filtered_dictionary(spark):
+    """The loop the scale docs describe: extract the corpus
+    vocabulary with the Spark operator, load ONLY those rows of the
+    dictionary via Morphology.from_parquet(words=...), and the
+    filtered dictionary analyzes corpus words exactly like the full
+    load does."""
+    from importlib import resources
+    from yargy_spark.kernel.morphology import Morphology
+    from yargy_spark.operators.textstats import corpus_vocabulary
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+
+    t = golden_only_transcripts(spark)
+    vocab = sorted(r['word'] for r in corpus_vocabulary(t).collect())
+    assert 'ульянов' in vocab and len(vocab) > 20
+
+    data = resources.files('yargy_spark') / 'data'
+    with resources.as_file(data / 'lexicon_entries.parquet') as ep, \
+            resources.as_file(data / 'lexicon_paradigms.parquet') as pp:
+        full = Morphology.from_parquet(str(ep), str(pp))
+        small = Morphology.from_parquet(str(ep), str(pp), words=vocab)
+    # filtered load: strictly smaller, identical analyses for every
+    # corpus word the dictionary knows
+    assert len(small.entries) < len(full.entries)
+    indict = [w for w in vocab if w in full.entries]
+    assert 'ульянов' in indict
+    for w in indict:
+        assert [(f.lemma, sorted(f.grams)) for f in small(w)] == \
+            [(f.lemma, sorted(f.grams)) for f in full(w)], w
+    # OOV words: the suffix predictor derives from the LOADED entries,
+    # so predictions may legitimately differ from the full build —
+    # the filtered analyzer must still answer every corpus word
+    for w in vocab:
+        assert small(w), w

@@ -22,9 +22,9 @@ from .sampling import (hash_split,               # noqa: F401
 from .packing import (context_windows,           # noqa: F401
                       pack_sequences)
 from .similarity import cosine_topk, ivf_topk    # noqa: F401
-from .textstats import (doc_fingerprints,        # noqa: F401
-                        filter_corpus, lang_id, pii_scrub,
-                        quality_scores, repetition_scores,
-                        token_counts, top_ngrams)
+from .textstats import (corpus_vocabulary,       # noqa: F401
+                        doc_fingerprints, filter_corpus, lang_id,
+                        pii_scrub, quality_scores,
+                        repetition_scores, token_counts, top_ngrams)
 from .multimodal import (extract_features,       # noqa: F401
                          media_metadata, synth_media)

@@ -290,6 +290,25 @@ def filter_corpus(docs: DataFrame) -> DataFrame:
     return pii_scrub(kept)
 
 
+def corpus_vocabulary(df: DataFrame,
+                      text_col: str = 'text') -> DataFrame:
+    """Distinct lowercased letter-run tokens of a corpus — the
+    vocabulary feed for ``Morphology.from_parquet(words=...)``, the
+    OpenCorpora-scale day-one dictionary path (BENCH.md
+    "Vocabulary-filtered load"): extract the corpus vocabulary once,
+    then load only those rows of the 5M-form dictionary.
+
+    Scale shape: one explode + one distinct — the distinct's partial
+    aggregation dedups map-side, so the exchange carries at most
+    |vocabulary| rows per task, and the output is
+    vocabulary-bounded (~10^5-10^6 rows at any corpus size), not
+    token-count-bounded.  (word)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit('[а-яёa-z]+'), F.lit(0))
+    return (df.select(F.explode(toks).alias('word'))
+            .distinct())
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 4,
                      k: int = 3) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` smallest distinct
