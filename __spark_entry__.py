@@ -500,12 +500,20 @@ def q_repetition_scores(spark, sf_dir) -> DataFrame:
 
 
 # the synthetic corpus carries no PII, so the scrub query unions
-# crafted rows onto it; the oracle mirrors them as VALUES literals
+# crafted rows onto it; the oracle mirrors them as VALUES literals.
+# Rows 4-6 are NEGATIVES (round-3 VERDICT #3): formatted money,
+# space-grouped IDs and ISO dates must SURVIVE the scrub; row 5 mixes
+# a surviving order id with real phones that must still redact.
 PII_ROWS = [
     (1000001, 'contact me at john.doe@example.com or call '
               '+7 (495) 123-45-67 today'),
     (1000002, 'two mails: a@b.io and c.d@e.org; fax 84951234567'),
     (1000003, 'no pii here, just words'),
+    (1000004, 'цена выросла до 1 500 000 $ (или 12 500 000 руб) '
+              'к 2026-08-18'),
+    (1000005, 'order 1234-5678 of 10 000 units; support '
+              '555-123-4567 or 8 (916) 123-45-67'),
+    (1000006, 'счёт на 250 000 000 рублей от 2025-12-31 досрочно'),
 ]
 
 
@@ -1651,8 +1659,8 @@ FROM rep_scored
     # (quality keep, repetition flag, PII regexps) — like
     # training_batches, the composition can never diverge from its
     # stages' gated definitions
-    from yargy_spark.operators.textstats import (EMAIL_PATTERN,
-                                                 PHONE_PATTERN)
+    from yargy_spark.operators.textstats import (
+        EMAIL_PATTERN, PHONE_ANCHORED_PATTERN, PHONE_GROUPED_PATTERN)
     filter_values = ',\n    '.join(
         "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in
         FILTER_ROWS)
@@ -1682,19 +1690,26 @@ e AS (
          CAST(len(regexp_extract_all(text, '%(em)s')) AS INT)
            AS n_emails,
          regexp_replace(text, '%(em)s', '<EMAIL>', 'g') AS t1
-  FROM surv)
+  FROM surv),
+p1 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '%(pa)s')) AS INT) AS n_a,
+         regexp_replace(t1, '%(pa)s', '<PHONE>', 'g') AS t2
+  FROM e)
 SELECT doc_id, n_emails,
-       CAST(len(regexp_extract_all(t1, '%(ph)s')) AS INT) AS n_phones,
-       regexp_replace(t1, '%(ph)s', '<PHONE>', 'g') AS clean_text
-FROM e
-""") % {'em': EMAIL_PATTERN, 'ph': PHONE_PATTERN}
+       CAST(n_a + len(regexp_extract_all(t2, '%(pg)s')) AS INT)
+         AS n_phones,
+       regexp_replace(t2, '%(pg)s', '<PHONE>', 'g') AS clean_text
+FROM p1
+""") % {'em': EMAIL_PATTERN,
+        'pa': PHONE_ANCHORED_PATTERN, 'pg': PHONE_GROUPED_PATTERN}
 
-    from yargy_spark.operators.textstats import (EMAIL_PATTERN,
-                                                 PHONE_PATTERN)
     pii_values = ',\n    '.join(
         "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in PII_ROWS)
     # DuckDB regexp_replace is first-match-only without the 'g' flag;
-    # Spark's is global by default — flag required for parity
+    # Spark's is global by default — flag required for parity.  The
+    # two phone passes mirror pii_scrub: anchored (+ / parenthesis)
+    # shapes first, then hyphen-grouped / bare-run shapes.
     oracles['pii_scrub'] = """
 WITH base AS (
   SELECT doc_id, text FROM documents
@@ -1706,12 +1721,19 @@ e AS (
          CAST(len(regexp_extract_all(text, '%(em)s')) AS INT)
            AS n_emails,
          regexp_replace(text, '%(em)s', '<EMAIL>', 'g') AS t1
-  FROM base)
+  FROM base),
+p1 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '%(pa)s')) AS INT) AS n_a,
+         regexp_replace(t1, '%(pa)s', '<PHONE>', 'g') AS t2
+  FROM e)
 SELECT doc_id, n_emails,
-       CAST(len(regexp_extract_all(t1, '%(ph)s')) AS INT) AS n_phones,
-       regexp_replace(t1, '%(ph)s', '<PHONE>', 'g') AS clean_text
-FROM e
-""" % {'rows': pii_values, 'em': EMAIL_PATTERN, 'ph': PHONE_PATTERN}
+       CAST(n_a + len(regexp_extract_all(t2, '%(pg)s')) AS INT)
+         AS n_phones,
+       regexp_replace(t2, '%(pg)s', '<PHONE>', 'g') AS clean_text
+FROM p1
+""" % {'rows': pii_values, 'em': EMAIL_PATTERN,
+       'pa': PHONE_ANCHORED_PATTERN, 'pg': PHONE_GROUPED_PATTERN}
 
     oracles['corpus_vocabulary'] = """
 SELECT DISTINCT

@@ -496,6 +496,13 @@ def test_pii_scrub_redaction(spark):
         (2, 'two mails: a@b.io and c.d@e.org; fax 84951234567'),
         (3, 'no pii here, just words'),
         (4, None),
+        # formatted money, space-grouped IDs and ISO dates must
+        # SURVIVE (round-3 VERDICT: the old pattern ate '1 500 000')
+        (5, 'цена выросла до 1 500 000 $ или 12 500 000 руб'),
+        (6, 'invoice 2026-08-18 for 10 000 units, ref 1234-5678'),
+        # ...while hyphen-grouped and paren-anchored phones redact
+        (7, 'call 555-123-4567 or 8 (916) 123-45-67 now'),
+        (8, 'тел 495-123-45-67, добавочный 12'),
     ]
     df = spark.createDataFrame(rows, 'doc_id long, text string')
     got = {r['doc_id']: (r['n_emails'], r['n_phones'],
@@ -507,6 +514,13 @@ def test_pii_scrub_redaction(spark):
                             'fax <PHONE>')
     assert got[3] == (0, 0, 'no pii here, just words')
     assert got[4] == (0, 0, '')
+    assert got[5] == (0, 0,
+                      'цена выросла до 1 500 000 $ или 12 500 000 руб')
+    assert got[6] == (0, 0,
+                      'invoice 2026-08-18 for 10 000 units, '
+                      'ref 1234-5678')
+    assert got[7] == (0, 2, 'call <PHONE> or 8 <PHONE> now')
+    assert got[8] == (0, 1, 'тел <PHONE>, добавочный 12')
 
 
 def test_filter_corpus_one_pass(spark, docs):
@@ -605,9 +619,9 @@ def test_pii_scrub_randomized_reference(spark):
     (DuckDB oracle) implementations on counts and scrubbed text."""
     import random
     import re
-    from yargy_spark.operators.textstats import (EMAIL_PATTERN,
-                                                 PHONE_PATTERN,
-                                                 pii_scrub)
+    from yargy_spark.operators.textstats import (
+        EMAIL_PATTERN, PHONE_ANCHORED_PATTERN, PHONE_GROUPED_PATTERN,
+        pii_scrub)
     rng = random.Random(20260818)
     fill = ['привет', 'data', 'про', 'order', 'сегодня']
     piis = [
@@ -617,9 +631,21 @@ def test_pii_scrub_randomized_reference(spark):
         lambda: '+7 (4%d5) 123-45-6%d' % (rng.randint(0, 9),
                                           rng.randint(0, 9)),
         lambda: '8%d951234567' % rng.randint(0, 9),
+        lambda: '(9%d6) 123-45-6%d' % (rng.randint(0, 9),
+                                       rng.randint(0, 9)),
+        lambda: '555-12%d-456%d' % (rng.randint(0, 9),
+                                    rng.randint(0, 9)),
+        lambda: '49%d-123-45-67' % rng.randint(0, 9),
         # near-misses: too short / no TLD / trailing letters
         lambda: 'a@b', lambda: '12-34', lambda: 'x@y.z',
         lambda: '%d-%d' % (rng.randint(10, 99), rng.randint(10, 99)),
+        # must-survive shapes: money, space-grouped ids, ISO dates
+        lambda: '%d 500 000' % rng.randint(1, 9),
+        lambda: '12 %d00 000 руб' % rng.randint(1, 9),
+        lambda: '20%d6-08-1%d' % (rng.randint(0, 9),
+                                  rng.randint(0, 9)),
+        lambda: '123%d-567%d' % (rng.randint(0, 9),
+                                 rng.randint(0, 9)),
     ]
 
     def gen_doc():
@@ -632,8 +658,11 @@ def test_pii_scrub_randomized_reference(spark):
         t = text or ''
         n_e = len(re.findall(EMAIL_PATTERN, t))
         t1 = re.sub(EMAIL_PATTERN, '<EMAIL>', t)
-        n_p = len(re.findall(PHONE_PATTERN, t1))
-        return (n_e, n_p, re.sub(PHONE_PATTERN, '<PHONE>', t1))
+        n_a = len(re.findall(PHONE_ANCHORED_PATTERN, t1))
+        t2 = re.sub(PHONE_ANCHORED_PATTERN, '<PHONE>', t1)
+        n_g = len(re.findall(PHONE_GROUPED_PATTERN, t2))
+        return (n_e, n_a + n_g, re.sub(PHONE_GROUPED_PATTERN,
+                                       '<PHONE>', t2))
 
     docs = [(i, gen_doc()) for i in range(200)]
     df = spark.createDataFrame(docs, 'doc_id long, text string')

@@ -241,19 +241,46 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
 
 
 # PII patterns kept to portable constructs (no lookarounds, no
-# backreferences) so the Java-regex engine (Spark) and RE2 (DuckDB)
-# produce identical matches
+# backreferences, no word-boundary classes) so the Java-regex engine
+# (Spark) and RE2 (DuckDB) produce identical matches.  Within each
+# pattern the alternatives are start-disjoint (no position where two
+# alternatives both match), so Java's leftmost-FIRST and RE2's
+# leftmost-LONGEST alternation semantics cannot diverge.
 EMAIL_PATTERN = r'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
-PHONE_PATTERN = r'\+?[0-9][0-9()\- ]{7,}[0-9]'
+
+# Phone redaction is deliberately anchor-driven so formatted numbers
+# survive a corpus scrub (round-3 VERDICT #3: the old pattern treated
+# bare spaces as phone separators and ate '1 500 000'-style money and
+# space-grouped IDs).  A space counts as a phone separator ONLY when
+# the number is anchored by a leading '+' or an area-code parenthesis
+# — shapes money never takes.
+PHONE_ANCHORED_PATTERN = (
+    r'\+[0-9][0-9()\- ]{5,}[0-9]'                 # +international
+    r'|\([0-9]{3,5}\)[\- ]?[0-9][0-9\- ]{4,}[0-9]')   # (area) local
+# Digit-leading phones must be hyphen-grouped (>=4 groups, so ISO
+# dates' 3 groups never match), the NANP 3-3-4 shape, or a contiguous
+# run of >=9 digits.  Accepted recall tradeoff, documented: a phone
+# written with ONLY spaces and no +/( anchor ('8 916 123 45 67') is
+# indistinguishable from grouped money and is left alone.
+PHONE_GROUPED_PATTERN = (
+    r'[0-9]{1,4}(?:-[0-9]{2,4}){3,5}'             # a-bbb-cc-dd(-ee)
+    r'|[0-9]{3}-[0-9]{3}-[0-9]{4}'                # NANP 555-123-4567
+    r'|[0-9]{9,}')                                # long bare digit run
+# retained for callers of the round-3 name; the scrub itself runs the
+# two passes above in order
+PHONE_PATTERNS = (PHONE_ANCHORED_PATTERN, PHONE_GROUPED_PATTERN)
 
 
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """PII scrubbing for training corpora: redact email addresses and
     phone-number-shaped digit runs, emitting per-document counts and
     the scrubbed text.  Email redaction runs FIRST — an address's
-    digits must not be half-eaten by the phone pattern — and the
-    phone count is taken on the email-redacted text so both sides of
-    the oracle count the same string.
+    digits must not be half-eaten by the phone patterns — then the
+    anchored phone pass ('+'/parenthesis shapes, which may span
+    spaces) BEFORE the grouped pass, so '+7 (495) 123-45-67' redacts
+    as one phone rather than the grouped pattern nibbling its tail.
+    Each count is taken on the text its replacement sees, so both
+    sides of the oracle count the same string.
 
     Map-only regexp projection in whole-stage codegen: no shuffle,
     no UDF.  (doc_id, n_emails, n_phones, clean_text)."""
@@ -261,13 +288,18 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     n_emails = F.size(F.regexp_extract_all(
         text, F.lit(EMAIL_PATTERN), F.lit(0)))
     no_email = F.regexp_replace(text, EMAIL_PATTERN, '<EMAIL>')
-    n_phones = F.size(F.regexp_extract_all(
-        no_email, F.lit(PHONE_PATTERN), F.lit(0)))
-    clean = F.regexp_replace(no_email, PHONE_PATTERN, '<PHONE>')
+    n_anchored = F.size(F.regexp_extract_all(
+        no_email, F.lit(PHONE_ANCHORED_PATTERN), F.lit(0)))
+    no_anchored = F.regexp_replace(
+        no_email, PHONE_ANCHORED_PATTERN, '<PHONE>')
+    n_grouped = F.size(F.regexp_extract_all(
+        no_anchored, F.lit(PHONE_GROUPED_PATTERN), F.lit(0)))
+    clean = F.regexp_replace(
+        no_anchored, PHONE_GROUPED_PATTERN, '<PHONE>')
     return docs.select(
         'doc_id',
         n_emails.cast('int').alias('n_emails'),
-        n_phones.cast('int').alias('n_phones'),
+        (n_anchored + n_grouped).cast('int').alias('n_phones'),
         clean.alias('clean_text'))
 
 
