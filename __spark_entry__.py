@@ -150,6 +150,52 @@ def q_kg_merge_candidates(spark, sf_dir) -> DataFrame:
     return merges
 
 
+# apply_entity_merges fixtures (inline like kg_merge_candidates: the
+# golden corpus's parity split never bridges prior entities).  The
+# chain (100-200, 200-300) must collapse to ONE survivor; the
+# (1000, 999) pair pins NUMERIC-min survivor election (string min
+# would pick ent_1000); duplicate pairs from different increments
+# must be harmless.
+MERGE_APPLY_KEYS = [
+    ('анна|петров', 'ent_100', 'анна|петров'),
+    ('аня|петров', 'ent_200', 'аня|петров'),
+    ('анюта|петров', 'ent_300', 'анюта|петров'),
+    ('иван|ульянов', 'ent_999', 'иван|ульянов'),
+    ('ваня|ульянов', 'ent_1000', 'ваня|ульянов'),
+    ('глеб|сидоров', 'ent_600', 'глеб|сидоров'),
+]
+MERGE_APPLY_CANDS = [
+    ('ent_100', 'ent_200', 'c1', 'петров'),
+    ('ent_200', 'ent_300', 'c2', 'петров'),
+    ('ent_100', 'ent_200', 'c9', 'петров'),
+    ('ent_1000', 'ent_999', 'c3', 'ульянов'),
+]
+
+
+def q_kg_merge_apply(spark, sf_dir) -> DataFrame:
+    """Merge application (linking.py::apply_entity_merges): CC over
+    the candidate graph, numeric-min survivor, key state rewritten.
+    Output joins each norm_key's prior entity to its post-merge
+    entity; the oracle recomputes the transitive closure with a
+    recursive CTE (independent CC implementation, not pinned
+    literals)."""
+    from yargy_spark.operators.linking import apply_entity_merges
+    keys = spark.createDataFrame(
+        MERGE_APPLY_KEYS,
+        'norm_key string, entity_id string, canonical string')
+    cands = spark.createDataFrame(
+        MERGE_APPLY_CANDS,
+        'entity_a string, entity_b string, conv_id string, '
+        'last_lemma string')
+    _mapping, new_keys = apply_entity_merges(cands, keys)
+    orig = spark.createDataFrame(
+        [(k, e) for k, e, _ in MERGE_APPLY_KEYS],
+        'norm_key string, prior_entity string')
+    return (new_keys.join(orig, 'norm_key')
+            .select('norm_key', 'prior_entity', 'entity_id',
+                    'canonical'))
+
+
 def q_kg_person_triples(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.linking import link_entities
     from yargy_spark.operators.triples import materialize_triples
@@ -774,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'orders_rollup': q_orders_rollup,
         'event_sessions': q_event_sessions,
         # -- round-4 additions / changed semantics go here
+        'kg_merge_apply': q_kg_merge_apply,
         'pii_scrub': q_pii_scrub,
         'filter_corpus': q_filter_corpus,
         # -- previously-gated, unchanged
@@ -1087,6 +1134,48 @@ def oracle_sql() -> dict[str, str]:
         ('ent_100', 'ent_200', 'cX', 'петров'),
         ('ent_300', 'ent_400', 'cY', 'ульянов'),
     ], ['entity_a', 'entity_b', 'conv_id', 'last_lemma'])
+
+    # merge APPLICATION: the oracle recomputes the candidate graph's
+    # transitive closure with a recursive CTE and the numeric-min
+    # survivor election — an independent CC implementation checking
+    # apply_entity_merges' large/small-star run, not pinned literals
+    ma_keys = ',\n    '.join(
+        "('%s', '%s', '%s')" % row for row in MERGE_APPLY_KEYS)
+    ma_cands = ',\n    '.join(
+        "('%s', '%s')" % (a, b) for a, b, _c, _l in MERGE_APPLY_CANDS)
+    oracles['kg_merge_apply'] = """
+WITH RECURSIVE
+keys(norm_key, entity_id, canonical) AS (VALUES
+    %(keys)s),
+cands(entity_a, entity_b) AS (VALUES
+    %(cands)s),
+e0 AS (
+  SELECT CAST(regexp_extract(entity_a, 'ent_([0-9]+)', 1) AS BIGINT)
+           AS a,
+         CAST(regexp_extract(entity_b, 'ent_([0-9]+)', 1) AS BIGINT)
+           AS b
+  FROM cands),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b AS src, a AS dst FROM e0),
+reach(node, r) AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION SELECT src AS node, dst AS r FROM edges
+  UNION SELECT e.src AS node, r.r
+        FROM edges e JOIN reach r ON e.dst = r.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+mapping AS (
+  SELECT 'ent_' || CAST(node AS VARCHAR) AS entity_id,
+         'ent_' || CAST(component AS VARCHAR) AS merged_id
+  FROM comp WHERE node <> component),
+surv AS (SELECT DISTINCT entity_id AS merged_id,
+                canonical AS merged_canonical FROM keys)
+SELECT k.norm_key, k.entity_id AS prior_entity,
+       COALESCE(m.merged_id, k.entity_id) AS entity_id,
+       COALESCE(s.merged_canonical, k.canonical) AS canonical
+FROM keys k
+LEFT JOIN mapping m ON k.entity_id = m.entity_id
+LEFT JOIN surv s ON m.merged_id = s.merged_id
+""" % {'keys': ma_keys, 'cands': ma_cands}
 
     oracles['kg_oov_person'] = _values_rows([
         ('v000000', 'name',

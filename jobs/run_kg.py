@@ -22,7 +22,7 @@ from pyspark.sql import SparkSession
 
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/kg_triples'
-    n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else None
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     spark = (SparkSession.builder
@@ -34,8 +34,11 @@ def main():
     spark.sparkContext.setLogLevel('WARN')
 
     from yargy_spark.pipeline import run_resumable
-    from yargy_spark.sources.transcripts import synth_transcripts
+    from yargy_spark.sources.transcripts import (DEFAULT_N_TURNS,
+                                                 synth_transcripts)
 
+    if n_turns is None:
+        n_turns = DEFAULT_N_TURNS
     transcripts = synth_transcripts(spark, n_turns=n_turns)
     snap = run_resumable(spark, transcripts, out_dir,
                          n_buckets=n_buckets)

@@ -44,16 +44,19 @@ def main():
     spark.sparkContext.setLogLevel('WARN')
 
     from yargy_spark.pipeline import run_incremental
-    from yargy_spark.sources.transcripts import (TURNS_PER_CONV,
+    from yargy_spark.sources.transcripts import (DEFAULT_N_TURNS,
+                                                 TURNS_PER_CONV,
                                                  synth_transcripts)
 
     if len(sys.argv) > 5:
         start = int(sys.argv[5])
     else:
-        # continue after the batch job's default corpus, rounded up to
-        # a conversation boundary so conv ids never span batches
-        base_turns = 100_000
-        start = -(-base_turns // TURNS_PER_CONV) * TURNS_PER_CONV
+        # continue after the batch job's default corpus (the SHARED
+        # constant — a drifting pair of literals would overlap the
+        # base's conversation ids), rounded up to a conversation
+        # boundary so conv ids never span batches
+        start = (-(-DEFAULT_N_TURNS // TURNS_PER_CONV)
+                 * TURNS_PER_CONV)
 
     increment = synth_transcripts(spark, n_turns=n_new,
                                   start_turn=start)

@@ -255,3 +255,211 @@ def test_entity_degree(spark):
     got = {r['entity']: (r['n_neighbors'], r['degree_weight'])
            for r in entity_degree(edges).collect()}
     assert got == {'a': (2, 3), 'b': (2, 5), 'c': (2, 4)}
+
+
+def test_merge_witness_shared_conversation(spark):
+    """The pair witness is a conversation where BOTH prior entities
+    have direct mentions whenever one exists — entity_a's own min
+    conversation (the old scheme) can contain only entity_a."""
+    from yargy_spark.operators.linking import link_entities_incremental
+    prior_keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров'),
+         ('борис|петров', 'ent_200', 'борис|петров')],
+        'norm_key string, entity_id string, canonical string')
+    new_mentions = spark.createDataFrame(
+        [(1, 'c0', 'анна|петров'),    # a-only conversation (min!)
+         (2, 'c2', 'анна|петров'),    # shared conversation
+         (3, 'c2', 'борис|петров')],  # bridge via coref in c2
+        'mention_id long, conv_id string, norm_key string')
+    _links, merges = link_entities_incremental(new_mentions,
+                                               prior_keys)
+    assert [(r['entity_a'], r['entity_b'], r['conv_id'],
+             r['last_lemma']) for r in merges.collect()] == \
+        [('ent_100', 'ent_200', 'c2', 'петров')]
+
+
+def test_merge_witness_no_shared_conversation(spark):
+    """When the bridge runs through a cross-conversation coref chain
+    (no conversation co-locates the pair), the witness falls back to
+    the min of the two sides' own witness conversations."""
+    from yargy_spark.operators.linking import link_entities_incremental
+    prior_keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров'),
+         ('борис|петров', 'ent_200', 'борис|петров')],
+        'norm_key string, entity_id string, canonical string')
+    new_mentions = spark.createDataFrame(
+        [(1, 'c5', 'анна|петров'),    # direct a in c5
+         (2, 'c5', 'мария|петров'),   # coref neighbor in c5
+         (3, 'c2', 'мария|петров'),   # same key, other conversation
+         (4, 'c2', 'борис|петров')],  # direct b in c2
+        'mention_id long, conv_id string, norm_key string')
+    _links, merges = link_entities_incremental(new_mentions,
+                                               prior_keys)
+    assert [(r['entity_a'], r['entity_b'], r['conv_id'])
+            for r in merges.collect()] == [('ent_100', 'ent_200',
+                                            'c2')]
+
+
+def test_apply_entity_merges(spark):
+    """CC over the candidate graph: chained pairs (possibly from
+    different increments) collapse to ONE numeric-min survivor; the
+    key state and triples rewrite; survivors keep their rows."""
+    from yargy_spark.operators.linking import apply_entity_merges
+    keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров'),
+         ('аня|петров', 'ent_200', 'аня|петров'),
+         ('анюта|петров', 'ent_300', 'анюта|петров'),
+         ('иван|ульянов', 'ent_999', 'иван|ульянов'),
+         ('ваня|ульянов', 'ent_1000', 'ваня|ульянов'),
+         ('глеб|сидоров', 'ent_600', 'глеб|сидоров')],
+        'norm_key string, entity_id string, canonical string')
+    cands = spark.createDataFrame(
+        # (100,200) day 1 + (200,300) day 4: chains -> ent_100;
+        # (1000,999): string order says ent_1000 < ent_999 but the
+        # survivor is NUMERIC min ent_999; duplicate pairs are fine
+        [('ent_100', 'ent_200', 'c1', 'петров'),
+         ('ent_200', 'ent_300', 'c2', 'петров'),
+         ('ent_100', 'ent_200', 'c9', 'петров'),
+         ('ent_1000', 'ent_999', 'c3', 'ульянов')],
+        'entity_a string, entity_b string, conv_id string, '
+        'last_lemma string')
+    triples = spark.createDataFrame(
+        [('ent_200', 'mentioned_as', 'Аня', 'c1'),
+         ('ent_200', 'canonical_name', 'аня|петров', 'c1'),
+         ('ent_100', 'mentioned_as', 'Анна', 'c0'),
+         ('ent_600', 'mentioned_as', 'Глеб', 'c7'),
+         ('fact_42', 'amount', '17', 'c8')],
+        'subj string, pred string, obj string, conv_id string')
+
+    mapping, new_keys, patch = apply_entity_merges(cands, keys,
+                                                   triples)
+    got_map = {r['entity_id']: (r['merged_id'], r['merged_canonical'])
+               for r in mapping.collect()}
+    assert got_map == {
+        'ent_200': ('ent_100', 'анна|петров'),
+        'ent_300': ('ent_100', 'анна|петров'),
+        'ent_1000': ('ent_999', 'иван|ульянов')}
+
+    got_keys = {r['norm_key']: (r['entity_id'], r['canonical'])
+                for r in new_keys.collect()}
+    assert got_keys == {
+        'анна|петров': ('ent_100', 'анна|петров'),
+        'аня|петров': ('ent_100', 'анна|петров'),
+        'анюта|петров': ('ent_100', 'анна|петров'),
+        'иван|ульянов': ('ent_999', 'иван|ульянов'),
+        'ваня|ульянов': ('ent_999', 'иван|ульянов'),
+        'глеб|сидоров': ('ent_600', 'глеб|сидоров')}
+
+    # patch: retired subjects rewritten, canonical_name rows dropped,
+    # survivor/fresh/unrelated rows untouched (not in the patch)
+    assert {tuple(r) for r in patch.collect()} == {
+        ('ent_100', 'mentioned_as', 'Аня', 'c1')}
+
+
+def test_apply_entity_merges_empty(spark):
+    """No candidates: nothing retired, state passes through."""
+    from yargy_spark.operators.linking import apply_entity_merges
+    keys = spark.createDataFrame(
+        [('анна|петров', 'ent_100', 'анна|петров')],
+        'norm_key string, entity_id string, canonical string')
+    cands = spark.createDataFrame(
+        [], 'entity_a string, entity_b string, conv_id string, '
+            'last_lemma string')
+    mapping, new_keys = apply_entity_merges(cands, keys)
+    assert mapping.count() == 0
+    assert [tuple(r) for r in new_keys.collect()] == \
+        [('анна|петров', 'ent_100', 'анна|петров')]
+
+
+def test_run_apply_merges_job(spark, tmp_path):
+    """Job surface: resolve a committed merge work-list, commit the
+    rewritten key state + audit mapping + triples patch, noop on
+    rerun — and day 2 chains off the APPLY root, so retired ids can
+    never be re-adopted."""
+    import pytest as _pytest
+    from yargy_spark.pipeline import (run_apply_merges,
+                                      run_incremental, run_resumable)
+    from yargy_spark.sources import manifest as mf
+    from yargy_spark.sources.transcripts import synth_transcripts
+
+    base_out = str(tmp_path / 'base')
+    base = synth_transcripts(spark, n_turns=96, partitions=4)
+    assert run_resumable(spark, base, base_out, n_buckets=4,
+                         chunk_size=4) is not None
+
+    # manufacture an increment root whose work-list pairs two REAL
+    # base entities (the synthetic continuation corpus never bridges
+    # prior entities, so the candidates are committed directly).
+    # Pick entities whose keys RECUR in the day-2 corpus, so the
+    # day-2 adoption assertions below cannot pass vacuously.
+    from yargy_spark.operators.extract import extract_mentions
+    day2 = synth_transcripts(spark, n_turns=96, partitions=4,
+                             start_turn=96)
+    day2_keys = (extract_mentions(day2)
+                 .where(F.col('norm_key').isNotNull())
+                 .select('norm_key').distinct())
+    keys = mf.read_table(spark, base_out + '/entity_keys') \
+        .select('norm_key', 'entity_id', 'canonical')
+    recurring = sorted({r['entity_id'] for r in
+                        keys.join(day2_keys, 'norm_key').collect()},
+                       key=lambda e: int(e.split('_')[1]))
+    assert len(recurring) >= 2, \
+        'fixture must repeat >=2 base entities in the continuation'
+    survivor, retired = recurring[:2]
+    two = [survivor, retired]
+    inc_out = str(tmp_path / 'inc')
+    mf.commit_replace(mf.with_bucket(keys, 4, key='norm_key'),
+                      inc_out + '/entity_keys', note='entity_keys',
+                      n_buckets=4)
+    cands = spark.createDataFrame(
+        [(min(two), max(two), 'c0', 'x')],
+        'entity_a string, entity_b string, conv_id string, '
+        'last_lemma string')
+    mf.commit_replace(mf.with_bucket(cands, 4, key='entity_a'),
+                      inc_out + '/merge_candidates',
+                      note='merge_candidates', n_buckets=4)
+
+    apply_out = str(tmp_path / 'merged')
+    snap = run_apply_merges(spark, inc_out, apply_out, n_buckets=4,
+                            triples_roots=[base_out])
+    assert snap is not None
+    assert snap['counters']['retired_entities'] == 1
+
+    state = mf.read_table(spark, apply_out + '/entity_keys')
+    state_ids = {r['entity_id'] for r in
+                 state.select('entity_id').distinct().collect()}
+    assert retired not in state_ids and survivor in state_ids
+    merges = {(r['entity_id'], r['merged_id']) for r in
+              mf.read_table(spark, apply_out + '/entity_merges')
+              .collect()}
+    assert merges == {(retired, survivor)}
+    patch = mf.read_table(spark, apply_out + '/triples_patch')
+    assert patch.where(F.col('subj') == retired).count() == 0
+    assert patch.where(F.col('subj') == survivor).count() > 0
+    assert patch.where(F.col('pred') == 'canonical_name').count() == 0
+
+    # rerun = noop while both upstream snapshots are unchanged
+    assert run_apply_merges(spark, inc_out, apply_out, n_buckets=4,
+                            triples_roots=[base_out]) is None
+
+    # guards stay loud
+    with _pytest.raises(ValueError, match='differ'):
+        run_apply_merges(spark, inc_out, inc_out, n_buckets=4)
+    with _pytest.raises(ValueError, match='merge_candidates'):
+        run_apply_merges(spark, str(tmp_path / 'nowhere'),
+                         str(tmp_path / 'm2'), n_buckets=4)
+    with _pytest.raises(ValueError, match='n_buckets'):
+        run_apply_merges(spark, inc_out, apply_out, n_buckets=8)
+
+    # DAY 2 chains off the apply root: repeated keys adopt the
+    # SURVIVOR (the retired id is gone from the state, so no new
+    # mention can ever link to it)
+    day2_out = str(tmp_path / 'day2')
+    snap2 = run_incremental(spark, day2, apply_out, day2_out,
+                            n_buckets=4)
+    assert snap2 is not None
+    day2_subjects = {r['subj'] for r in
+                     mf.read_table(spark, day2_out + '/triples')
+                     .select('subj').distinct().collect()}
+    assert retired not in day2_subjects
+    assert survivor in day2_subjects

@@ -2,7 +2,8 @@
 COVERAGE.md for the operator -> test -> query map)."""
 
 from .extract import extract_mentions            # noqa: F401
-from .linking import (connected_components,      # noqa: F401
+from .linking import (apply_entity_merges,       # noqa: F401
+                      connected_components,
                       entity_cooccurrence, entity_degree,
                       entity_key_table, link_entities,
                       link_entities_incremental, mention_edges)

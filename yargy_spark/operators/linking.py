@@ -295,10 +295,17 @@ def link_entities_incremental(new_mentions: DataFrame,
       person-like new mention, same contract as ``link_entities``.
     * ``merge_candidates`` — (entity_a, entity_b, conv_id,
       last_lemma): pairs of PRIOR entities that one increment
-      component now connects, with a witness conversation/lemma.
+      component now connects, with a witness conversation/lemma for
+      human triage.  The witness is a conversation where BOTH
+      entities have direct mentions (deterministic min over shared
+      conversations) whenever one exists; when the bridge runs only
+      through a coref chain spanning conversations — so no single
+      conversation co-locates the pair — it falls back to the
+      lexicographic min of the two sides' own witness conversations.
       Incremental assignment never merges prior entities; the
-      candidates are the work-list for the next full re-link —
-      bounded staleness, loud rather than silent.
+      candidates are the work-list for ``apply_entity_merges`` or
+      the next full re-link — bounded staleness, loud rather than
+      silent.
     """
     pm = (new_mentions
           .where(F.col('norm_key').isNotNull())
@@ -320,12 +327,19 @@ def link_entities_incremental(new_mentions: DataFrame,
         .select('mention_id', 'conv_id', 'last_lemma',
                 'entity_id', 'canonical'))
 
-    # prior entities touched by each increment component, with one
-    # deterministic witness row per (component, prior entity)
-    touched = (inc.select('mention_id', 'comp_id')
-               .join(direct.select(
-                   'mention_id', 'conv_id', 'last_lemma',
-                   F.col('entity_id').alias('prior_id')), 'mention_id')
+    # prior entities touched by each increment component.  The
+    # distinct (component, prior, conversation) table drives both the
+    # per-entity witness and the pair-shared-conversation witness —
+    # bounded by direct-tier rows, far below mention cardinality.
+    touched_cl = (inc.select('mention_id', 'comp_id')
+                  .join(direct.select(
+                      'mention_id', 'conv_id', 'last_lemma',
+                      F.col('entity_id').alias('prior_id')),
+                      'mention_id')
+                  .select('comp_id', 'prior_id', 'conv_id',
+                          'last_lemma')
+                  .distinct())
+    touched = (touched_cl
                .groupBy('comp_id', 'prior_id')
                .agg(F.min('conv_id').alias('conv_id'),
                     F.min('last_lemma').alias('last_lemma')))
@@ -350,15 +364,125 @@ def link_entities_incremental(new_mentions: DataFrame,
              .union(assigned))
 
     a, b = touched.alias('a'), touched.alias('b')
-    merge_candidates = (a.join(b, 'comp_id')
-                        .where(F.col('a.prior_id')
-                               < F.col('b.prior_id'))
-                        .select(F.col('a.prior_id').alias('entity_a'),
-                                F.col('b.prior_id').alias('entity_b'),
-                                F.col('a.conv_id').alias('conv_id'),
-                                F.col('a.last_lemma')
-                                .alias('last_lemma')))
+    pairs = (a.join(b, 'comp_id')
+             .where(F.col('a.prior_id') < F.col('b.prior_id'))
+             .select('comp_id',
+                     F.col('a.prior_id').alias('entity_a'),
+                     F.col('b.prior_id').alias('entity_b'),
+                     F.col('a.conv_id').alias('conv_a'),
+                     F.col('b.conv_id').alias('conv_b'),
+                     F.col('a.last_lemma').alias('lemma_a')))
+    # pair witness: a conversation where BOTH priors have direct
+    # mentions (the a-side min conversation can contain only
+    # entity_a when the component bridges via a coref chain).
+    # Self-join on (component, conversation) over the distinct
+    # direct-tier rows, min per pair; NULL when no shared
+    # conversation exists.
+    sa, sb = touched_cl.alias('sa'), touched_cl.alias('sb')
+    shared = (sa.join(sb, (F.col('sa.comp_id') == F.col('sb.comp_id'))
+                      & (F.col('sa.conv_id') == F.col('sb.conv_id'))
+                      & (F.col('sa.prior_id') < F.col('sb.prior_id')))
+              .groupBy(F.col('sa.comp_id').alias('comp_id'),
+                       F.col('sa.prior_id').alias('entity_a'),
+                       F.col('sb.prior_id').alias('entity_b'))
+              # struct min: the witness lemma comes from the SAME
+              # (min) shared conversation, not an unrelated one
+              .agg(F.min(F.struct(F.col('sa.conv_id'),
+                                  F.col('sa.last_lemma')))
+                   .alias('w'))
+              .select('comp_id', 'entity_a', 'entity_b',
+                      F.col('w.conv_id').alias('shared_conv'),
+                      F.col('w.last_lemma').alias('shared_lemma')))
+    merge_candidates = (
+        pairs.join(shared, ['comp_id', 'entity_a', 'entity_b'],
+                   'left')
+        .select('entity_a', 'entity_b',
+                F.coalesce('shared_conv',
+                           F.least('conv_a', 'conv_b'))
+                .alias('conv_id'),
+                F.coalesce('shared_lemma', 'lemma_a')
+                .alias('last_lemma')))
     return links, merge_candidates
+
+
+def apply_entity_merges(merge_candidates: DataFrame,
+                        prior_keys: DataFrame,
+                        triples: DataFrame = None):
+    """Resolve the merge work-list BETWEEN full re-links: connected
+    components over the prior-entity merge graph (pairs accumulated
+    from one or many increments CHAIN — a-b from day 1 and b-c from
+    day 4 must land in one surviving entity, so per-pair min is not
+    enough; this reuses the same large/small-star CC kernel the
+    linker runs), elect each component's numeric-min entity id as the
+    survivor, and rewrite the entity-key state.  This is the explicit
+    apply step a KG operator schedules after triaging
+    ``merge_candidates`` — merges are still never applied silently
+    (jobs/run_kg_apply_merges.py commits the outcome as new state +
+    an audit mapping).
+
+    Returns ``(mapping, new_keys)`` — or ``(mapping, new_keys,
+    patch)`` when ``triples`` is given:
+
+    * ``mapping`` — (entity_id, merged_id, merged_canonical), one row
+      per RETIRED entity (survivors do not appear as ``entity_id``).
+    * ``new_keys`` — the full ``entity_key_table`` contract with
+      retired ids rewritten to their survivor (id AND canonical), so
+      the next increment chains off merged state.
+    * ``patch`` — corrected rows for every input triple whose subject
+      is retired: subject rewritten to the survivor, ``canonical_name``
+      rows dropped (the survivor already owns one).  Applying the
+      patch = anti-join retired subjects out of the triples table,
+      union the patch in — jobs/run_kg_apply_merges.py materializes
+      it; the next full re-link supersedes it.
+
+    Scale shape: the merge graph is candidate-bounded (orders of
+    magnitude below the key table, let alone mentions), so CC here is
+    cheap; both rewrites are single equi-joins against the
+    candidate-bounded mapping — Catalyst broadcasts it, making the
+    key-table and triples passes map-side."""
+    def _num(col):
+        return F.regexp_extract(col, '^ent_([0-9]+)$', 1).cast('long')
+
+    edges = (merge_candidates
+             .select(_num('entity_a').alias('src'),
+                     _num('entity_b').alias('dst'))
+             .where(F.col('src').isNotNull()
+                    & F.col('dst').isNotNull()))
+    cc = connected_components(edges)
+    mapping_ids = (cc.where(F.col('node') != F.col('component'))
+                   .select(F.format_string('ent_%d', F.col('node'))
+                           .alias('entity_id'),
+                           F.format_string('ent_%d',
+                                           F.col('component'))
+                           .alias('merged_id')))
+    # the survivor is itself a prior entity (candidates are prior-id
+    # pairs), so its canonical comes from the key state; left join
+    # keeps the mapping loud (NULL canonical) rather than silently
+    # dropping a retired entity if state and candidates ever diverge
+    survivor_canon = (prior_keys
+                      .select(F.col('entity_id').alias('merged_id'),
+                              F.col('canonical')
+                              .alias('merged_canonical'))
+                      .distinct())
+    mapping = mapping_ids.join(survivor_canon, 'merged_id', 'left') \
+        .select('entity_id', 'merged_id', 'merged_canonical')
+
+    new_keys = (prior_keys.join(mapping, 'entity_id', 'left')
+                .select('norm_key',
+                        F.coalesce('merged_id', 'entity_id')
+                        .alias('entity_id'),
+                        F.coalesce('merged_canonical', 'canonical')
+                        .alias('canonical')))
+    if triples is None:
+        return mapping, new_keys
+
+    retired = mapping.select(F.col('entity_id').alias('subj'),
+                             'merged_id')
+    rest = [c for c in triples.columns if c != 'subj']
+    patch = (triples.join(retired, 'subj')
+             .where(F.col('pred') != 'canonical_name')
+             .select(F.col('merged_id').alias('subj'), *rest))
+    return mapping, new_keys, patch
 
 
 # ------------------------------------------------------- graph edges

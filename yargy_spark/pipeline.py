@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.extract import extract_mentions
-from .operators.linking import (entity_key_table, link_entities,
+from .operators.linking import (apply_entity_merges, entity_key_table,
+                                link_entities,
                                 link_entities_incremental)
 from .operators.triples import materialize_triples
 from .sources import manifest as mf
@@ -294,4 +295,107 @@ def run_incremental(spark: SparkSession, new_transcripts: DataFrame,
                                  counters=counters, **stamp)
     finally:
         links.unpersist()
+    return snap
+
+
+def run_apply_merges(spark: SparkSession, inc_root: str,
+                     out_root: str, n_buckets: int = 16,
+                     triples_roots=()) -> Optional[dict]:
+    """The merge-APPLY job closing the incremental loop: resolve the
+    ``merge_candidates`` work-list an increment committed (via
+    ``apply_entity_merges`` — CC over the candidate graph, numeric-min
+    survivor per component) and commit the outcome, so a KG operator
+    has a middle path between ignoring merges and a full re-link:
+
+    * ``<out_root>/entity_keys`` — the increment's rolled-forward key
+      state REWRITTEN (retired ids -> survivor id + canonical).  The
+      NEXT increment chains off ``out_root`` and sees merged ids.
+    * ``<out_root>/entity_merges`` — the audit mapping, one row per
+      retired entity.  Merges stay explicit and reviewable, never
+      silent.
+    * ``<out_root>/triples_patch`` — for every root in
+      ``triples_roots``: corrected rows for triples whose subject was
+      retired.  Consumers apply it as anti-join(retired) + union;
+      the next full re-link supersedes it.
+
+    Both reads are stamped: rerun is a noop while the candidates
+    snapshot AND the keys snapshot are unchanged; a re-committed
+    upstream re-derives everything (same bounded-staleness contract
+    as ``run_incremental``)."""
+    if out_root == inc_root:
+        raise ValueError(
+            'merge-apply out_root must differ from inc_root — the '
+            'rewritten entity_keys is a new state root the next '
+            'increment chains from')
+    c_root = f'{inc_root}/merge_candidates'
+    k_root = f'{inc_root}/entity_keys'
+    cand_snap = mf.current_snapshot(c_root)
+    keys_snap = mf.current_snapshot(k_root)
+    if cand_snap is None or keys_snap is None:
+        raise ValueError(
+            'no merge_candidates/entity_keys state under %s — run '
+            'the increment job (jobs/run_kg_increment.py) first'
+            % inc_root)
+    out_keys_root = f'{out_root}/entity_keys'
+    mf.check_n_buckets(out_keys_root, n_buckets)
+    # the noop gate keys on entity_merges — the LAST commit below —
+    # so a crash between commits re-derives everything on rerun
+    # (same crash-ordering discipline as run_resumable's keys-first)
+    last = _last_replace(f'{out_root}/entity_merges')
+    if last and last.get('source_snapshot') == keys_snap and \
+            last.get('counters', {}).get(
+                'candidates_snapshot') == cand_snap:
+        return None  # candidates AND key state both unchanged
+
+    t0 = time.time()
+    if mf.committed_data_dirs(c_root):
+        candidates = mf.read_table(spark, c_root)
+    else:
+        # a committed-but-empty work-list (increments that bridged
+        # nothing) writes no data dirs; apply degrades to an identity
+        # rewrite so the chain (inc -> apply -> inc) stays uniform
+        candidates = spark.createDataFrame(
+            [], 'entity_a string, entity_b string, conv_id string, '
+                'last_lemma string')
+    prior_keys = (mf.read_table(spark, k_root)
+                  .select('norm_key', 'entity_id', 'canonical'))
+    if triples_roots:
+        frames = [mf.read_table(spark, f'{r}/triples')
+                  .drop(mf.BUCKET_COL) for r in triples_roots]
+        triples = frames[0]
+        for fr in frames[1:]:
+            triples = triples.unionByName(fr)
+        mapping, new_keys, patch = apply_entity_merges(
+            candidates, prior_keys, triples)
+    else:
+        mapping, new_keys = apply_entity_merges(candidates,
+                                                prior_keys)
+        patch = None
+
+    # the mapping feeds the audit commit, the counters AND (via
+    # new_keys/patch plans) both rewrites — pin it once
+    mapping = mapping.persist()
+    try:
+        stamp = {'source_snapshot': keys_snap, 'n_buckets': n_buckets}
+        counters = {'candidates_snapshot': cand_snap,
+                    'retired_entities': mapping.count(),
+                    'wall_sec': None}
+        mf.commit_replace(
+            mf.with_bucket(new_keys, n_buckets, key='norm_key'),
+            out_keys_root, note='entity_keys',
+            counters=counters, **stamp)
+        if patch is not None:
+            mf.commit_replace(
+                mf.with_bucket(patch, n_buckets, key='subj'),
+                f'{out_root}/triples_patch', note='triples_patch',
+                counters=dict(counters,
+                              triples_roots=list(triples_roots)),
+                **stamp)
+        counters['wall_sec'] = round(time.time() - t0, 3)
+        snap = mf.commit_replace(
+            mf.with_bucket(mapping, n_buckets, key='entity_id'),
+            f'{out_root}/entity_merges', note='entity_merges',
+            counters=counters, **stamp)
+    finally:
+        mapping.unpersist()
     return snap

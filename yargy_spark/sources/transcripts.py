@@ -56,6 +56,12 @@ TOOLS = ['search', 'calculator', 'db']
 
 TURNS_PER_SF = 1_000_000
 TURNS_PER_CONV = 8
+# default synthetic corpus size for the batch job; the increment job
+# derives its default start_turn from THIS constant so the synthetic
+# increment can never overlap the base's conversation ids (the two
+# literals drifting apart would duplicate conversations across
+# batches)
+DEFAULT_N_TURNS = 100_000
 
 
 def synth_transcripts(spark: SparkSession, sf: float = 0.01,
