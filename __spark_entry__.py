@@ -694,6 +694,17 @@ def q_pack_sequences(spark, sf_dir) -> DataFrame:
                           n_buckets=8)
 
 
+def q_materialize_sequences(spark, sf_dir) -> DataFrame:
+    """The packing WRITER (packing.materialize_sequences): actual
+    (bucket, seq_id) training rows with the assembled token payload.
+    The oracle re-slices every document in SQL, proving each sequence
+    is exactly ctx_len tokens except per-bucket tails — the full
+    payload text rides under the value hash."""
+    from yargy_spark.operators.packing import materialize_sequences
+    return materialize_sequences(_docs(spark, sf_dir), ctx_len=512,
+                                 n_buckets=8)
+
+
 def q_training_batches(spark, sf_dir) -> DataFrame:
     """The WHOLE training-data preparation pipeline as one declarative
     plan: quality gate -> exact dedup -> LSH near-dup prune
@@ -823,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_merge_apply': q_kg_merge_apply,
         'pii_scrub': q_pii_scrub,
         'filter_corpus': q_filter_corpus,
+        'materialize_sequences': q_materialize_sequences,
         # -- previously-gated, unchanged
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
@@ -2002,6 +2014,52 @@ SELECT doc_id, bucket,
        CAST((fin - n_tokens) // 512 AS BIGINT) AS seq_first,
        CAST((fin - 1) // 512 AS BIGINT) AS seq_last
 FROM packed
+""".format(ks=_KS, ws=_WS_TOKENS)
+
+    # the packing WRITER: re-derive the layout, then slice each
+    # document's token array per sequence and assemble in stream
+    # order.  DuckDB list slicing is 1-based inclusive-inclusive, so
+    # [from0+1 : to0] mirrors Spark's slice(arr, from0+1, to0-from0).
+    oracles['materialize_sequences'] = """
+WITH toks AS (
+  SELECT doc_id, {ws} AS n_tokens,
+    CAST(('0x' || substr(md5('packb|' || {ks}), 1, 15))::int64 % 8
+         AS INT) AS bucket,
+    ('0x' || substr(md5('pack|' || {ks}), 1, 15))::int64 AS draw
+  FROM documents),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+    CAST(sum(n_tokens) OVER (
+      PARTITION BY bucket ORDER BY draw ASC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fin
+  FROM toks WHERE n_tokens > 0),
+layout AS (
+  SELECT doc_id, bucket, fin - n_tokens AS start_tok, n_tokens,
+         (fin - n_tokens) // 512 AS seq_first,
+         (fin - 1) // 512 AS seq_last
+  FROM packed),
+arrs AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS tarr
+  FROM documents),
+ex AS (
+  SELECT l.bucket, l.start_tok, l.n_tokens, a.tarr,
+         unnest(generate_series(l.seq_first, l.seq_last)) AS seq_id
+  FROM layout l JOIN arrs a USING (doc_id)),
+parts AS (
+  SELECT bucket, seq_id, start_tok,
+         tarr[CAST(GREATEST(seq_id * 512, start_tok)
+                   - start_tok + 1 AS BIGINT)
+              : CAST(LEAST((seq_id + 1) * 512, start_tok + n_tokens)
+                     - start_tok AS BIGINT)] AS part
+  FROM ex)
+SELECT bucket, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(len(flatten(list(part ORDER BY start_tok)))
+            AS INT) AS n_tokens,
+       array_to_string(flatten(list(part ORDER BY start_tok)), ' ')
+         AS seq_text
+FROM parts GROUP BY bucket, seq_id
 """.format(ks=_KS, ws=_WS_TOKENS)
 
     oracles['pricing_summary'] = """

@@ -140,3 +140,63 @@ def test_context_windows_frame_semantics(spark):
     assert got[('a', 3)] == (3, 't0\nt1\nt2')
     assert got[('a', 4)] == (3, 't1\nt2\nt3')   # k caps the frame
     assert got[('b', 1)] == (1, 'x0')           # no cross-conv leak
+
+
+def test_materialize_sequences_exactly_filled(spark, docs):
+    """Every (bucket, seq) row holds exactly ctx_len tokens except
+    each bucket's LAST sequence; totals and payloads agree with the
+    layout and the documents' own lowercased whitespace tokens."""
+    from yargy_spark.operators.packing import (materialize_sequences,
+                                               pack_sequences)
+    ctx = 128
+    out = materialize_sequences(docs, ctx_len=ctx, n_buckets=4)
+    rows = sorted(((r['bucket'], r['seq_id'], r['n_docs'],
+                    r['n_tokens'], r['seq_text'])
+                   for r in out.collect()))
+    assert rows
+    by_bucket = {}
+    for b, s, nd, nt, txt in rows:
+        by_bucket.setdefault(b, []).append((s, nd, nt, txt))
+    layout = pack_sequences(docs, ctx_len=ctx, n_buckets=4).collect()
+    total = sum(r['n_tokens'] for r in layout)
+    assert sum(nt for _, _, _, nt, _ in rows) == total
+
+    # reference stream per bucket: docs in layout order, tokens
+    # re-derived the same way the operator slices them
+    toks = {r['doc_id']: r['text'].lower().split()
+            for r in docs.select('doc_id', 'text').collect()}
+    for b, seqs in by_bucket.items():
+        seqs.sort()
+        # sequences are consecutive from 0; all full except the last
+        assert [s for s, _, _, _ in seqs] == list(range(len(seqs)))
+        assert all(nt == ctx for _, _, nt, _ in seqs[:-1])
+        assert 0 < seqs[-1][2] <= ctx
+        stream = []
+        for r in sorted((r for r in layout if r['bucket'] == b),
+                        key=lambda r: r['start_tok']):
+            assert len(toks[r['doc_id']]) == r['n_tokens']
+            stream.extend(toks[r['doc_id']])
+        got = ' '.join(txt for _, _, _, txt in seqs)
+        assert got == ' '.join(stream)
+
+    # n_docs: a boundary-straddling document is counted in each
+    # sequence it feeds — cross-check one bucket's doc counts
+    for b, seqs in by_bucket.items():
+        want = [0] * len(seqs)
+        for r in (r for r in layout if r['bucket'] == b):
+            for s in range(r['seq_first'], r['seq_last'] + 1):
+                want[s] += 1
+        assert [nd for _, nd, _, _ in
+                sorted((s, nd, nt, t) for s, nd, nt, t in seqs)] \
+            == want
+        break
+
+
+def test_materialize_sequences_codegen_only(spark, docs):
+    """The writer stays JVM-side: no Python/Arrow eval nodes and no
+    cartesian products in the executed plan."""
+    from yargy_spark.operators.packing import materialize_sequences
+    plan = (materialize_sequences(docs, ctx_len=128, n_buckets=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert 'EvalPython' not in plan
+    assert 'CartesianProduct' not in plan

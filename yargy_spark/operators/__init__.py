@@ -21,7 +21,7 @@ from .sampling import (hash_split,               # noqa: F401
                        stratified_sample, stratum_reservoir,
                        temperature_weights)
 from .packing import (context_windows,           # noqa: F401
-                      pack_sequences)
+                      materialize_sequences, pack_sequences)
 from .similarity import cosine_topk, ivf_topk    # noqa: F401
 from .textstats import (corpus_vocabulary,       # noqa: F401
                         doc_fingerprints, filter_corpus, lang_id,

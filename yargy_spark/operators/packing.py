@@ -91,6 +91,61 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 512,
                     'seq_first', 'seq_last'))
 
 
+def materialize_sequences(docs: DataFrame, ctx_len: int = 512,
+                          key_col: str = 'doc_id',
+                          n_buckets: int = 8, salt: str = 'pack',
+                          text_col: str = 'text') -> DataFrame:
+    """The writer for ``pack_sequences``: slice documents into the
+    actual fixed-length training rows the layout describes — one row
+    per (bucket, seq_id) carrying the assembled token payload.  Every
+    sequence holds exactly ``ctx_len`` tokens except each bucket's
+    LAST one (the stream tail), which is the concat-and-chunk
+    contract.
+
+    Per document the layout's [start_tok, start_tok + n_tokens) span
+    is exploded over its sequences (``sequence(seq_first, seq_last)``)
+    and each sequence takes its slice of the document's own token
+    array; per sequence the contributions concatenate in stream order
+    (sort by ``start_tok`` — unique within a bucket).  Tokens are the
+    same lowercased whitespace split ``ws_token_count`` counts, so
+    the payload lengths and the layout can never disagree.
+
+    (bucket, seq_id, n_docs, n_tokens, seq_text).
+
+    Scale shape: re-derives the layout (one exchange + window), joins
+    text back over the unique key (one equi-join; AQE broadcast when
+    the layout side fits), explodes at most ceil(n_tokens/ctx_len)+1
+    rows per document, then ONE groupBy(bucket, seq_id) whose
+    payloads are ctx_len-bounded.  split/slice/sequence/sort_array/
+    flatten are all JVM codegen — no UDFs, no driver loops; output
+    rows stream straight to the shard writer partitioned by
+    ``bucket``."""
+    layout = pack_sequences(docs, ctx_len, key_col, n_buckets, salt)
+    text = F.lower(F.col(text_col))
+    toks = docs.select(key_col, F.split(F.trim(text), r'\s+')
+                       .alias('_toks'))
+    ex = (layout.join(toks, key_col)
+          .select('bucket', 'start_tok', 'n_tokens', '_toks',
+                  F.explode(F.sequence('seq_first', 'seq_last'))
+                  .alias('seq_id')))
+    lo = F.greatest(F.col('seq_id') * ctx_len, F.col('start_tok'))
+    hi = F.least((F.col('seq_id') + 1) * ctx_len,
+                 F.col('start_tok') + F.col('n_tokens'))
+    part = ex.select(
+        'bucket', 'seq_id', 'start_tok',
+        F.slice('_toks', (lo - F.col('start_tok') + 1).cast('int'),
+                (hi - lo).cast('int')).alias('_part'))
+    assembled = F.flatten(F.transform(
+        F.sort_array(F.collect_list(F.struct('start_tok', '_part'))),
+        lambda s: s['_part']))
+    return (part.groupBy('bucket', 'seq_id')
+            .agg(F.count('*').alias('n_docs'),
+                 assembled.alias('_seq'))
+            .select('bucket', 'seq_id', 'n_docs',
+                    F.size('_seq').alias('n_tokens'),
+                    F.array_join('_seq', ' ').alias('seq_text')))
+
+
 def context_windows(transcripts: DataFrame, k: int = 3,
                     sep: str = '\n') -> DataFrame:
     """SFT-style training-example assembly over transcripts: for
