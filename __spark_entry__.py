@@ -673,6 +673,21 @@ def q_mixture_sample(spark, sf_dir) -> DataFrame:
             .select('doc_id', 'lang', 'n_tokens'))
 
 
+def q_mixture_re_tokens(spark, sf_dir) -> DataFrame:
+    """The pluggable budget counter (sampling.mixture_sample
+    token_expr= + textstats.re_token_count): the SAME 50/30/20
+    mixture but budgeted in BPE-ish regex tokens — selection
+    thresholds and the emitted n_tokens both follow the swapped
+    counter."""
+    from yargy_spark.operators.sampling import mixture_sample
+    from yargy_spark.operators.textstats import re_token_count
+    return (mixture_sample(_docs(spark, sf_dir), 'lang',
+                           {'en': 0.5, 'zh': 0.3, 'de': 0.2},
+                           6000, 'doc_id',
+                           token_expr=re_token_count())
+            .select('doc_id', 'lang', 'n_tokens'))
+
+
 def q_mixture_epochs(spark, sf_dir) -> DataFrame:
     """Upsampling mixture (sampling.py::mixture_epochs): de at 0.9 of
     a 20k-token budget repeats ~5 epochs; en at 0.1 downsamples —
@@ -835,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pii_scrub': q_pii_scrub,
         'filter_corpus': q_filter_corpus,
         'materialize_sequences': q_materialize_sequences,
+        'mixture_re_tokens': q_mixture_re_tokens,
         # -- previously-gated, unchanged
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
@@ -1961,6 +1977,30 @@ SELECT doc_id, lang, n_tokens
 FROM toks JOIN kf USING (lang)
 WHERE {b} < keep_bp
 """.format(b=_B.format(salt='mixture'), ws=_WS_TOKENS)
+
+    # the same mixture budgeted in regex (BPE-ish) tokens — only the
+    # counter fragment differs from oracles['mixture_sample']
+    _RE_TOKENS = ("CAST(len(regexp_extract_all(lower(text), '%s')) "
+                  "AS INT)" % TOKEN_PATTERN)
+    oracles['mixture_re_tokens'] = """
+WITH toks AS (
+  SELECT doc_id, lang, {re} AS n_tokens
+  FROM documents),
+tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tot
+        FROM toks GROUP BY lang),
+kf AS (
+  SELECT lang,
+    CASE WHEN tot <= 0 THEN 0
+         ELSE LEAST(10000,
+                    CAST(CASE lang WHEN 'de' THEN 1200
+                                   WHEN 'en' THEN 3000
+                                   WHEN 'zh' THEN 1800 END
+                         AS BIGINT) * 10000 // tot) END AS keep_bp
+  FROM tot WHERE lang IN ('de', 'en', 'zh'))
+SELECT doc_id, lang, n_tokens
+FROM toks JOIN kf USING (lang)
+WHERE {b} < keep_bp
+""".format(b=_B.format(salt='mixture'), re=_RE_TOKENS)
 
     # upsampling mixture (sampling.py::mixture_epochs): whole epochs
     # = tgt DIV tot, partial epoch by the SAME mixture bucket;

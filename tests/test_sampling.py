@@ -363,3 +363,47 @@ def test_mixture_epochs_max_epochs_cap(spark, docs):
     with _pt.raises(ValueError, match='max_epochs'):
         mixture_epochs(docs, 'lang', weights, budget, 'doc_id',
                        max_epochs=0)
+
+
+def test_mixture_token_expr_pluggable(spark, docs):
+    """token_expr swaps the budget counter end-to-end: thresholds AND
+    the emitted n_tokens follow the regex counter, and the default
+    path is byte-identical to before (ws counter)."""
+    from yargy_spark.operators.sampling import mixture_sample
+    from yargy_spark.operators.textstats import (re_token_count,
+                                                 token_counts)
+    w = {'en': 0.5, 'zh': 0.3, 'de': 0.2}
+    re_out = mixture_sample(docs, 'lang', w, 6000, 'doc_id',
+                            token_expr=re_token_count()).collect()
+    counts = {r['doc_id']: (r['ws_tokens'], r['re_tokens'])
+              for r in token_counts(docs).collect()}
+    assert re_out
+    for r in re_out:
+        assert r['n_tokens'] == counts[r['doc_id']][1]
+    # the default path is unchanged: it still budgets in ws tokens
+    for r in mixture_sample(docs, 'lang', w, 6000,
+                            'doc_id').collect():
+        assert r['n_tokens'] == counts[r['doc_id']][0]
+
+
+def test_pack_token_expr_layout(spark, docs):
+    """pack_sequences with a swapped counter: positions cumsum the
+    regex counts, same gapless-stream contract."""
+    from yargy_spark.operators.packing import pack_sequences
+    from yargy_spark.operators.textstats import (re_token_count,
+                                                 token_counts)
+    out = pack_sequences(docs, ctx_len=128, n_buckets=4,
+                         token_expr=re_token_count()).collect()
+    counts = {r['doc_id']: r['re_tokens']
+              for r in token_counts(docs).collect()}
+    assert out
+    by_bucket = {}
+    for r in out:
+        assert r['n_tokens'] == counts[r['doc_id']]
+        by_bucket.setdefault(r['bucket'], []).append(r)
+    for seg in by_bucket.values():
+        seg.sort(key=lambda r: r['start_tok'])
+        pos = 0
+        for r in seg:
+            assert r['start_tok'] == pos
+            pos += r['n_tokens']

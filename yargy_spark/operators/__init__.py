@@ -25,7 +25,8 @@ from .packing import (context_windows,           # noqa: F401
 from .similarity import cosine_topk, ivf_topk    # noqa: F401
 from .textstats import (corpus_vocabulary,       # noqa: F401
                         doc_fingerprints, filter_corpus, lang_id,
-                        pii_scrub, quality_scores,
-                        repetition_scores, token_counts, top_ngrams)
+                        pii_scrub, quality_scores, re_token_count,
+                        repetition_scores, token_counts, top_ngrams,
+                        ws_token_count)
 from .multimodal import (extract_features,       # noqa: F401
                          media_metadata, synth_media)

@@ -33,7 +33,7 @@ from .textstats import ws_token_count
 
 def pack_sequences(docs: DataFrame, ctx_len: int = 512,
                    key_col: str = 'doc_id', n_buckets: int = 8,
-                   salt: str = 'pack') -> DataFrame:
+                   salt: str = 'pack', token_expr=None) -> DataFrame:
     """Assign every document a deterministic position in a packed
     fixed-length-sequence layout.
 
@@ -56,6 +56,14 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 512,
     the cumsum partition-order-dependent, which breaks exactly the
     byte-identical-layout guarantee above.  Run ``exact_dedup`` /
     key-dedup upstream first.
+
+    ``token_expr`` swaps the layout's counter (the same pluggable
+    Column contract as ``sampling.mixture_sample`` — e.g.
+    ``textstats.re_token_count()``, or a tokenizer-exact precomputed
+    column) so sequence budgets can be sized in the units the trainer
+    actually consumes.  ``materialize_sequences`` stays
+    whitespace-only: it SLICES the whitespace token array, so it
+    packs with the default counter by construction.
     """
     if ctx_len <= 0:
         raise ValueError('ctx_len must be positive, got %d' % ctx_len)
@@ -68,7 +76,8 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 512,
     draw = md5_int(F.concat(F.lit(salt + '|'), ks))
     toks = (docs
             .select(key_col,
-                    ws_token_count().alias('n_tokens'),
+                    (token_expr if token_expr is not None
+                     else ws_token_count()).alias('n_tokens'),
                     bucket.cast('int').alias('bucket'),
                     draw.alias('_draw'))
             .where(F.col('n_tokens') > 0))

@@ -134,7 +134,8 @@ def mixture_sample(docs: DataFrame, strata_col: str,
                    weights: Dict[str, float], token_budget: int,
                    key_col: str, salt: str = 'mixture',
                    totals: Optional[Dict[str, int]] = None,
-                   text_col: str = 'text') -> DataFrame:
+                   text_col: str = 'text',
+                   token_expr=None) -> DataFrame:
     """Deterministic token-budget mixture sampling — the pretraining
     data-mixture primitive: given per-stratum corpus shares (``{'en':
     0.5, 'zh': 0.3, ...}``, fractions of ``token_budget``), keep a
@@ -163,7 +164,14 @@ def mixture_sample(docs: DataFrame, strata_col: str,
 
     Output: the input rows of selected documents plus ``n_tokens``
     (the shared ``textstats.ws_token_count`` count over
-    ``text_col``).
+    ``text_col``, or ``token_expr`` when given).
+
+    ``token_expr`` makes the COUNTER pluggable: any integer Column —
+    e.g. ``textstats.re_token_count()`` for BPE-ish budgets, or a
+    precomputed tokenizer-exact column — replaces the whitespace
+    count in both the per-stratum totals and the emitted
+    ``n_tokens``, with identical selection arithmetic (``totals``
+    passed from manifests must then be totals of the SAME counter).
     """
     if token_budget <= 0:
         raise ValueError('token_budget must be positive, got %r'
@@ -180,8 +188,10 @@ def mixture_sample(docs: DataFrame, strata_col: str,
                for s, w in weights.items()}
 
     from .textstats import ws_token_count
-    toks = docs.withColumn('n_tokens',
-                           ws_token_count(F.col(text_col)))
+    toks = docs.withColumn(
+        'n_tokens',
+        token_expr if token_expr is not None
+        else ws_token_count(F.col(text_col)))
     bucket = _bucket(key_col, salt)
 
     if totals is not None:
@@ -266,7 +276,8 @@ def mixture_epochs(docs: DataFrame, strata_col: str,
                    key_col: str, salt: str = 'mixture',
                    totals: Optional[Dict[str, int]] = None,
                    max_epochs: Optional[int] = None,
-                   text_col: str = 'text') -> DataFrame:
+                   text_col: str = 'text',
+                   token_expr=None) -> DataFrame:
     """Upsampling mixture — the data-REPETITION primitive: like
     ``mixture_sample`` but a stratum whose token target EXCEEDS its
     corpus size contributes whole repeated epochs plus a
@@ -293,6 +304,10 @@ def mixture_epochs(docs: DataFrame, strata_col: str,
     per-stratum aggregate broadcast back (or map-only with manifest
     ``totals``), then a codegen ``sequence``/explode; no extra
     shuffle for the repetition.
+
+    ``token_expr`` swaps the budget counter exactly as in
+    ``mixture_sample`` (same Column contract, same caveat for
+    manifest ``totals``).
 
     ``max_epochs`` caps the copies per unit (full + partial): a
     near-empty stratum handed a large weight would otherwise explode
@@ -322,8 +337,10 @@ def mixture_epochs(docs: DataFrame, strata_col: str,
                for s, w in weights.items()}
 
     from .textstats import ws_token_count
-    toks = docs.withColumn('n_tokens',
-                           ws_token_count(F.col(text_col)))
+    toks = docs.withColumn(
+        'n_tokens',
+        token_expr if token_expr is not None
+        else ws_token_count(F.col(text_col)))
     bucket = _bucket(key_col, salt)
 
     # epoch explode: CASE guards sequence(0, -1), which would yield a

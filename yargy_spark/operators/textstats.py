@@ -115,13 +115,23 @@ def ws_token_count(text_col=None):
         .otherwise(F.size(F.split(F.trim(text), r'\s+')))
 
 
+def re_token_count(text_col=None):
+    """Regex (BPE-ish) token-count expression — the pluggable
+    alternative to ``ws_token_count`` for mixture/packing budgets
+    (``token_expr=re_token_count()``): letter runs, digit runs and
+    single punctuation marks each count one token, which tracks BPE
+    token mass far closer than whitespace on CJK-free text.  DuckDB
+    replay: ``len(regexp_extract_all(lower(text), TOKEN_PATTERN))``
+    (the pattern is the shared RE2/Java-portable TOKEN_PATTERN)."""
+    text = F.lower(text_col if text_col is not None else F.col('text'))
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN),
+                                       F.lit(0)))
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + regex (BPE-ish) token count."""
-    text = F.lower(F.col('text'))
-    re_toks = F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN),
-                                          F.lit(0)))
     return docs.select('doc_id', ws_token_count().alias('ws_tokens'),
-                       re_toks.alias('re_tokens'))
+                       re_token_count().alias('re_tokens'))
 
 
 def _repetition_cols() -> dict:
