@@ -465,6 +465,22 @@ def q_minhash_lsh_dups(spark, sf_dir) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental near-dup dedup: the even-doc_id half of the corpus
+    is the committed state (minhash_state), the odd half arrives as a
+    new batch (dedup_increment).  vs_state=1 rows pair state docs with
+    batch docs (verified on the state's STORED shingle arrays — prior
+    text never rescanned); vs_state=0 rows are the batch-internal
+    minhash_lsh_pairs semantics."""
+    from yargy_spark.operators.dedup import (dedup_increment,
+                                             minhash_state)
+    docs = _docs(spark, sf_dir)
+    state = minhash_state(docs.where(F.col('doc_id') % 2 == 0))
+    pairs, _new_state = dedup_increment(
+        docs.where(F.col('doc_id') % 2 == 1), state)
+    return pairs
+
+
 def q_dup_clusters(spark, sf_dir) -> DataFrame:
     """Near-duplicate clusters: MinHash/LSH pairs fed into the SAME
     alternating large/small-star connected-components operator the
@@ -620,6 +636,17 @@ def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
 def q_multimodal_meta(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.multimodal import media_metadata
     return media_metadata(_docs(spark, sf_dir))
+
+
+def q_multimodal_decode(spark, sf_dir) -> DataFrame:
+    """Full image decode path: deterministic REAL P6 payloads
+    (synth_ppm_media) -> binary column -> decode_image (the pure
+    netpbm/BMP codec) -> per-image stats.  The oracle recomputes the
+    stats from the doc_id arithmetic that generated the pixels, so a
+    header-parse or raster-order bug breaks the hash."""
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_ppm_media)
+    return decode_stats(synth_ppm_media(_docs(spark, sf_dir)))
 
 
 def q_doc_splits(spark, sf_dir) -> DataFrame:
@@ -851,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'filter_corpus': q_filter_corpus,
         'materialize_sequences': q_materialize_sequences,
         'mixture_re_tokens': q_mixture_re_tokens,
+        'multimodal_decode': q_multimodal_decode,
+        'dedup_incremental': q_dedup_incremental,
         # -- previously-gated, unchanged
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
@@ -1089,6 +1118,48 @@ _MINHASH_CANDS = """
       ON l.band = r.band AND l.sig_key = r.sig_key
     WHERE l.doc_id < r.doc_id)
 """
+
+def _mh_split_sql(pred, p):
+    """Prefixed dedup-first + shingle + minhash sig/band CTE chain
+    over ``documents WHERE pred`` — the dedup_incremental oracle runs
+    TWO of these (base state / new batch), so every CTE name takes
+    prefix ``p``.  Formulas mirror _dedup_first_sql / _shingles_sql /
+    _MINHASH_CANDS verbatim (same hash family ``fam`` CTE, Mersenne
+    modulus, banding arithmetic, k=3 shingles); placeholders {h60s}
+    (60-bit shingle hash) and {m} are closed by the caller's .format
+    alongside fam."""
+    return """
+  {p}src AS (SELECT doc_id, text FROM documents WHERE {pred}),
+  {p}grp AS (
+    SELECT doc_id,
+           min(doc_id) OVER (
+             PARTITION BY ('0x' || substr(md5({norm}), 1, 15))::int64
+           ) AS rep_id
+    FROM {p}src),
+  {p}rep AS (
+    SELECT d.doc_id, d.text FROM {p}src d
+    JOIN {p}grp g ON d.doc_id = g.doc_id AND g.doc_id = g.rep_id),
+  {p}norm AS (SELECT doc_id, string_split({norm}, ' ') AS w
+              FROM {p}rep),
+  {p}sh AS (
+    SELECT DISTINCT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+          FROM {p}norm WHERE len(w) >= 3)),
+  {p}sig AS (
+    SELECT doc_id, fam.i AS hash_idx,
+           min((fam.a * x + fam.b) % {{m}}) AS minhash
+    FROM (SELECT doc_id, {{h60s}} % {{m}} AS x FROM {p}sh)
+    CROSS JOIN fam GROUP BY doc_id, fam.i),
+  {p}bands AS (
+    SELECT doc_id, CAST(hash_idx // {rpb} AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), '_'
+                      ORDER BY hash_idx) AS sig_key
+    FROM {p}sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
+  {p}sizes AS (SELECT doc_id, count(*) AS sz FROM {p}sh
+               GROUP BY doc_id)""".format(
+        p=p, pred=pred, norm=_NORM, rpb='{rpb}')
+
 
 def _expand_groups_sql(score_col='jaccard_x10000', self_score=10000,
                        min_words=3):
@@ -1445,6 +1516,77 @@ WITH {df},
 """.format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, mc=minhash_cands,
            jv=_JACCARD_VERIFY, thr=LSH_DEFAULT_THRESHOLD,
            exp=_EXPAND_GROUPS)
+
+    # incremental near-dup: TWO independent split chains (even half =
+    # committed state, odd half = arriving batch) built by the SAME
+    # prefixed fragment; within-batch pairs replay the batch operator
+    # (threshold -> group expansion incl. reflexive self pairs), cross
+    # pairs band-join state vs batch and expand only the batch side —
+    # exactly dedup_increment's contract, independently in DuckDB
+    oracles['dedup_incremental'] = ("""
+WITH fam(i, a, b) AS (VALUES
+    {fam}),""" + _mh_split_sql('doc_id % 2 = 0', 'b_') + ','
+        + _mh_split_sql('doc_id % 2 = 1', 'i_') + ',' + """
+  w_cands AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM i_bands l JOIN i_bands r
+      ON l.band = r.band AND l.sig_key = r.sig_key
+    WHERE l.doc_id < r.doc_id),
+  w_inter AS (
+    SELECT c.a, c.b, count(*) AS inter
+    FROM w_cands c
+    JOIN i_sh sa ON sa.doc_id = c.a
+    JOIN i_sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b),
+  w_rep_pairs AS (
+    SELECT i.a, i.b,
+           CAST(floor(10000.0 * i.inter / (za.sz + zb.sz - i.inter))
+                AS BIGINT) AS jaccard_x10000
+    FROM w_inter i
+    JOIN i_sizes za ON za.doc_id = i.a
+    JOIN i_sizes zb ON zb.doc_id = i.b
+    WHERE floor(10000.0 * i.inter / (za.sz + zb.sz - i.inter))
+          >= {thr}),
+  w_self AS (
+    SELECT doc_id AS a, doc_id AS b,
+           CAST(10000 AS BIGINT) AS jaccard_x10000
+    FROM i_norm WHERE len(w) >= 3),
+  w_allp AS (SELECT a, b, jaccard_x10000 FROM w_rep_pairs
+             UNION ALL SELECT a, b, jaccard_x10000 FROM w_self),
+  w_exp AS (
+    SELECT least(ga.ma, gb.mb) AS a, greatest(ga.ma, gb.mb) AS b,
+           jaccard_x10000
+    FROM w_allp
+    JOIN (SELECT rep_id AS a, doc_id AS ma FROM i_grp) ga USING (a)
+    JOIN (SELECT rep_id AS b, doc_id AS mb FROM i_grp) gb USING (b)
+    WHERE w_allp.a != w_allp.b OR ga.ma < gb.mb),
+  x_cands AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM b_bands l JOIN i_bands r
+      ON l.band = r.band AND l.sig_key = r.sig_key),
+  x_inter AS (
+    SELECT c.a, c.b, count(*) AS inter
+    FROM x_cands c
+    JOIN b_sh sa ON sa.doc_id = c.a
+    JOIN i_sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+    GROUP BY c.a, c.b),
+  x_rep AS (
+    SELECT i.a, i.b,
+           CAST(floor(10000.0 * i.inter / (za.sz + zb.sz - i.inter))
+                AS BIGINT) AS jaccard_x10000
+    FROM x_inter i
+    JOIN b_sizes za ON za.doc_id = i.a
+    JOIN i_sizes zb ON zb.doc_id = i.b
+    WHERE floor(10000.0 * i.inter / (za.sz + zb.sz - i.inter))
+          >= {thr}),
+  x_exp AS (
+    SELECT x.a, g.doc_id AS b, x.jaccard_x10000
+    FROM x_rep x JOIN i_grp g ON g.rep_id = x.b)
+SELECT a, b, jaccard_x10000, CAST(0 AS INT) AS vs_state FROM w_exp
+UNION ALL
+SELECT a, b, jaccard_x10000, CAST(1 AS INT) AS vs_state FROM x_exp
+""").format(fam=family_rows, m=MERSENNE, rpb=ROWS_PER_BAND,
+            h60s=_H60.format(x='shingle'), thr=LSH_DEFAULT_THRESHOLD)
 
     # streaming dedup: whichever copy survives arrival order, the
     # emitted key set equals batch DISTINCT over normalized text
@@ -1895,6 +2037,28 @@ SELECT doc_id,
        fp_hash
 FROM ranked WHERE fp_rank <= 4
 """.format(sh=_SHINGLES, h=_H60.format(x='shingle'))
+
+    # decode-path oracle: regenerates every raster byte from the same
+    # doc_id arithmetic as synth_ppm_media and aggregates — the Spark
+    # side instead round-trips real P6 bytes through decode_image, so
+    # agreement proves the encoder+decoder pair, not shared code
+    oracles['multimodal_decode'] = """
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 8 + 4 AS INT) AS width,
+         CAST(doc_id % 6 + 4 AS INT) AS height
+  FROM documents),
+bytes AS (
+  SELECT doc_id, width, height,
+         unnest(generate_series(0, 3 * width * height - 1)) AS j
+  FROM dims)
+SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+       CAST(3 * width * height AS INT) AS n_bytes,
+       CAST(sum(((doc_id % 256) * 7 + j * 13) % 256)
+            AS BIGINT) AS byte_sum,
+       CAST(sum(((doc_id % 256) * 7 + j * 13) % 256) * 100
+            // (3 * width * height) AS BIGINT) AS byte_mean_x100
+FROM bytes GROUP BY doc_id, width, height
+"""
 
     oracles['multimodal_meta'] = """
 SELECT doc_id,

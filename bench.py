@@ -95,7 +95,10 @@ def main():
               'pack_sequences', 'mixture_sample', 'decontam_pairs',
               'training_batches',
               # round-3 tail: text filters + SFT assembly
-              'repetition_scores', 'pii_scrub', 'context_windows']:
+              'repetition_scores', 'pii_scrub', 'context_windows',
+              # round-4: state-table/materialization/codec family
+              'dedup_incremental', 'materialize_sequences',
+              'kg_merge_apply', 'multimodal_decode']:
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 

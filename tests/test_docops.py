@@ -44,6 +44,61 @@ def test_minhash_lsh_subset_of_exact_jaccard(spark, docs):
     assert lsh == exact
 
 
+def test_dedup_increment_chain(spark):
+    """Committed state pattern for near-dup dedup (mirrors
+    test_incremental's entity-key chaining): day-1 batch checks
+    against day-0 state, the rolled state carries day-1 survivors
+    into day-2, dropped docs never re-enter, and within-batch pairs
+    are exactly the batch operator's."""
+    from yargy_spark.operators.dedup import (dedup_increment,
+                                             minhash_lsh_pairs,
+                                             minhash_state)
+    base = ('the quick brown fox jumps over the lazy dog near '
+            'the river bank today')
+    near = base.replace('today', 'tonight')     # jaccard 11/13=0.846
+    other = ('completely different words about spark clusters '
+             'shuffling partitions everywhere constantly')
+    fresh = ('unrelated prose discussing morphology grammars '
+             'parsers and knowledge graph triples')
+
+    day0 = spark.createDataFrame([(1, base), (2, other)],
+                                 'doc_id long, text string')
+    state0 = minhash_state(day0)
+    assert {r['doc_id'] for r in state0.collect()} == {1, 2}
+
+    day1 = spark.createDataFrame(
+        [(10, near), (11, base), (12, fresh), (13, fresh)],
+        'doc_id long, text string')
+    pairs1, state1 = dedup_increment(day1, state0)
+    got1 = {(r['a'], r['b'], r['jaccard_x10000'], r['vs_state'])
+            for r in pairs1.collect()}
+    # cross: exact copy of state doc 1 and its near variant both
+    # surface oriented (state, new); old text never rescanned
+    assert (1, 11, 10000, 1) in got1
+    assert (1, 10, 8461, 1) in got1
+    # within-batch rows replay the batch operator exactly
+    wb = {(a, b, j) for a, b, j, v in got1 if v == 0}
+    batch = {(r['a'], r['b'], r['jaccard_x10000'])
+             for r in minhash_lsh_pairs(day1).collect()}
+    assert wb == batch and (12, 13, 10000) in wb
+
+    # roll-forward: cross-dups (10, 11) and the non-rep exact copy
+    # (13) are gone; the fresh representative (12) joins the state
+    assert ({r['doc_id'] for r in state1.collect()} == {1, 2, 12})
+
+    day2 = spark.createDataFrame([(20, fresh), (21, near)],
+                                 'doc_id long, text string')
+    pairs2, state2 = dedup_increment(day2, state1)
+    got2 = {(r['a'], r['b'], r['jaccard_x10000'], r['vs_state'])
+            for r in pairs2.collect()}
+    # doc 20 duplicates a DAY-1 survivor -> only reachable through
+    # the rolled-forward state; doc 21 matches dropped doc 10's
+    # SURVIVOR (doc 1) at the pair's true jaccard
+    assert (12, 20, 10000, 1) in got2
+    assert (1, 21, 8461, 1) in got2
+    assert {r['doc_id'] for r in state2.collect()} == {1, 2, 12}
+
+
 def test_simhash_stability(spark, docs):
     from yargy_spark.operators.dedup import simhash_docs
     a = {(r['doc_id'], r['simhash'])
@@ -340,12 +395,88 @@ def test_repetition_scores(spark):
     assert got[4] == (0, 0, 0, 0)
 
 
+def test_decode_image_netpbm_roundtrip():
+    """Real codec: P6/P5 encode -> decode is the identity, header
+    comments and multi-digit dims parse, 16-bit maxval refuses."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import decode_image, encode_ppm
+    rgb = (np.arange(12 * 10 * 3, dtype=np.int64) * 31 % 256
+           ).astype(np.uint8).reshape(10, 12, 3)
+    assert (decode_image(encode_ppm(rgb)) == rgb).all()
+    gray = rgb[..., 0]
+    out = decode_image(encode_ppm(gray))
+    assert out.shape == (10, 12, 1) and (out[..., 0] == gray).all()
+    # comments anywhere in the header (netpbm spec)
+    commented = (b'P5\n# made by a test\n12 # width\n10\n255\n'
+                 + gray.tobytes())
+    assert (decode_image(commented)[..., 0] == gray).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b'P6\n2 2\n65535\n' + b'\x00' * 24)
+
+
+def test_decode_image_bmp():
+    """24-bit BI_RGB BMP: bottom-up row order, 4-byte row padding
+    (w=3 -> 9-byte rows pad to 12), BGR->RGB, top-down via negative
+    height; 8-bit / compressed refuse."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import decode_image
+
+    def bmp(arr, top_down=False):
+        h, w = arr.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        raster = bytearray()
+        rows = arr if top_down else arr[::-1]
+        for row in rows:
+            raster += row[:, ::-1].tobytes()          # RGB -> BGR
+            raster += b'\x00' * (stride - w * 3)
+        head = (b'BM' + (54 + len(raster)).to_bytes(4, 'little')
+                + b'\x00' * 4 + (54).to_bytes(4, 'little')
+                + (40).to_bytes(4, 'little')
+                + w.to_bytes(4, 'little')
+                + ((-h if top_down else h) % (1 << 32)).to_bytes(
+                    4, 'little')
+                + (1).to_bytes(2, 'little') + (24).to_bytes(2, 'little')
+                + (0).to_bytes(4, 'little')
+                + b'\x00' * 20)
+        return bytes(head) + bytes(raster)
+
+    img = (np.arange(5 * 3 * 3, dtype=np.int64) * 53 % 256
+           ).astype(np.uint8).reshape(5, 3, 3)
+    assert (decode_image(bmp(img)) == img).all()
+    assert (decode_image(bmp(img, top_down=True)) == img).all()
+    bad = bytearray(bmp(img))
+    bad[28] = 8                                       # 8 bpp
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bad))
+
+
+def test_decode_stats(spark):
+    """synth_ppm_media -> decode_stats matches the doc_id arithmetic
+    the DuckDB oracle recomputes (full encode->decode round trip)."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_ppm_media)
+    df = spark.createDataFrame([(i,) for i in (0, 1, 7, 255, 256, 1000)],
+                               'doc_id long')
+    got = {r['doc_id']: r for r in
+           decode_stats(synth_ppm_media(df)).collect()}
+    for doc_id in (0, 1, 7, 255, 256, 1000):
+        w, h = doc_id % 8 + 4, doc_id % 6 + 4
+        j = np.arange(w * h * 3, dtype=np.int64)
+        expect = ((doc_id % 256) * 7 + j * 13) % 256
+        r = got[doc_id]
+        assert (r['width'], r['height'], r['channels']) == (w, h, 3)
+        assert r['n_bytes'] == w * h * 3
+        assert r['byte_sum'] == int(expect.sum())
+        assert r['byte_mean_x100'] == int(expect.sum()) * 100 // (w * h * 3)
+
+
 def test_multimodal_plumbing(spark, docs):
     from yargy_spark.operators.multimodal import (decode_image,
                                                   extract_features,
                                                   synth_media)
     with pytest.raises(NotImplementedError):
-        decode_image(b'\x00')
+        decode_image(b'\x89PNG\r\n')                  # compressed: boundary
     media = synth_media(docs)
     feats = extract_features(media).collect()
     assert len(feats) == docs.count()

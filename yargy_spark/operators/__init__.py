@@ -12,9 +12,10 @@ from .tokens import (annotate_lemmas,            # noqa: F401
                      lexicon_table, token_table)
 from .events import asof_join                    # noqa: F401
 from .dedup import (clean_corpus, decontaminate,  # noqa: F401
-                    exact_dedup,
+                    dedup_increment, exact_dedup,
                     embedding_dup_pairs, minhash_lsh_pairs,
-                    minhash_signatures, ngram_jaccard_pairs,
+                    minhash_signatures, minhash_state,
+                    ngram_jaccard_pairs,
                     simhash_docs, word_shingles)
 from .sampling import (hash_split,               # noqa: F401
                        mixture_epochs, mixture_sample,
@@ -28,5 +29,6 @@ from .textstats import (corpus_vocabulary,       # noqa: F401
                         pii_scrub, quality_scores, re_token_count,
                         repetition_scores, token_counts, top_ngrams,
                         ws_token_count)
-from .multimodal import (extract_features,       # noqa: F401
-                         media_metadata, synth_media)
+from .multimodal import (decode_image,           # noqa: F401
+                         decode_stats, encode_ppm, extract_features,
+                         media_metadata, synth_media, synth_ppm_media)

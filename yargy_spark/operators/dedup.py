@@ -136,13 +136,22 @@ def _pair_jaccard(shingles: DataFrame, candidates: DataFrame
                 .groupBy('doc_id')
                 .agg(F.collect_set('hsh').alias('shs'),
                      F.count('*').alias('sz')))
+    return _verify_pairs(candidates, doc_sets, doc_sets)
+
+
+def _verify_pairs(candidates: DataFrame, sets_a: DataFrame,
+                  sets_b: DataFrame) -> DataFrame:
+    """Exact Jaccard for (a, b) candidates against two (possibly
+    distinct) per-doc (doc_id, shs, sz) set tables — the verify stage
+    of ``_pair_jaccard``, factored so incremental dedup can verify a
+    new batch against a COMMITTED state table's stored arrays."""
     return (candidates
-            .join(doc_sets.select(F.col('doc_id').alias('a'),
-                                  F.col('shs').alias('sh_a'),
-                                  F.col('sz').alias('sz_a')), 'a')
-            .join(doc_sets.select(F.col('doc_id').alias('b'),
-                                  F.col('shs').alias('sh_b'),
-                                  F.col('sz').alias('sz_b')), 'b')
+            .join(sets_a.select(F.col('doc_id').alias('a'),
+                                F.col('shs').alias('sh_a'),
+                                F.col('sz').alias('sz_a')), 'a')
+            .join(sets_b.select(F.col('doc_id').alias('b'),
+                                F.col('shs').alias('sh_b'),
+                                F.col('sz').alias('sz_b')), 'b')
             .select('a', 'b', 'sz_a', 'sz_b',
                     F.size(F.array_intersect('sh_a', 'sh_b'))
                     .alias('inter'))
@@ -252,6 +261,41 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
                           'jaccard_x10000')
 
 
+def _state_rows(reps: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>[K], shs array<long>, sz) per doc with
+    >= k words — the K minhashes AND the hashed shingle set in ONE
+    wide aggregation over the shingle stream (map-side partial agg;
+    one Exchange serves both the banding and the verify arrays).
+    This row is also the incremental-dedup STATE unit: ~8 B/shingle
+    + 128 B signature per retained representative."""
+    sh = word_shingles(reps, k).select(
+        'doc_id', md5_int(F.col('shingle')).alias('hsh'))
+    x = F.col('hsh') % MERSENNE
+    wide = sh.groupBy('doc_id').agg(
+        *([F.min((F.lit(a) * x + F.lit(b)) % MERSENNE).alias('m%d' % i)
+           for i, (a, b) in enumerate(HASH_FAMILY)]
+          + [F.collect_set('hsh').alias('shs'),
+             F.count('*').alias('sz')]))
+    arr = F.array(*['m%d' % i for i in range(len(HASH_FAMILY))])
+    return wide.select('doc_id', arr.alias('sig'), 'shs', 'sz')
+
+
+def _sig_bands(sigged: DataFrame) -> DataFrame:
+    """(doc_id, band, sig_key) from the K-wide ``sig`` array —
+    MAP-ONLY (band keys are array slices: band i joins elements
+    [i*R, (i+1)*R) in hash_idx order), no groupBy Exchange."""
+    entries = F.array(*[
+        F.struct(
+            F.lit(band).cast('int').alias('band'),
+            F.concat_ws('_', *[
+                F.col('sig')[band * ROWS_PER_BAND + r].cast('string')
+                for r in range(ROWS_PER_BAND)]).alias('sig_key'))
+        for band in range(N_BANDS)])
+    return (sigged
+            .select('doc_id', F.explode(entries).alias('e'))
+            .select('doc_id', 'e.band', 'e.sig_key'))
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, hash_idx, minhash) — K minhashes per document.
 
@@ -294,27 +338,125 @@ def _minhash_rep_pairs(reps: DataFrame, k: int,
     """Banded-signature candidates + exact-Jaccard verify over an
     already exact-dedup'd (doc_id, text) frame — shared by
     ``minhash_lsh_pairs`` and ``clean_corpus`` so a composition never
-    recomputes the exact-group window."""
-    sig = minhash_signatures(reps, k)
-    # band key = '_'-joined minhashes in hash_idx order (collect_list
-    # order is nondeterministic, so sort structs before joining)
-    bands = (sig
-             .withColumn('band', (F.col('hash_idx')
-                                  / F.lit(ROWS_PER_BAND)).cast('int'))
-             .groupBy('doc_id', 'band')
-             .agg(F.array_join(
-                 F.array_sort(F.collect_list(
-                     F.struct('hash_idx', 'minhash'))).minhash
-                 .cast('array<string>'), '_').alias('sig_key')))
+    recomputes the exact-group window.
+
+    Everything hangs off ONE ``_state_rows`` aggregation: banding is
+    map-only array slicing over its ``sig`` column (band key =
+    '_'-joined minhashes in hash_idx order) and the verify stage uses
+    its stored ``shs``/``sz`` arrays — one shingle-stream Exchange
+    total, where the pre-round-4 plan paid three (band groupBy +
+    signature agg + verify doc_sets agg)."""
+    rows = _state_rows(reps, k)
+    bands = _sig_bands(rows)
     left = bands.select(F.col('doc_id').alias('a'), 'band', 'sig_key')
     right = bands.select(F.col('doc_id').alias('b'), 'band', 'sig_key')
     cands = (left.join(right, ['band', 'sig_key'])
              .where(F.col('a') < F.col('b'))
              .select('a', 'b').distinct())
-    pairs = _pair_jaccard(word_shingles(reps, k), cands)
+    pairs = _verify_pairs(cands, rows, rows)
     return (pairs
             .where(F.col('jaccard_x10000') >= threshold_x10000)
             .select('a', 'b', 'jaccard_x10000'))
+
+
+def minhash_state(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Committed near-dup STATE: one row per exact-dedup
+    representative — ``(doc_id, sig array<long>[K], shs array<long>,
+    sz)``.  The mirror of the KG linker's ``entity_key_table``
+    (linking.py): a compact, distinct-key-bounded table a resumable
+    job commits after each batch so the next increment never rescans
+    prior text.  Size is ~8 B per distinct shingle + 128 B signature
+    per representative (the shingle arrays buy EXACT cross-increment
+    Jaccard verification; drop ``shs`` for a signature-only state if
+    banding-resolution decisions suffice)."""
+    reps, _groups = _exact_groups(docs)
+    return _state_rows(reps, k)
+
+
+def dedup_increment(new_docs: DataFrame, state: DataFrame,
+                    k: int = 3,
+                    threshold_x10000: int = LSH_DEFAULT_THRESHOLD
+                    ) -> tuple:
+    """Check a NEW batch against committed near-dup state and roll
+    the state forward — near-dup dedup between monthly full
+    ``minhash_lsh_pairs`` re-runs, mirroring incremental entity
+    linking (linking.py run_increment: increment-local work + ONE
+    equi-join against bounded committed state).
+
+    -> ``(pairs, new_state)``:
+
+      * ``pairs``: (a, b, jaccard_x10000, vs_state).  vs_state=1 rows
+        are (state doc, new doc) — the prior corpus always survives;
+        vs_state=0 rows are within-batch pairs (a < b), the exact
+        ``minhash_lsh_pairs`` semantics on the batch alone.
+      * ``new_state``: ``state`` plus the batch's representatives that
+        were NOT flagged (pairwise min-id pruning within the batch,
+        any-match pruning vs state — ``clean_corpus``'s survivor
+        rule), ready to commit for the next increment.
+
+    Scale shape: batch-local banding and verification touch only the
+    increment; the prior corpus enters ONLY through the state table's
+    band equi-join plus the verify join against its STORED shingle
+    arrays — historical text is never rescanned.  Like the linker's
+    per-batch adoption, chained increments are order-dependent where
+    a full re-link is not: a new doc matching a PRUNED (non-surviving)
+    earlier doc but not that doc's survivor goes undetected until the
+    next full run — the documented drift a monthly compaction bounds.
+
+    Caller contract: ``new_docs`` doc_ids are disjoint from state's
+    (they time-order after it)."""
+    reps, groups = _exact_groups(new_docs)
+    new_rows = _state_rows(reps, k)
+
+    # within-batch pairs: the batch operator's exact semantics
+    wb_bands = _sig_bands(new_rows)
+    wb_cands = (wb_bands.select(F.col('doc_id').alias('a'),
+                                'band', 'sig_key')
+                .join(wb_bands.select(F.col('doc_id').alias('b'),
+                                      'band', 'sig_key'),
+                      ['band', 'sig_key'])
+                .where(F.col('a') < F.col('b'))
+                .select('a', 'b').distinct())
+    wb_rep_pairs = (_verify_pairs(wb_cands, new_rows, new_rows)
+                    .where(F.col('jaccard_x10000')
+                           >= threshold_x10000))
+    wb_pairs = _expand_groups(wb_rep_pairs, groups, reps, k,
+                              'jaccard_x10000')
+
+    # cross pairs: state bands vs batch bands, verified on the
+    # state's stored arrays; expand only the NEW side (state is
+    # already rep-level, and its own members were paired when their
+    # batch was the increment)
+    cross_cands = (_sig_bands(state)
+                   .select(F.col('doc_id').alias('a'),
+                           'band', 'sig_key')
+                   .join(wb_bands.select(F.col('doc_id').alias('b'),
+                                         'band', 'sig_key'),
+                         ['band', 'sig_key'])
+                   .select('a', 'b').distinct())
+    cross_rep_pairs = (_verify_pairs(cross_cands, state, new_rows)
+                       .where(F.col('jaccard_x10000')
+                              >= threshold_x10000))
+    cross_pairs = (cross_rep_pairs
+                   .join(groups.select(F.col('rep_id').alias('b'),
+                                       F.col('doc_id').alias('mb')),
+                         'b')
+                   .select('a', F.col('mb').alias('b'),
+                           'jaccard_x10000'))
+
+    pairs = (wb_pairs
+             .withColumn('vs_state', F.lit(0).cast('int'))
+             .unionByName(cross_pairs
+                          .withColumn('vs_state',
+                                      F.lit(1).cast('int'))))
+
+    dropped = (wb_rep_pairs.select(F.col('b').alias('doc_id'))
+               .unionByName(cross_rep_pairs
+                            .select(F.col('b').alias('doc_id')))
+               .distinct())
+    new_state = state.unionByName(
+        new_rows.join(dropped, 'doc_id', 'left_anti'))
+    return pairs, new_state
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
