@@ -543,6 +543,25 @@ def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir))
 
 
+def q_ann_query_topk(spark, sf_dir) -> DataFrame:
+    """Cross-table retrieval: the first 10 odd vec_ids as the query
+    batch against the even half as the corpus — queries broadcast,
+    corpus never shuffles (similarity.query_topk)."""
+    from yargy_spark.operators.similarity import query_topk
+    emb = _emb(spark, sf_dir)
+    return query_topk(
+        emb.where((F.col('vec_id') % 2 == 1) & (F.col('vec_id') < 20)),
+        emb.where(F.col('vec_id') % 2 == 0))
+
+
+def q_paragraph_dedup(spark, sf_dir) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (RefinedWeb-style
+    boilerplate pass): duplicated lines keep one occurrence at the
+    lowest (doc_id, pos); rows carry the rewritten text + counts."""
+    from yargy_spark.operators.dedup import paragraph_dedup
+    return paragraph_dedup(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.textstats import lang_id
     return lang_id(_docs(spark, sf_dir))
@@ -880,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mixture_re_tokens': q_mixture_re_tokens,
         'multimodal_decode': q_multimodal_decode,
         'dedup_incremental': q_dedup_incremental,
+        'paragraph_dedup': q_paragraph_dedup,
+        'ann_query_topk': q_ann_query_topk,
         # -- previously-gated, unchanged
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
@@ -1701,7 +1722,7 @@ WITH toks AS (
 per_bit AS (
   SELECT doc_id, bit,
          sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
   GROUP BY doc_id, bit)
 SELECT doc_id,
        -- CAST: DuckDB sum(BIGINT) widens to HUGEINT; Spark emits LONG
@@ -1753,7 +1774,7 @@ WITH {df},
   per_bit AS (
     SELECT doc_id, bit,
            sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit)
     GROUP BY doc_id, bit),
   sig AS (
     SELECT doc_id,
@@ -1762,7 +1783,7 @@ WITH {df},
     FROM per_bit GROUP BY doc_id),
   bands AS (
     SELECT doc_id, simhash, bb AS band,
-           (simhash >> (8 * bb)) & 255 AS key
+           (simhash >> (15 * bb)) & 32767 AS key
     FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb)),
   cand AS (
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
@@ -1824,6 +1845,61 @@ SELECT query_id, neighbor_id,
        CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
        cos_x10000
 FROM ranked WHERE rank <= 5
+"""
+
+    oracles['ann_query_topk'] = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(floor(10000.0 * list_cosine_similarity(
+             q.embedding, c.embedding)) AS BIGINT) AS cos_x10000
+  FROM embeddings q JOIN embeddings c ON c.vec_id % 2 = 0
+  WHERE q.vec_id % 2 = 1 AND q.vec_id < 20),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_x10000 DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id,
+       CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
+       cos_x10000
+FROM ranked WHERE rank <= 5
+"""
+
+    # paragraph dedup: the keeper election replays the integer slot
+    # min over the SAME normalized-line (hash, text) key; string_agg
+    # skips the NULL (dropped) lines and reassembles in pos order
+    oracles['paragraph_dedup'] = r"""
+WITH la AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, arr[i] AS line,
+         regexp_replace(trim(lower(arr[i])), '\s+', ' ', 'g')
+           AS keynorm,
+         doc_id * 1048576 + (i - 1) AS slot
+  FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM la)
+  WHERE length(trim(arr[i])) > 0),
+keep AS (
+  SELECT ('0x' || substr(md5(keynorm), 1, 15))::int64 AS kh, keynorm,
+         min(slot) AS keeper
+  FROM occ GROUP BY 1, 2),
+fl AS (
+  SELECT o.doc_id, o.pos, o.line,
+         CASE WHEN o.slot = k.keeper THEN 1 ELSE 0 END AS kept
+  FROM occ o JOIN keep k
+    ON ('0x' || substr(md5(o.keynorm), 1, 15))::int64 = k.kh
+   AND o.keynorm = k.keynorm),
+pd AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN kept = 1 THEN line END, chr(10)
+                    ORDER BY pos) AS clean_text,
+         CAST(sum(kept) AS BIGINT) AS n_kept,
+         CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+  FROM fl GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.clean_text, '') AS clean_text,
+       coalesce(pd.n_kept, 0) AS n_kept,
+       coalesce(pd.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
     oracles['ann_ivf_topk'] = """

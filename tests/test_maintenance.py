@@ -171,3 +171,75 @@ def test_prep_bucket_granular_resume(spark, tmp_path):
                           'n_tokens').collect()}
     assert got == want
     packed.unpersist()
+
+
+def test_dedup_increment_job_chain(spark, tmp_path):
+    """pipeline.run_dedup_increment: commits pairs + rolled state,
+    noops on unchanged (base state, batch), re-derives on a CHANGED
+    batch, chains day-2 off day-1's root, and refuses base==out."""
+    import pytest
+    from pyspark.sql import functions as F
+    from yargy_spark.operators.dedup import minhash_state
+    from yargy_spark.pipeline import run_dedup_increment
+    from yargy_spark.sources import manifest as mf
+
+    base = str(tmp_path / 'base')
+    day1 = str(tmp_path / 'day1')
+    day2 = str(tmp_path / 'day2')
+    texts = {
+        1: 'the quick brown fox jumps over the lazy dog near the bank',
+        2: 'completely different words about spark clusters shuffling '
+           'partitions everywhere constantly',
+    }
+    docs0 = spark.createDataFrame(list(texts.items()),
+                                  'doc_id long, text string')
+    mf.commit_replace(
+        mf.with_bucket(minhash_state(docs0), 4, key='doc_id'),
+        base + '/minhash_state', note='minhash_state', n_buckets=4)
+
+    batch1 = spark.createDataFrame(
+        [(10, texts[1]), (11, 'fresh prose on morphology grammars '
+                              'parsers and knowledge graph triples')],
+        'doc_id long, text string')
+    snap = run_dedup_increment(spark, batch1, base, day1, n_buckets=4)
+    assert snap is not None
+    pairs = {(r['a'], r['b'], r['vs_state']) for r in
+             mf.read_table(spark, day1 + '/dup_pairs').collect()}
+    assert pairs == {(1, 10, 1)}
+    state1 = {r['doc_id'] for r in
+              mf.read_table(spark, day1 + '/minhash_state').collect()}
+    assert state1 == {1, 2, 11}
+
+    # rerun: noop (same base snapshot, same batch stamp)
+    assert run_dedup_increment(spark, batch1, base, day1,
+                               n_buckets=4) is None
+    # changed batch at the same root: re-derives
+    batch1b = batch1.unionByName(spark.createDataFrame(
+        [(12, texts[2])], 'doc_id long, text string'))
+    snap_b = run_dedup_increment(spark, batch1b, base, day1,
+                                 n_buckets=4)
+    assert snap_b is not None
+    assert {(r['a'], r['b'], r['vs_state']) for r in
+            mf.read_table(spark, day1 + '/dup_pairs').collect()} \
+        == {(1, 10, 1), (2, 12, 1)}
+
+    # day 2 chains off day 1's rolled state: doc 11 (a day-1
+    # survivor, absent from the base) is only reachable through it
+    batch2 = spark.createDataFrame(
+        [(20, 'fresh prose on morphology grammars parsers and '
+              'knowledge graph triples')],
+        'doc_id long, text string')
+    snap2 = run_dedup_increment(spark, batch2, day1, day2,
+                                n_buckets=4)
+    assert snap2 is not None
+    assert {(r['a'], r['b'], r['vs_state']) for r in
+            mf.read_table(spark, day2 + '/dup_pairs').collect()} \
+        == {(11, 20, 1)}
+
+    with pytest.raises(ValueError):
+        run_dedup_increment(spark, batch2, day1, day1, n_buckets=4)
+    with pytest.raises(ValueError):   # absent base state
+        run_dedup_increment(spark, batch2, str(tmp_path / 'nowhere'),
+                            day2, n_buckets=4)
+    with pytest.raises(ValueError):   # n_buckets drift guard
+        run_dedup_increment(spark, batch2, day1, day2, n_buckets=8)

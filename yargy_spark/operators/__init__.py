@@ -15,7 +15,7 @@ from .dedup import (clean_corpus, decontaminate,  # noqa: F401
                     dedup_increment, exact_dedup,
                     embedding_dup_pairs, minhash_lsh_pairs,
                     minhash_signatures, minhash_state,
-                    ngram_jaccard_pairs,
+                    ngram_jaccard_pairs, paragraph_dedup,
                     simhash_docs, word_shingles)
 from .sampling import (hash_split,               # noqa: F401
                        mixture_epochs, mixture_sample,
@@ -23,7 +23,8 @@ from .sampling import (hash_split,               # noqa: F401
                        temperature_weights)
 from .packing import (context_windows,           # noqa: F401
                       materialize_sequences, pack_sequences)
-from .similarity import cosine_topk, ivf_topk    # noqa: F401
+from .similarity import (cosine_topk, ivf_topk,  # noqa: F401
+                         query_topk)
 from .textstats import (corpus_vocabulary,       # noqa: F401
                         doc_fingerprints, filter_corpus, lang_id,
                         pii_scrub, quality_scores, re_token_count,

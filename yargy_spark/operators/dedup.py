@@ -7,7 +7,7 @@ Five dedup families, all expressed with built-in Spark SQL functions
   * n-gram Jaccard  — word-shingle set-similarity join (exact baseline)
   * MinHash + LSH   — shingle -> K minhashes -> banded buckets ->
                       candidate pairs -> exact-Jaccard verify
-  * SimHash         — 32-bit sign-aggregated token hash + Hamming pairs
+  * SimHash         — 60-bit sign-aggregated token hash + Hamming pairs
   * embedding       — cosine near-duplicate pairs (see similarity.py
                       for the ANN scale path)
 
@@ -248,9 +248,43 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     rare = sh.join(df_counts.where(F.col('df') <= max_df), 'shingle')
     left = rare.select(F.col('doc_id').alias('a'), 'shingle')
     right = rare.select(F.col('doc_id').alias('b'), 'shingle')
-    cands = (left.join(right, 'shingle')
-             .where(F.col('a') < F.col('b'))
-             .select('a', 'b').distinct())
+    # count-filter (round 4): the shingle equi-join's output was
+    # already being shuffled once for .distinct(); aggregating it to
+    # per-pair shared-rare-shingle COUNTS instead costs the same
+    # shuffle but yields a PROVABLY SAFE upper bound on Jaccard —
+    # inter <= cnt + min(nonrare_a, nonrare_b) (a pair can share at
+    # most every df-pruned shingle of its smaller side), so pairs
+    # whose bound misses the threshold never reach the array verify.
+    # Full recall by construction; on shingle-dense corpora (templated
+    # synthetic text, boilerplate) this cuts the verify join from
+    # ~half of all pairs to ~the true pairs (measured 37 s -> ~8 s at
+    # sf0.1).
+    cnt = (left.join(right, 'shingle')
+           .where(F.col('a') < F.col('b'))
+           .groupBy('a', 'b')
+           .agg(F.count('*').alias('cnt')))
+    sizes = (sh.groupBy('doc_id')
+             .agg(F.count('*').alias('sz'))
+             .join(rare.groupBy('doc_id')
+                   .agg(F.count('*').alias('rare_sz')), 'doc_id')
+             .select('doc_id', 'sz',
+                     (F.col('sz') - F.col('rare_sz')).alias('nr')))
+    # sizes is rep-bounded (one skinny row per doc) but still
+    # corpus-scale — equi-join and let AQE broadcast when it fits
+    ub = F.col('cnt') + F.least('nr_a', 'nr_b')
+    cands = (cnt
+             .join(sizes.select(
+                 F.col('doc_id').alias('a'),
+                 F.col('sz').alias('sz_a'), F.col('nr').alias('nr_a')),
+                 'a')
+             .join(sizes.select(
+                 F.col('doc_id').alias('b'),
+                 F.col('sz').alias('sz_b'), F.col('nr').alias('nr_b')),
+                 'b')
+             .where(F.floor(F.lit(10000.0) * ub
+                            / (F.col('sz_a') + F.col('sz_b') - ub))
+                    >= threshold_x10000)
+             .select('a', 'b'))
     pairs = _pair_jaccard(sh, cands)
     rep_pairs = (pairs
                  .where(F.col('jaccard_x10000') >= threshold_x10000)
@@ -459,6 +493,62 @@ def dedup_increment(new_docs: DataFrame, state: DataFrame,
     return pairs, new_state
 
 
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the
+    RefinedWeb/CCNet-style boilerplate pass): every non-empty line
+    whose NORMALIZED form occurs anywhere else in the corpus keeps
+    exactly ONE occurrence — the lowest (doc_id, pos) — and is
+    dropped everywhere else (including within-document repeats).
+    Returns ``(doc_id, clean_text, n_kept, n_dropped)`` with the
+    surviving lines rejoined in original order; every input doc_id
+    keeps a row (empty ``clean_text`` when nothing survives).
+
+    Shape: posexplode -> one corpus-wide groupBy on the normalized
+    line's (60-bit hash, text) — the same birthday-collision guard
+    as ``exact_dedup`` — -> keeper join -> per-doc reassembly.  Three
+    balanced Exchanges (line hash, line hash, doc_id), no windows, no
+    UDFs.  The keeper slot packs (doc_id, pos) as
+    ``doc_id * 2^20 + pos`` so both engines elect it with a plain
+    integer min — documents are assumed < 2^20 lines (quality-gate
+    upstream; 10^6-line docs are not prose)."""
+    lines = docs.select(
+        'doc_id',
+        F.posexplode(F.split(F.col('text'), '\n'))
+        .alias('pos', 'line'))
+    occ = (lines
+           .where(F.length(F.trim(F.col('line'))) > 0)
+           .select('doc_id', 'pos', 'line',
+                   _norm_text(F.col('line')).alias('keynorm'),
+                   (F.col('doc_id') * F.lit(1048576) + F.col('pos'))
+                   .alias('slot'))
+           .withColumn('kh', md5_int(F.col('keynorm'))))
+    keep = (occ.groupBy('kh', 'keynorm')
+            .agg(F.min('slot').alias('keeper')))
+    flagged = (occ.join(keep, ['kh', 'keynorm'])
+               .select('doc_id', 'pos', 'line',
+                       (F.col('slot') == F.col('keeper'))
+                       .cast('int').alias('kept')))
+    per_doc = (flagged.groupBy('doc_id')
+               .agg(F.array_join(
+                       F.transform(
+                           F.sort_array(F.collect_list(
+                               F.when(F.col('kept') == 1,
+                                      F.struct('pos', 'line')))),
+                           lambda s: s['line']), '\n')
+                    .alias('clean_text'),
+                    F.sum('kept').cast('long').alias('n_kept'),
+                    (F.count('*') - F.sum('kept')).cast('long')
+                    .alias('n_dropped')))
+    return (docs.select('doc_id').join(per_doc, 'doc_id', 'left')
+            .select('doc_id',
+                    F.coalesce('clean_text', F.lit(''))
+                    .alias('clean_text'),
+                    F.coalesce('n_kept', F.lit(0).cast('long'))
+                    .alias('n_kept'),
+                    F.coalesce('n_dropped', F.lit(0).cast('long'))
+                    .alias('n_dropped')))
+
+
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
                   k: int = 3, min_hits: int = 1) -> DataFrame:
     """Eval-set decontamination: which training documents share
@@ -548,8 +638,12 @@ def clean_corpus(docs: DataFrame,
             .select(*out_cols))
 
 
-def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document over word tokens.
+def simhash_docs(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document over word tokens (the full width
+    of the portable 60-bit md5 token hash; round 4 widened from 32 —
+    with 4-band blocking the band key space grows 256 -> 32768, the
+    difference between quadratic bucket blowup and usable selectivity
+    at corpus scale).
 
     All ``bits`` vote sums run in ONE wide aggregation with literal
     shift amounts (map-side partial agg), so the shuffle carries
@@ -574,7 +668,7 @@ def simhash_docs(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 3,
-                      bits: int = 32, n_bands: int = 4,
+                      bits: int = 60, n_bands: int = 4,
                       expand_groups: bool = True) -> DataFrame:
     """SimHash near-duplicate pairs (a < b, hamming <= max_hamming).
 

@@ -141,6 +141,35 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
             .select('query_id', 'neighbor_id', 'rank', 'cos_x10000'))
 
 
+def query_topk(queries: DataFrame, corpus: DataFrame,
+               k: int = 5) -> DataFrame:
+    """Cross-table brute-force cosine top-k — the RETRIEVAL shape (a
+    query batch against an indexed corpus), vs ``cosine_topk``'s
+    self-join.  Returns (query_id, neighbor_id, rank, cos_x10000).
+
+    Scale shape: the query side is batch-sized by definition, so it
+    is BROADCAST and the corpus never shuffles — the scan streams
+    through one BroadcastNestedLoopJoin + the Arrow cosine UDF; the
+    only exchange is the per-query top-k window, whose input
+    WindowGroupLimit caps map-side at k rows per (partition, query).
+    For corpus-side pre-filtering at 100 TB, assign the corpus to IVF
+    cells once (``ivf_assign``) and filter to the queries' probe
+    cells before calling this."""
+    q = queries.select(F.col('vec_id').alias('query_id'),
+                       F.col('embedding').alias('qv'))
+    c = corpus.select(F.col('vec_id').alias('neighbor_id'),
+                      F.col('embedding').alias('cv'))
+    scored = (F.broadcast(q).crossJoin(c)
+              .select('query_id', 'neighbor_id',
+                      cosine_x10000_np(F.col('qv'), F.col('cv'))
+                      .alias('cos_x10000')))
+    w = Window.partitionBy('query_id').orderBy(
+        F.desc('cos_x10000'), F.asc('neighbor_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+            .where(F.col('rank') <= k)
+            .select('query_id', 'neighbor_id', 'rank', 'cos_x10000'))
+
+
 def _seed_centroids(embeddings: DataFrame,
                     n_centroids: int) -> DataFrame:
     """Hash-sampled seed centroids: the ``n_centroids`` vectors with

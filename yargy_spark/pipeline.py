@@ -399,3 +399,84 @@ def run_apply_merges(spark: SparkSession, inc_root: str,
     finally:
         mapping.unpersist()
     return snap
+
+
+def run_dedup_increment(spark: SparkSession, new_docs: DataFrame,
+                        base_root: str, out_root: str,
+                        n_buckets: int = 8) -> Optional[dict]:
+    """The incremental DEDUP job: check a new document batch against
+    the ``minhash_state`` committed by jobs/run_dedup.py (or a prior
+    increment) via ``dedup_increment`` — the dedup mirror of
+    ``run_incremental``'s bounded-staleness contract.  Historical
+    text never enters the plan; only the rep-bounded state table
+    does.
+
+    Commits to ``<out_root>``:
+
+    * ``dup_pairs`` — (a, b, jaccard_x10000, vs_state): vs_state=1
+      pairs a state doc with a batch doc, vs_state=0 is the batch's
+      internal ``minhash_lsh_pairs`` semantics.
+    * ``minhash_state`` — the prior state rolled forward with the
+      batch's surviving representatives; the NEXT increment chains
+      off ``out_root`` (daily cadence: base -> day1 -> day2 ...),
+      and a monthly full jobs/run_dedup.py run compacts the
+      documented pruned-survivor drift.
+
+    The noop gate keys on the LAST commit (minhash_state) and on
+    BOTH the base state snapshot and a deterministic batch content
+    stamp, so a rerun is a noop only while base state and batch are
+    unchanged; a crash between the two commits re-derives everything
+    on rerun (run_apply_merges' crash-ordering discipline)."""
+    from .operators.dedup import dedup_increment
+    if out_root == base_root:
+        raise ValueError(
+            'dedup increment out_root must differ from base_root — '
+            'each increment batch is its own state root the next '
+            'batch chains from')
+    s_base = f'{base_root}/minhash_state'
+    state_snap = mf.current_snapshot(s_base)
+    if state_snap is None:
+        raise ValueError(
+            'no minhash_state at %s — build the base with '
+            'jobs/run_dedup.py first' % s_base)
+    s_out = f'{out_root}/minhash_state'
+    p_root = f'{out_root}/dup_pairs'
+    mf.check_n_buckets(s_out, n_buckets)
+
+    # batch content stamp: one aggregation over the increment (which
+    # is batch-sized by definition) — a changed batch re-derives even
+    # when the base state snapshot is unchanged
+    row = new_docs.agg(F.count('*').alias('n'),
+                       F.sum('doc_id').alias('s'),
+                       F.max('doc_id').alias('m')).collect()[0]
+    batch_stamp = '%s:%s:%s' % (row['n'], row['s'], row['m'])
+    last = _last_replace(s_out)
+    if last and last.get('source_snapshot') == state_snap and \
+            last.get('counters', {}).get('batch_stamp') == batch_stamp:
+        return None  # base state AND batch both unchanged
+
+    t0 = time.time()
+    state = (mf.read_table(spark, s_base)
+             .select('doc_id', 'sig', 'shs', 'sz'))
+    pairs, new_state = dedup_increment(new_docs, state)
+    pairs = pairs.persist()
+    try:
+        stamp = {'source_snapshot': state_snap, 'n_buckets': n_buckets}
+        counters = {
+            'batch_stamp': batch_stamp,
+            'docs_in': int(row['n']),
+            'pairs': pairs.count(),
+            'vs_state_pairs': pairs.where(
+                F.col('vs_state') == 1).count(),
+            'wall_sec': None,
+        }
+        mf.commit_replace(
+            mf.with_bucket(pairs, n_buckets, key='b'), p_root,
+            note='dup_pairs', counters=counters, **stamp)
+        counters['wall_sec'] = round(time.time() - t0, 3)
+        snap = mf.commit_replace(
+            mf.with_bucket(new_state, n_buckets, key='doc_id'),
+            s_out, note='minhash_state', counters=counters, **stamp)
+    finally:
+        pairs.unpersist()
+    return snap
