@@ -554,6 +554,20 @@ def q_ann_query_topk(spark, sf_dir) -> DataFrame:
         emb.where(F.col('vec_id') % 2 == 0))
 
 
+def q_dup_spans(spark, sf_dir) -> DataFrame:
+    """Span-level duplication (exact-substring-dedup proxy): corpus
+    frequency of positional 8-gram occurrences (dedup.dup_span_scores)."""
+    from yargy_spark.operators.dedup import dup_span_scores
+    return dup_span_scores(_docs(spark, sf_dir))
+
+
+def q_rare_tokens(spark, sf_dir) -> DataFrame:
+    """Corpus-relative rare-token ratio (textstats.rare_token_scores)
+    — the integer-safe stand-in for an LM perplexity quality filter."""
+    from yargy_spark.operators.textstats import rare_token_scores
+    return rare_token_scores(_docs(spark, sf_dir))
+
+
 def q_paragraph_dedup(spark, sf_dir) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (RefinedWeb-style
     boilerplate pass): duplicated lines keep one occurrence at the
@@ -901,6 +915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
+        'dup_spans': q_dup_spans,
+        'rare_tokens': q_rare_tokens,
+        # simhash re-oracled at 60 bits this round -> stays in-window
+        'simhash_docs': q_simhash_docs,
         # -- previously-gated, unchanged
         'events_asof_bucketed': q_events_asof_bucketed,
         'transcripts_tool_stats': q_transcripts_tool_stats,
@@ -915,8 +933,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'repetition_scores': q_repetition_scores,
         'corpus_vocabulary': q_corpus_vocabulary,
         'top_ngrams': q_top_ngrams,
-        'multimodal_meta': q_multimodal_meta,
-        'doc_splits': q_doc_splits,
         'lang_balanced_sample': q_lang_balanced_sample,
         'source_reservoir': q_source_reservoir,
         'decontam_pairs': q_decontam_pairs,
@@ -932,7 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_asof': q_events_asof,
         'embedding_dup_exact': q_embedding_dup_exact,
         'ann_cosine_topk': q_ann_cosine_topk,
-        'simhash_docs': q_simhash_docs,
+        'multimodal_meta': q_multimodal_meta,
+        'doc_splits': q_doc_splits,
         'lang_id': q_lang_id,
         'quality_scores': q_quality_scores,
         'token_counts': q_token_counts,
@@ -1863,6 +1880,56 @@ SELECT query_id, neighbor_id,
        CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
        cos_x10000
 FROM ranked WHERE rank <= 5
+"""
+
+    # span-level duplication: positional 8-gram occurrences (NOT
+    # per-doc distinct), counted corpus-wide on the exact gram string
+    oracles['dup_spans'] = r"""
+WITH w AS (
+  SELECT doc_id, string_split({norm}, ' ') AS wa FROM documents),
+occ AS (
+  SELECT doc_id, array_to_string(list_slice(wa, i, i + 7), ' ') AS gram
+  FROM (SELECT doc_id, wa, unnest(generate_series(1, len(wa) - 7)) AS i
+        FROM w WHERE len(wa) >= 8)),
+counts AS (SELECT gram, count(*) AS n FROM occ GROUP BY gram),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams
+  FROM occ JOIN counts USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_grams, 0) AS n_grams,
+       coalesce(pd.n_dup_grams, 0) AS n_dup_grams,
+       CAST(floor(10000.0 * coalesce(pd.n_dup_grams, 0)
+                  / greatest(coalesce(pd.n_grams, 0), 1))
+            AS BIGINT) AS dup_gram_ratio_x10000
+FROM documents d LEFT JOIN pd USING (doc_id)
+""".format(norm=_NORM)
+
+    # rare-token ratio: corpus DOCUMENT frequency (distinct doc per
+    # token) joined back to the full occurrence stream
+    oracles['rare_tokens'] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS wa
+  FROM documents WHERE length(trim(lower(text))) > 0),
+occ AS (SELECT doc_id, unnest(wa) AS tok FROM w),
+dfreq AS (
+  SELECT tok, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(wa) AS tok FROM w))
+  GROUP BY tok),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare
+  FROM occ JOIN dfreq USING (tok) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0) AS n_tokens,
+       coalesce(pd.n_rare, 0) AS n_rare,
+       CAST(floor(10000.0 * coalesce(pd.n_rare, 0)
+                  / greatest(coalesce(pd.n_tokens, 0), 1))
+            AS BIGINT) AS rare_ratio_x10000
+FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
     # paragraph dedup: the keeper election replays the integer slot

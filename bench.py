@@ -98,7 +98,9 @@ def main():
               'repetition_scores', 'pii_scrub', 'context_windows',
               # round-4: state-table/materialization/codec family
               'dedup_incremental', 'materialize_sequences',
-              'kg_merge_apply', 'multimodal_decode']:
+              'kg_merge_apply', 'multimodal_decode',
+              'paragraph_dedup', 'ann_query_topk',
+              'dup_spans', 'rare_tokens']:
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 

@@ -141,6 +141,45 @@ def test_query_topk_matches_self_join(spark, emb):
     assert self_join  # the self-join set itself is non-trivial
 
 
+def test_dup_spans_and_rare_tokens(spark):
+    """dup_span_scores: positional 8-gram occurrences count — a doc
+    repeating its own 8-gram flags without any other doc; short docs
+    score 0/0/0.  rare_token_scores: document frequency decides
+    rarity (within-doc repeats don't inflate df)."""
+    from yargy_spark.operators.dedup import dup_span_scores
+    from yargy_spark.operators.textstats import rare_token_scores
+    eight = 'w1 w2 w3 w4 w5 w6 w7 w8'
+    rows = [
+        (1, eight),                        # one gram, shared with 2
+        (2, eight + ' tail'),              # grams: [eight, w2..tail]
+        (3, eight + ' ' + eight),          # self-repeat inside one doc
+        (4, 'too short'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: (r['n_grams'], r['n_dup_grams'],
+                         r['dup_gram_ratio_x10000'])
+           for r in dup_span_scores(df).collect()}
+    assert got[4] == (0, 0, 0)
+    assert got[1] == (1, 1, 10000)         # duplicated in docs 2, 3
+    assert got[2][0] == 2 and got[2][1] >= 1
+    # doc 3: 9 grams; 'w1..w8' occurs at pos 1 and 9 -> both flagged
+    assert got[3][0] == 9 and got[3][1] >= 2
+
+    rt = {r['doc_id']: (r['n_tokens'], r['n_rare'])
+          for r in rare_token_scores(spark.createDataFrame(
+              [(1, 'common common unique'),
+               (2, 'common other'),
+               (3, 'common третий'),
+               (4, '')],
+              'doc_id long, text string'), rare_df=1).collect()}
+    # 'common' df=3 (within-doc repeat doesn't inflate df);
+    # 'unique'/'other'/'третий' df=1 -> rare
+    assert rt[1] == (3, 1)
+    assert rt[2] == (2, 1)
+    assert rt[3] == (2, 1)
+    assert rt[4] == (0, 0)
+
+
 def test_simhash_stability(spark, docs):
     from yargy_spark.operators.dedup import simhash_docs
     a = {(r['doc_id'], r['simhash'])

@@ -15,6 +15,7 @@ from .dedup import (clean_corpus, decontaminate,  # noqa: F401
                     dedup_increment, exact_dedup,
                     embedding_dup_pairs, minhash_lsh_pairs,
                     minhash_signatures, minhash_state,
+                    dup_span_scores,
                     ngram_jaccard_pairs, paragraph_dedup,
                     simhash_docs, word_shingles)
 from .sampling import (hash_split,               # noqa: F401
@@ -28,6 +29,7 @@ from .similarity import (cosine_topk, ivf_topk,  # noqa: F401
 from .textstats import (corpus_vocabulary,       # noqa: F401
                         doc_fingerprints, filter_corpus, lang_id,
                         pii_scrub, quality_scores, re_token_count,
+                        rare_token_scores,
                         repetition_scores, token_counts, top_ngrams,
                         ws_token_count)
 from .multimodal import (decode_image,           # noqa: F401

@@ -549,6 +549,53 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
                     .alias('n_dropped')))
 
 
+def dup_span_scores(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Span-level duplication scores — the distributed proxy for
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": suffix-array substring dedup,
+    re-expressed as corpus-frequency of positional word ``k``-grams,
+    the shape that actually distributes).  A k-gram OCCURRENCE (not
+    per-doc distinct — positions matter) that appears more than once
+    anywhere in the corpus, including elsewhere in the same document,
+    is a duplicated span.
+
+    Returns ``(doc_id, n_grams, n_dup_grams, dup_gram_ratio_x10000)``
+    for every input doc (docs under ``k`` words score 0/0/0).
+
+    Shape: map-side gram explode -> one corpus-wide groupBy on the
+    gram (exact string key — no hash-collision false dups) -> join
+    back -> per-doc agg; three balanced Exchanges, no windows, no
+    UDFs, integers only.  Compose with ``repetition_scores`` (within-
+    doc) and ``minhash_lsh_pairs`` (whole-doc) for the full dedup
+    ladder."""
+    arr = F.split(_norm_text(F.col('text')), ' ')
+    grams = F.expr(
+        "CASE WHEN size(words) >= {k} THEN "
+        "transform(sequence(1, size(words) - {k} + 1), "
+        "i -> concat_ws(' ', slice(words, i, {k}))) "
+        "ELSE array() END".format(k=k))
+    occ = (docs
+           .select('doc_id', arr.alias('words'))
+           .select('doc_id', F.explode(grams).alias('gram')))
+    counts = occ.groupBy('gram').agg(F.count('*').alias('n'))
+    per_doc = (occ.join(counts, 'gram')
+               .groupBy('doc_id')
+               .agg(F.count('*').alias('n_grams'),
+                    F.sum((F.col('n') > 1).cast('long'))
+                    .alias('n_dup_grams')))
+    return (docs.select('doc_id').join(per_doc, 'doc_id', 'left')
+            .select('doc_id',
+                    F.coalesce('n_grams', F.lit(0).cast('long'))
+                    .alias('n_grams'),
+                    F.coalesce('n_dup_grams', F.lit(0).cast('long'))
+                    .alias('n_dup_grams'))
+            .withColumn('dup_gram_ratio_x10000',
+                        F.floor(F.lit(10000.0) * F.col('n_dup_grams')
+                                / F.greatest(F.col('n_grams'),
+                                             F.lit(1)))
+                        .cast('long')))
+
+
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
                   k: int = 3, min_hits: int = 1) -> DataFrame:
     """Eval-set decontamination: which training documents share

@@ -351,6 +351,53 @@ def corpus_vocabulary(df: DataFrame,
             .distinct())
 
 
+def rare_token_scores(docs: DataFrame,
+                      rare_df: int = 2) -> DataFrame:
+    """Corpus-relative rare-token quality signal: the share of a
+    document's whitespace tokens whose corpus DOCUMENT frequency is
+    ``<= rare_df`` — high ratios flag OCR garbage, random ids and
+    boilerplate-free noise that per-document features
+    (``quality_scores``) cannot see, the integer-safe stand-in for a
+    CCNet-style LM perplexity filter (no float logprobs, so the
+    cross-engine value hash is exact).
+
+    Returns ``(doc_id, n_tokens, n_rare, rare_ratio_x10000)`` for
+    every input doc.
+
+    Shape: per-doc DISTINCT tokens dedup map-side (array_distinct
+    before the explode, ``word_shingles``'s trick) -> one corpus-wide
+    df groupBy (vocabulary-bounded output) -> join the full
+    occurrence stream -> per-doc agg; three Exchanges, integers
+    only."""
+    arr = F.split(F.trim(F.lower(F.col('text'))), r'\s+')
+    norm = docs.select(
+        'doc_id',
+        F.when(F.length(F.trim(F.lower(F.col('text')))) == 0,
+               F.array().cast('array<string>'))
+        .otherwise(arr).alias('words'))
+    occ = norm.select('doc_id', F.explode('words').alias('w'))
+    dfreq = (norm
+             .select('doc_id',
+                     F.explode(F.array_distinct('words')).alias('w'))
+             .groupBy('w').agg(F.count('*').alias('df')))
+    per_doc = (occ.join(dfreq, 'w')
+               .groupBy('doc_id')
+               .agg(F.count('*').alias('n_tokens'),
+                    F.sum((F.col('df') <= rare_df).cast('long'))
+                    .alias('n_rare')))
+    return (docs.select('doc_id').join(per_doc, 'doc_id', 'left')
+            .select('doc_id',
+                    F.coalesce('n_tokens', F.lit(0).cast('long'))
+                    .alias('n_tokens'),
+                    F.coalesce('n_rare', F.lit(0).cast('long'))
+                    .alias('n_rare'))
+            .withColumn('rare_ratio_x10000',
+                        F.floor(F.lit(10000.0) * F.col('n_rare')
+                                / F.greatest(F.col('n_tokens'),
+                                             F.lit(1)))
+                        .cast('long')))
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 4,
                      k: int = 3) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` smallest distinct
