@@ -609,6 +609,11 @@ PII_ROWS = [
     (1000005, 'order 1234-5678 of 10 000 units; support '
               '555-123-4567 or 8 (916) 123-45-67'),
     (1000006, 'счёт на 250 000 000 рублей от 2025-12-31 досрочно'),
+    # pins the ONE in-pattern alternation overlap: the hyphen-grouped
+    # shape (full '123-456-7890-12') vs NANP ('123-456-7890' prefix)
+    # both match at the same offset — both engines must take the
+    # leftmost-FIRST (longer, earlier-listed) alternative
+    (1000007, 'ticket 123-456-7890-12 escalated; call 123-456-7890'),
 ]
 
 
@@ -938,10 +943,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
         'mixture_epochs': q_mixture_epochs,
+        # ---- entries below may fall past the driver's 50-query cap;
+        # ---- all were driver-gated hash-green in rounds 2-3 with
+        # ---- byte-identical default plans (pack_sequences /
+        # ---- training_batches gained an OPTIONAL token_expr whose
+        # ---- default is unchanged; the changed variant
+        # ---- mixture_re_tokens is in-window).  See BASELINE.md
+        # ---- "driver reporting window".
         'pack_sequences': q_pack_sequences,
         'training_batches': q_training_batches,
-        # ---- entries below may fall past the driver's 50-query cap;
-        # ---- all were driver-gated hash-green in rounds 2-3 unchanged.
         'exact_dedup': q_exact_dedup,
         'stream_dedup': q_stream_dedup,
         'stream_mention_rollup': q_stream_mention_rollup,

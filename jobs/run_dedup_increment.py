@@ -15,8 +15,10 @@ raises (each batch is its own state root).
 
 The default synthetic increment re-ids the odd-doc_id half of the
 base documents table by ``id_offset`` (disjoint ids, every doc an
-exact copy of a state doc — a deterministic worst-case dup batch).
-Swap in a real incremental source for production data.
+exact copy of a state doc — a deterministic worst-case dup batch);
+``id_offset`` defaults to past the base table's max doc_id rounded
+up to the next million, so the disjoint-id contract holds on any
+corpus.  Swap in a real incremental source for production data.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def main():
     docs_path = (sys.argv[3] if len(sys.argv) > 3
                  else '/root/testdata/sf0.001/documents.parquet')
     n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    id_offset = int(sys.argv[5]) if len(sys.argv) > 5 else 1_000_000
+    id_offset = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     spark = (SparkSession.builder
              .appName('yargy-spark-dedup-increment')
@@ -45,7 +47,15 @@ def main():
 
     from yargy_spark.pipeline import run_dedup_increment
 
-    new_docs = (spark.read.parquet(docs_path)
+    base_docs = spark.read.parquet(docs_path)
+    if id_offset is None:
+        # derive a collision-proof default: past the base table's max
+        # id, rounded up — a fixed literal would silently violate
+        # dedup_increment's disjoint-id contract on corpora whose ids
+        # exceed it (review finding)
+        max_id = base_docs.agg(F.max('doc_id')).collect()[0][0] or 0
+        id_offset = -(-(max_id + 1) // 1_000_000) * 1_000_000
+    new_docs = (base_docs
                 .where(F.col('doc_id') % 2 == 1)
                 .withColumn('doc_id', F.col('doc_id')
                             + F.lit(id_offset).cast('long'))

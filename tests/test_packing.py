@@ -200,3 +200,28 @@ def test_materialize_sequences_codegen_only(spark, docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert 'EvalPython' not in plan
     assert 'CartesianProduct' not in plan
+
+
+def test_materialize_sequences_custom_text_col(spark):
+    """Regression (review finding): the layout must count the SAME
+    column the writer slices — a custom text_col on a frame that
+    ALSO has a decoy 'text' column must budget from text_col, and a
+    frame with no 'text' column at all must work."""
+    from yargy_spark.operators.packing import materialize_sequences
+    rows = [(i, 'b%d one two three' % i, 'decoy') for i in range(20)]
+    df = spark.createDataFrame(rows,
+                               'doc_id long, body string, text string')
+    out = materialize_sequences(df, ctx_len=8, n_buckets=2,
+                                text_col='body').collect()
+    # 20 docs x 4 body-tokens = 80 tokens; nothing from 'decoy'
+    assert sum(r['n_tokens'] for r in out) == 80
+    assert all('decoy' not in r['seq_text'] for r in out)
+    assert all(r['n_tokens'] == 8 for r in out
+               if (r['bucket'], r['seq_id']) not in
+               {(r2['bucket'], max(r3['seq_id'] for r3 in out
+                                   if r3['bucket'] == r2['bucket']))
+                for r2 in out})
+    no_text = df.select('doc_id', 'body')
+    out2 = materialize_sequences(no_text, ctx_len=8, n_buckets=2,
+                                 text_col='body').collect()
+    assert sum(r['n_tokens'] for r in out2) == 80

@@ -184,7 +184,13 @@ def decode_stats(media: DataFrame) -> DataFrame:
     column and emit per-image stats.  Width/height/channels come from
     the decoded array (header parsing is exercised, not trusted
     metadata).  Map-only: Scan -> mapInPandas, zero Exchanges; the
-    per-batch work is O(bytes), Arrow moves the binary column once."""
+    per-batch work is O(bytes), Arrow moves the binary column once.
+
+    NULL payloads (failed fetches) are SKIPPED, same contract as
+    ``extract_features`` and the text UDFs — count them with an
+    anti-join of the input against the output (`media.join(stats,
+    'doc_id', 'left_anti')`); an un-decodable non-NULL payload still
+    raises (loud), only absence is silent."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -129,7 +129,13 @@ def materialize_sequences(docs: DataFrame, ctx_len: int = 512,
     flatten are all JVM codegen — no UDFs, no driver loops; output
     rows stream straight to the shard writer partitioned by
     ``bucket``."""
-    layout = pack_sequences(docs, ctx_len, key_col, n_buckets, salt)
+    # the layout MUST count the same column this writer slices —
+    # pack_sequences' default counter reads 'text', so thread
+    # text_col through explicitly (review finding: a custom text_col
+    # previously sliced one column against a layout derived from
+    # another)
+    layout = pack_sequences(docs, ctx_len, key_col, n_buckets, salt,
+                            token_expr=ws_token_count(F.col(text_col)))
     text = F.lower(F.col(text_col))
     toks = docs.select(key_col, F.split(F.trim(text), r'\s+')
                        .alias('_toks'))

@@ -252,10 +252,19 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
 
 # PII patterns kept to portable constructs (no lookarounds, no
 # backreferences, no word-boundary classes) so the Java-regex engine
-# (Spark) and RE2 (DuckDB) produce identical matches.  Within each
-# pattern the alternatives are start-disjoint (no position where two
-# alternatives both match), so Java's leftmost-FIRST and RE2's
-# leftmost-LONGEST alternation semantics cannot diverge.
+# (Spark) and RE2 (DuckDB) produce identical matches.  Alternation
+# parity rests on three facts, in order of strength: (1) the TWO
+# PASSES are start-disjoint — anchored matches begin with '+'/'(',
+# grouped matches begin with a digit — so pass order alone decides
+# overlaps between them; (2) DuckDB builds RE2 with longest_match
+# OFF, i.e. BOTH engines use Perl-style leftmost-first alternation
+# (the round-3 'RE2 is leftmost-longest' note was wrong — kept
+# working only because it never mattered); (3) within
+# PHONE_GROUPED_PATTERN alternatives CAN overlap at one position
+# ('123-456-7890-12' matches the hyphen-grouped shape fully and the
+# NANP shape as a prefix) — leftmost-first order with the longest
+# shape FIRST decides, and a crafted oracle row pins exactly that
+# case under the value hash.
 EMAIL_PATTERN = r'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'
 
 # Phone redaction is deliberately anchor-driven so formatted numbers
@@ -276,8 +285,10 @@ PHONE_GROUPED_PATTERN = (
     r'[0-9]{1,4}(?:-[0-9]{2,4}){3,5}'             # a-bbb-cc-dd(-ee)
     r'|[0-9]{3}-[0-9]{3}-[0-9]{4}'                # NANP 555-123-4567
     r'|[0-9]{9,}')                                # long bare digit run
-# retained for callers of the round-3 name; the scrub itself runs the
-# two passes above in order
+# the two passes the scrub runs, in order, exported for reuse.  The
+# round-3 single PHONE_PATTERN is deliberately GONE (it over-redacted
+# space-grouped money/IDs — VERDICT r3 #3); importers must pick a
+# pass, not a lookalike.
 PHONE_PATTERNS = (PHONE_ANCHORED_PATTERN, PHONE_GROUPED_PATTERN)
 
 

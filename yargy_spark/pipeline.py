@@ -427,7 +427,7 @@ def run_dedup_increment(spark: SparkSession, new_docs: DataFrame,
     stamp, so a rerun is a noop only while base state and batch are
     unchanged; a crash between the two commits re-derives everything
     on rerun (run_apply_merges' crash-ordering discipline)."""
-    from .operators.dedup import dedup_increment
+    from .operators.dedup import dedup_increment, md5_int
     if out_root == base_root:
         raise ValueError(
             'dedup increment out_root must differ from base_root — '
@@ -445,11 +445,19 @@ def run_dedup_increment(spark: SparkSession, new_docs: DataFrame,
 
     # batch content stamp: one aggregation over the increment (which
     # is batch-sized by definition) — a changed batch re-derives even
-    # when the base state snapshot is unchanged
+    # when the base state snapshot is unchanged.  The TEXT enters via
+    # an order-independent sum of 31-bit content hashes (review
+    # finding: an id-only stamp would noop past re-extracted text
+    # under unchanged doc_ids; hashes are reduced mod 2^31-1 BEFORE
+    # summing so ANSI sum cannot overflow below ~2^32-doc batches)
     row = new_docs.agg(F.count('*').alias('n'),
                        F.sum('doc_id').alias('s'),
-                       F.max('doc_id').alias('m')).collect()[0]
-    batch_stamp = '%s:%s:%s' % (row['n'], row['s'], row['m'])
+                       F.max('doc_id').alias('m'),
+                       F.sum(md5_int(F.col('text'))
+                             % F.lit(2_147_483_647)).alias('t')
+                       ).collect()[0]
+    batch_stamp = '%s:%s:%s:%s' % (row['n'], row['s'], row['m'],
+                                   row['t'])
     last = _last_replace(s_out)
     if last and last.get('source_snapshot') == state_snap and \
             last.get('counters', {}).get('batch_stamp') == batch_stamp:
