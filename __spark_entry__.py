@@ -568,6 +568,14 @@ def q_rare_tokens(spark, sf_dir) -> DataFrame:
     return rare_token_scores(_docs(spark, sf_dir))
 
 
+def q_remove_dup_spans(spark, sf_dir) -> DataFrame:
+    """Span-level dedup WRITER: corpus-duplicated 8-gram spans removed
+    keeping each gram's corpus-first occurrence; full rewritten text
+    under the value hash (dedup.remove_dup_spans)."""
+    from yargy_spark.operators.dedup import remove_dup_spans
+    return remove_dup_spans(_docs(spark, sf_dir))
+
+
 def q_paragraph_dedup(spark, sf_dir) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (RefinedWeb-style
     boilerplate pass): duplicated lines keep one occurrence at the
@@ -922,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_query_topk': q_ann_query_topk,
         'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
+        'remove_dup_spans': q_remove_dup_spans,
         # simhash re-oracled at 60 bits this round -> stays in-window
         'simhash_docs': q_simhash_docs,
         # -- previously-gated, unchanged
@@ -942,14 +951,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'source_reservoir': q_source_reservoir,
         'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
-        'mixture_epochs': q_mixture_epochs,
         # ---- entries below may fall past the driver's 50-query cap;
         # ---- all were driver-gated hash-green in rounds 2-3 with
-        # ---- byte-identical default plans (pack_sequences /
-        # ---- training_batches gained an OPTIONAL token_expr whose
-        # ---- default is unchanged; the changed variant
-        # ---- mixture_re_tokens is in-window).  See BASELINE.md
-        # ---- "driver reporting window".
+        # ---- byte-identical default plans (mixture_epochs /
+        # ---- pack_sequences / training_batches gained an OPTIONAL
+        # ---- token_expr whose default is unchanged; the changed
+        # ---- variant mixture_re_tokens is in-window).  See
+        # ---- BASELINE.md "driver reporting window".
+        'mixture_epochs': q_mixture_epochs,
         'pack_sequences': q_pack_sequences,
         'training_batches': q_training_batches,
         'exact_dedup': q_exact_dedup,
@@ -1914,6 +1923,48 @@ SELECT d.doc_id,
                   / greatest(coalesce(pd.n_grams, 0), 1))
             AS BIGINT) AS dup_gram_ratio_x10000
 FROM documents d LEFT JOIN pd USING (doc_id)
+""".format(norm=_NORM)
+
+    # span-removal writer: marks = positions covered by NON-keeper
+    # duplicated-gram occurrences (keeper = min slot, as in
+    # paragraph_dedup); kept tokens rejoin in position order
+    oracles['remove_dup_spans'] = r"""
+WITH w AS (
+  SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0
+                      THEN []::VARCHAR[]
+                      ELSE string_split({norm}, ' ') END AS wa
+  FROM documents),
+occ AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(wa, i, i + 7), ' ') AS gram,
+         doc_id * 1048576 + i AS slot
+  FROM (SELECT doc_id, wa, unnest(generate_series(1, len(wa) - 7)) AS i
+        FROM w WHERE len(wa) >= 8)),
+cnt AS (SELECT gram, count(*) AS n, min(slot) AS keeper
+        FROM occ GROUP BY gram),
+marks AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT o.doc_id, unnest(generate_series(o.i, o.i + 7)) AS p
+        FROM occ o JOIN cnt c USING (gram)
+        WHERE c.n > 1 AND o.slot != c.keeper)),
+toks AS (
+  SELECT doc_id, i, wa[i] AS tok
+  FROM (SELECT doc_id, wa, unnest(generate_series(1, len(wa))) AS i
+        FROM w)),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM toks t LEFT JOIN marks m ON m.doc_id = t.doc_id AND m.p = t.i
+  WHERE m.p IS NULL),
+pd AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(wa) AS BIGINT) AS n_tokens FROM w)
+SELECT t.doc_id,
+       coalesce(pd.clean_text, '') AS clean_text,
+       t.n_tokens,
+       t.n_tokens - coalesce(pd.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN pd USING (doc_id)
 """.format(norm=_NORM)
 
     # rare-token ratio: corpus DOCUMENT frequency (distinct doc per

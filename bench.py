@@ -100,7 +100,7 @@ def main():
               'dedup_incremental', 'materialize_sequences',
               'kg_merge_apply', 'multimodal_decode',
               'paragraph_dedup', 'ann_query_topk',
-              'dup_spans', 'rare_tokens']:
+              'dup_spans', 'rare_tokens', 'remove_dup_spans']:
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 

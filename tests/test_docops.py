@@ -180,6 +180,30 @@ def test_dup_spans_and_rare_tokens(spark):
     assert rt[4] == (0, 0)
 
 
+def test_remove_dup_spans_keep_first(spark):
+    """The corpus-first occurrence of a duplicated 8-gram survives;
+    later occurrences lose exactly the covered tokens; unique text
+    is untouched; empty docs stay empty rows."""
+    from yargy_spark.operators.dedup import remove_dup_spans
+    eight = 'w1 w2 w3 w4 w5 w6 w7 w8'
+    rows = [
+        (1, 'intro ' + eight + ' outro'),
+        (2, eight + ' unique tail here'),
+        (3, ''),
+        (4, 'totally unique words nothing shared at all right here'),
+    ]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {r['doc_id']: r for r in remove_dup_spans(df).collect()}
+    # doc 1 holds the keeper (slot 1*2^20+2 < 2*2^20+1): intact
+    assert got[1]['clean_text'] == 'intro ' + eight + ' outro'
+    assert got[1]['n_removed'] == 0
+    # doc 2 loses the 8 covered tokens, keeps its unique tail
+    assert got[2]['clean_text'] == 'unique tail here'
+    assert (got[2]['n_tokens'], got[2]['n_removed']) == (11, 8)
+    assert got[3]['clean_text'] == '' and got[3]['n_tokens'] == 0
+    assert got[4]['n_removed'] == 0
+
+
 def test_simhash_stability(spark, docs):
     from yargy_spark.operators.dedup import simhash_docs
     a = {(r['doc_id'], r['simhash'])

@@ -60,3 +60,41 @@ def test_tree_as_dot_person():
     assert 'label="gnc"' in src
     assert src == list(Parser(build_person()).findall(
         'управляющий директор Иван Ульянов'))[0].tree.as_dot.source
+
+
+def test_svg_rendering():
+    """Pure-Python SVG affordance (reference: graphviz _repr_svg_):
+    valid XML, one rect+label per node, one line per edge, dashed
+    relation edges, deterministic bytes, no graphviz needed."""
+    import xml.etree.ElementTree as ET
+    from yargy_spark.extractors import build_person
+
+    graph = build_person().as_dot
+    svg = graph.svg
+    assert svg == graph._repr_svg_() == build_person().as_dot.svg
+    root = ET.fromstring(svg)
+    ns = '{http://www.w3.org/2000/svg}'
+    rects = root.findall('%srect' % ns)
+    lines = root.findall('%sline' % ns)
+    texts = root.findall('%stext' % ns)
+    assert len(rects) == len(graph.nodes)
+    assert len(lines) >= len(graph.edges)   # + dashed labels are text
+    labels = ' '.join(t.text or '' for t in texts)
+    assert 'Interpretation(Person)' in labels
+    # interp nodes keep their green fill
+    assert any(r.get('fill') == '#dbdb8d' for r in rects)
+
+    # parse-tree SVG: dashed relation edges present
+    from yargy_spark import Parser
+    p = Parser(build_person())
+    m = next(iter(p.findall('управляющий директор Иван Ульянов')),
+             None)
+    assert m is not None
+    tsvg = m.tree.as_dot.svg
+    troot = ET.fromstring(tsvg)
+    dash = [ln for ln in troot.findall('%sline' % ns)
+            if ln.get('stroke-dasharray')]
+    assert dash, 'relation pairs render dashed'
+    tlabels = ' '.join(t.text or ''
+                       for t in troot.findall('%stext' % ns))
+    assert 'Иван' in tlabels and 'Ульянов' in tlabels

@@ -190,3 +190,62 @@ def test_connected_components_vs_union_find(spark):
         for r in rows:
             got.setdefault(r['component'], set()).add(r['node'])
         assert {frozenset(v) for v in got.values()} == expected
+
+
+def test_round4_plan_shapes(spark):
+    """Plan-shape guards for the round-4 operators (the claims in
+    SCALE.md/PLANS.md §12-13, asserted so refactors can't silently
+    regress them): decode path zero Exchanges; map-only banding after
+    the one state agg; no CartesianProduct anywhere in the dedup
+    increment; paragraph dedup has no window; query_topk's corpus
+    side joins via broadcast."""
+    import re
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def exchanges(p):
+        # count real shuffles only (ReusedExchange re-reads one)
+        return len(re.findall(r'(?<!Reused)Exchange ', p))
+
+    docs = spark.createDataFrame(
+        [(i, 'alpha beta gamma delta epsilon zeta eta theta '
+              'word%d tail' % i) for i in range(30)],
+        'doc_id long, text string')
+
+    from yargy_spark.operators.dedup import (_exact_groups, _sig_bands,
+                                             _state_rows,
+                                             dedup_increment,
+                                             minhash_state,
+                                             paragraph_dedup)
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_ppm_media)
+    from yargy_spark.operators.similarity import query_topk
+
+    p = plan(decode_stats(synth_ppm_media(docs)))
+    assert exchanges(p) == 0 and 'CartesianProduct' not in p
+
+    reps, _ = _exact_groups(docs)
+    p = plan(_sig_bands(_state_rows(reps)))
+    # exact-group window + ONE state agg; banding itself adds none
+    assert exchanges(p) <= 2
+
+    state = minhash_state(docs.where('doc_id % 2 = 0'))
+    pairs, new_state = dedup_increment(docs.where('doc_id % 2 = 1'),
+                                       state)
+    assert 'CartesianProduct' not in plan(pairs)
+    assert 'CartesianProduct' not in plan(new_state)
+
+    p = plan(paragraph_dedup(docs))
+    assert 'Window' not in p and 'CartesianProduct' not in p
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)],
+        'vec_id long, embedding array<double>')
+    p = plan(query_topk(emb.where('vec_id < 4'),
+                        emb.where('vec_id >= 4')))
+    assert 'BroadcastNestedLoopJoin' in p
+    # the corpus side reaches the join straight from the scan — the
+    # only Exchanges serve the top-k window + broadcast, never a
+    # corpus repartition (hashpartitioning on the corpus scan output)
+    assert 'WindowGroupLimit' in p

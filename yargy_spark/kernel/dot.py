@@ -68,6 +68,19 @@ class DotGraph:
         return self._ids[key]
 
     @property
+    def svg(self) -> str:
+        """Rendered SVG — pure-Python layout, no graphviz binary
+        (reference parity: yargy/dot.py:18-26 shells ``dot -Tsvg``
+        for the same affordance; see kernel/dot_svg.py)."""
+        from .dot_svg import render_svg
+        return render_svg(self)
+
+    def _repr_svg_(self) -> str:
+        """Jupyter inline rendering, like the reference's graphviz
+        ``Graph._repr_svg_``."""
+        return self.svg
+
+    @property
     def source(self) -> str:
         out = ['digraph G {',
                'graph [%s];' % GRAPH_STYLE,

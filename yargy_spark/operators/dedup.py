@@ -596,6 +596,75 @@ def dup_span_scores(docs: DataFrame, k: int = 8) -> DataFrame:
                         .cast('long')))
 
 
+def remove_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
+    """The ACTION half of ``dup_span_scores`` (Lee et al.'s "remove
+    the duplicated substring"): rewrite each document's normalized
+    token stream with corpus-duplicated spans removed, keeping the
+    corpus-FIRST occurrence of every duplicated ``k``-gram.
+
+    Rule (deterministic, both engines): a token is removed iff some
+    duplicated k-gram occurrence covering it is NOT that gram's
+    keeper — the keeper being the occurrence with the lowest
+    ``doc_id * 2^20 + start`` slot (paragraph_dedup's election; the
+    same <2^20-words-per-doc assumption).  Output is
+    ``(doc_id, clean_text, n_tokens, n_removed)`` over the
+    NORMALIZED stream (lowercased, whitespace-collapsed — the same
+    stream the whole shingle family operates on); every input doc_id
+    keeps a row.
+
+    Shape: gram explode -> one corpus-wide (gram) groupBy carrying
+    count + keeper slot -> join back -> per-doc collect of flagged
+    span starts -> map-side token filter (`filter`/`exists` over the
+    starts array — per-token work is O(flagged spans in the doc),
+    bounded by doc length).  Three balanced Exchanges, no windows,
+    no UDFs."""
+    arr = F.split(_norm_text(F.col('text')), ' ')
+    words = F.when(F.length(F.trim(F.lower(F.col('text')))) == 0,
+                   F.array().cast('array<string>')).otherwise(arr)
+    base = docs.select('doc_id', words.alias('words'))
+    grams = F.expr(
+        "CASE WHEN size(words) >= {k} THEN "
+        "transform(sequence(1, size(words) - {k} + 1), "
+        "i -> struct(i AS i, concat_ws(' ', slice(words, i, {k})) "
+        "AS gram)) ELSE array() END".format(k=k))
+    occ = (base.select('doc_id', F.explode(grams).alias('g'))
+           .select('doc_id', 'g.i', 'g.gram',
+                   (F.col('doc_id') * F.lit(1048576) + F.col('g.i'))
+                   .alias('slot')))
+    cnt = occ.groupBy('gram').agg(F.count('*').alias('n'),
+                                  F.min('slot').alias('keeper'))
+    flagged = (occ.join(cnt, 'gram')
+               .where((F.col('n') > 1)
+                      & (F.col('slot') != F.col('keeper')))
+               .groupBy('doc_id')
+               .agg(F.collect_set('i').alias('starts')))
+    # guard: sequence(1, 0) DESCENDS in Spark (word_shingles' gotcha)
+    # — an empty doc must yield an empty index list, not [1, 0]
+    positions = F.when(F.size('words') == 0,
+                       F.array().cast('array<int>')) \
+        .otherwise(F.sequence(F.lit(1), F.size('words')))
+    kept_idx = F.filter(
+        positions,
+        lambda i: ~F.exists(
+            'starts', lambda s: (i >= s) & (i < s + F.lit(k))))
+    out = (base.join(flagged, 'doc_id', 'left')
+           .select('doc_id', 'words',
+                   F.coalesce('starts',
+                              F.array().cast('array<int>'))
+                   .alias('starts'))
+           .select('doc_id',
+                   F.size('words').alias('n_tokens'),
+                   F.transform(kept_idx,
+                               lambda i: F.element_at('words', i))
+                   .alias('_kept')))
+    return out.select(
+        'doc_id',
+        F.array_join('_kept', ' ').alias('clean_text'),
+        F.col('n_tokens').cast('long').alias('n_tokens'),
+        (F.col('n_tokens') - F.size('_kept')).cast('long')
+        .alias('n_removed'))
+
+
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
                   k: int = 3, min_hits: int = 1) -> DataFrame:
     """Eval-set decontamination: which training documents share
