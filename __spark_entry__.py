@@ -481,6 +481,40 @@ def q_dedup_incremental(spark, sf_dir) -> DataFrame:
     return pairs
 
 
+def q_dedup_report(spark, sf_dir) -> DataFrame:
+    """Corpus dedup OBSERVABILITY: one (metric, value) row per dedup
+    family — what an operator reads before choosing a cleanup plan.
+    Exercises that the four families compose in one job: exact groups
+    (count + surplus copies), LSH near-dup pairs, duplicated
+    paragraph occurrences, duplicated span grams."""
+    from yargy_spark.operators.dedup import (dup_span_scores,
+                                             exact_dedup,
+                                             minhash_lsh_pairs,
+                                             paragraph_dedup)
+    docs = _docs(spark, sf_dir)
+
+    def one(name, df):
+        return df.select(F.lit(name).alias('metric'),
+                         F.coalesce(F.col(df.columns[0]), F.lit(0))
+                         .cast('long').alias('value'))
+
+    groups = exact_dedup(docs).where(F.col('group_size') > 1)
+    rows = [
+        one('exact_dup_groups', groups.agg(F.count('*'))),
+        one('exact_surplus_docs',
+            groups.agg(F.sum(F.col('group_size') - 1))),
+        one('lsh_dup_pairs', minhash_lsh_pairs(docs).agg(F.count('*'))),
+        one('dup_paragraph_occurrences',
+            paragraph_dedup(docs).agg(F.sum('n_dropped'))),
+        one('dup_span_grams',
+            dup_span_scores(docs).agg(F.sum('n_dup_grams'))),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_dup_clusters(spark, sf_dir) -> DataFrame:
     """Near-duplicate clusters: MinHash/LSH pairs fed into the SAME
     alternating large/small-star connected-components operator the
@@ -931,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
+        'dedup_report': q_dedup_report,
         # simhash re-oracled at 60 bits this round -> stays in-window
         'simhash_docs': q_simhash_docs,
         # -- previously-gated, unchanged
@@ -950,14 +985,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'lang_balanced_sample': q_lang_balanced_sample,
         'source_reservoir': q_source_reservoir,
         'decontam_pairs': q_decontam_pairs,
-        'mixture_sample': q_mixture_sample,
         # ---- entries below may fall past the driver's 50-query cap;
         # ---- all were driver-gated hash-green in rounds 2-3 with
-        # ---- byte-identical default plans (mixture_epochs /
-        # ---- pack_sequences / training_batches gained an OPTIONAL
-        # ---- token_expr whose default is unchanged; the changed
-        # ---- variant mixture_re_tokens is in-window).  See
-        # ---- BASELINE.md "driver reporting window".
+        # ---- byte-identical default plans (the mixture/packing trio
+        # ---- gained an OPTIONAL token_expr whose default is
+        # ---- unchanged; the changed variant mixture_re_tokens is
+        # ---- in-window).  See BASELINE.md "driver reporting window".
+        'mixture_sample': q_mixture_sample,
         'mixture_epochs': q_mixture_epochs,
         'pack_sequences': q_pack_sequences,
         'training_batches': q_training_batches,
@@ -2534,5 +2568,28 @@ SELECT user_id,
        count(*) AS n_events
 FROM marked GROUP BY user_id
 """
+
+    # dedup observability report: each metric recomputes through the
+    # SAME oracle the family query gates on (nested as subqueries),
+    # so the report can never disagree with its constituent gates
+    oracles['dedup_report'] = """
+SELECT 'exact_dup_groups' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM ({exact}) WHERE group_size > 1
+UNION ALL
+SELECT 'exact_surplus_docs',
+       CAST(coalesce(sum(group_size - 1), 0) AS BIGINT)
+FROM ({exact}) WHERE group_size > 1
+UNION ALL
+SELECT 'lsh_dup_pairs', CAST(count(*) AS BIGINT) FROM ({mh})
+UNION ALL
+SELECT 'dup_paragraph_occurrences',
+       CAST(coalesce(sum(n_dropped), 0) AS BIGINT) FROM ({para})
+UNION ALL
+SELECT 'dup_span_grams',
+       CAST(coalesce(sum(n_dup_grams), 0) AS BIGINT) FROM ({spans})
+""".format(exact=oracles['exact_dedup'],
+           mh=oracles['minhash_lsh_dups'],
+           para=oracles['paragraph_dedup'],
+           spans=oracles['dup_spans'])
 
     return oracles
