@@ -442,6 +442,37 @@ def q_stream_dedup(spark, sf_dir) -> DataFrame:
     return spark.table(name).select('text_hash')
 
 
+def q_stream_band_collisions(spark, sf_dir) -> DataFrame:
+    """Streaming NEAR-dup detection (streaming/dedup.py
+    stream_band_collisions): per event-time window, MinHash band
+    buckets with >= 2 documents — the LSH candidate signal as a
+    stream.  Signatures compute IN-ROW (map-only), the only stateful
+    op is the watermarked windowed count.  Drained with
+    availableNow + complete mode so every window is observable in
+    one shot (production runs append and emits on watermark
+    closure); results are batch-replayable, so the oracle recomputes
+    the same windows/bands in DuckDB."""
+    import tempfile
+    from yargy_spark.streaming.dedup import stream_band_collisions
+    base = tempfile.mkdtemp(prefix='ys_sband_q_')
+    src = os.path.join(base, 'src')
+    (_docs(spark, sf_dir)
+     .select('doc_id', 'text',
+             F.timestamp_seconds(F.lit(1767225600)
+                                 + F.col('doc_id') % 600).alias('ts'))
+     .coalesce(4).write.mode('overwrite').json(src))
+    stream = (spark.readStream
+              .schema('doc_id long, text string, ts timestamp')
+              .json(src))
+    coll = stream_band_collisions(stream, watermark='30 minutes',
+                                  window='5 minutes')
+    name = 'sband_' + os.path.basename(base)[-8:]
+    q = (coll.writeStream.format('memory').queryName(name)
+         .outputMode('complete').trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_kg_token_table(spark, sf_dir) -> DataFrame:
     from yargy_spark.operators.tokens import token_table
     from yargy_spark.sources.transcripts import golden_only_transcripts
@@ -966,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
         'dedup_report': q_dedup_report,
+        'stream_band_collisions': q_stream_band_collisions,
         # simhash re-oracled at 60 bits this round -> stays in-window
         'simhash_docs': q_simhash_docs,
         # -- previously-gated, unchanged
@@ -984,13 +1016,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'top_ngrams': q_top_ngrams,
         'lang_balanced_sample': q_lang_balanced_sample,
         'source_reservoir': q_source_reservoir,
-        'decontam_pairs': q_decontam_pairs,
         # ---- entries below may fall past the driver's 50-query cap;
         # ---- all were driver-gated hash-green in rounds 2-3 with
         # ---- byte-identical default plans (the mixture/packing trio
         # ---- gained an OPTIONAL token_expr whose default is
         # ---- unchanged; the changed variant mixture_re_tokens is
         # ---- in-window).  See BASELINE.md "driver reporting window".
+        'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
         'mixture_epochs': q_mixture_epochs,
         'pack_sequences': q_pack_sequences,
@@ -1678,6 +1710,34 @@ UNION ALL
 SELECT a, b, jaccard_x10000, CAST(1 AS INT) AS vs_state FROM x_exp
 """).format(fam=family_rows, m=MERSENNE, rpb=ROWS_PER_BAND,
             h60s=_H60.format(x='shingle'), thr=LSH_DEFAULT_THRESHOLD)
+
+    # streaming band collisions: the windowed bucket counts are
+    # batch-replayable — per-doc signatures over the SAME shingle
+    # fragment + hash family, 5-minute windows floored on the epoch
+    oracles['stream_band_collisions'] = """
+WITH fam(i, a, b) AS (VALUES
+    {fam}),{sh}
+  , xs AS (SELECT doc_id, {h} % {m} AS x FROM shingles),
+  sig AS (
+    SELECT doc_id, fam.i AS hash_idx,
+           min((fam.a * x + fam.b) % {m}) AS minhash
+    FROM xs CROSS JOIN fam GROUP BY doc_id, fam.i),
+  bands AS (
+    SELECT doc_id, CAST(hash_idx // {rpb} AS INT) AS band,
+           string_agg(CAST(minhash AS VARCHAR), '_'
+                      ORDER BY hash_idx) AS sig_key
+    FROM sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
+  ev AS (
+    SELECT b.doc_id, b.band,
+           ('0x' || substr(md5(b.sig_key), 1, 15))::int64 AS band_hash,
+           (1767225600 + d.doc_id % 600) // 300 * 300 AS win_start
+    FROM bands b JOIN documents d ON d.doc_id = b.doc_id)
+SELECT CAST(win_start AS BIGINT) AS win_start, band, band_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM ev GROUP BY 1, 2, 3 HAVING count(*) > 1
+""".format(fam=family_rows, sh=_SHINGLES, m=MERSENNE,
+           rpb=ROWS_PER_BAND, h=_H60.format(x='shingle'))
 
     # streaming dedup: whichever copy survives arrival order, the
     # emitted key set equals batch DISTINCT over normalized text

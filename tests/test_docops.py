@@ -204,6 +204,22 @@ def test_remove_dup_spans_keep_first(spark):
     assert got[4]['n_removed'] == 0
 
 
+def test_row_signatures_match_aggregated(spark, docs):
+    """The map-only in-row minhash (row_signatures — the streaming
+    shape) is value-identical to the aggregated batch path
+    (minhash_signatures) on every doc that has >= k words."""
+    from yargy_spark.operators.dedup import (minhash_signatures,
+                                             row_signatures)
+    agg = {}
+    for r in minhash_signatures(docs).collect():
+        agg.setdefault(r['doc_id'], {})[r['hash_idx']] = r['minhash']
+    agg = {d: [m[i] for i in sorted(m)] for d, m in agg.items()}
+    row = {r['doc_id']: list(r['sig'])
+           for r in row_signatures(docs).collect()
+           if r['sig'][0] is not None}
+    assert row == agg and len(row) > 0
+
+
 def test_simhash_stability(spark, docs):
     from yargy_spark.operators.dedup import simhash_docs
     a = {(r['doc_id'], r['simhash'])

@@ -165,3 +165,48 @@ def test_stream_exact_dedup(spark, tmp_path):
     assert len({r['text_hash'] for r in out}) == 3
     kept_texts = { ' '.join(r['text'].lower().split()) for r in out }
     assert kept_texts == {'alpha beta', 'gamma delta', 'epsilon zeta'}
+
+
+def test_stream_band_collisions(spark, tmp_path):
+    """Near-dup buckets surface across micro-batches: two similar
+    docs (and one exact copy) share band buckets within a window;
+    the unique doc never collides; counts/min-doc match batch
+    semantics regardless of batch boundaries (windowed agg, not
+    keeper state)."""
+    import json as _json
+    from yargy_spark.streaming.dedup import stream_band_collisions
+
+    src = tmp_path / 'docs_in'
+    src.mkdir()
+    base = ('the quick brown fox jumps over the lazy dog near '
+            'the river bank today')
+    near = base.replace('today', 'tonight')
+    mk = lambda i, text, m: {'doc_id': i, 'text': text,  # noqa: E731
+                             'ts': '2026-01-01T00:%02d:00.000Z' % m}
+    batch1 = [mk(1, base, 0),
+              mk(2, 'completely unrelated words about spark '
+                    'clusters shuffling partitions everywhere', 1)]
+    batch2 = [mk(3, near, 2), mk(4, base, 3)]   # near + exact of 1
+    for name, rows in (('b1.json', batch1), ('b2.json', batch2)):
+        with open(src / name, 'w') as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + '\n')
+
+    stream = (spark.readStream
+              .schema('doc_id long, text string, ts timestamp')
+              .option('maxFilesPerTrigger', 1)
+              .json(str(src)))
+    coll = stream_band_collisions(stream, watermark='30 minutes',
+                                  window='5 minutes')
+    q = (coll.writeStream.format('memory').queryName('sband')
+         .outputMode('complete').trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table('sband').collect()
+    assert out, 'the exact copy must collide on every band'
+    # all collisions witness doc 1 (min id), population 2 or 3
+    assert all(r['min_doc'] == 1 and 2 <= r['n_docs'] <= 3
+               for r in out)
+    # the exact copy shares all 8 bands; at least one full-population
+    # bucket contains doc 3's near-dup signature too
+    assert len(out) == 8
+    assert any(r['n_docs'] == 3 for r in out)

@@ -17,7 +17,7 @@ from .dedup import (clean_corpus, decontaminate,  # noqa: F401
                     minhash_signatures, minhash_state,
                     dup_span_scores,
                     ngram_jaccard_pairs, paragraph_dedup,
-                    remove_dup_spans,
+                    remove_dup_spans, row_signatures,
                     simhash_docs, word_shingles)
 from .sampling import (hash_split,               # noqa: F401
                        mixture_epochs, mixture_sample,

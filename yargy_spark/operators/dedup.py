@@ -330,6 +330,38 @@ def _sig_bands(sigged: DataFrame) -> DataFrame:
             .select('doc_id', 'e.band', 'e.sig_key'))
 
 
+def row_signatures(docs: DataFrame, k: int = 3,
+                   extra_cols: Sequence[str] = ()) -> DataFrame:
+    """(doc_id, sig array<long>[K], *extra_cols) computed IN-ROW —
+    the MAP-ONLY variant of ``_state_rows``'s aggregation: a doc's
+    shingles all live in its own row, so each minhash is an
+    ``array_min`` over a ``transform`` of the hashed shingle array,
+    no groupBy anywhere.  This is the streaming-friendly shape
+    (stateless per row; Structured Streaming needs no shuffle before
+    its own stateful op) and is value-identical to
+    ``minhash_signatures`` (equivalence pinned in test_docops).
+    Docs with fewer than ``k`` words get a NULL-element sig and
+    should be filtered by the caller (``sig[0] IS NOT NULL``) —
+    exactly the docs the aggregated path never emits."""
+    arr = F.split(_norm_text(F.col('text')), ' ')
+    grams = F.expr(
+        "CASE WHEN size(words) >= {k} THEN "
+        "transform(sequence(1, size(words) - {k} + 1), "
+        "i -> concat_ws(' ', slice(words, i, {k}))) "
+        "ELSE array() END".format(k=k))
+    xs = F.transform(
+        F.array_distinct(grams),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast('long') % MERSENNE)
+    sig = F.array(*[
+        F.array_min(F.transform(
+            xs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE))
+        for a, b in HASH_FAMILY])
+    return (docs
+            .select('doc_id', *extra_cols, arr.alias('words'))
+            .select('doc_id', *extra_cols, sig.alias('sig')))
+
+
 def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, hash_idx, minhash) — K minhashes per document.
 

@@ -47,3 +47,48 @@ def stream_exact_dedup(docs: DataFrame, ts_col: str = 'ts',
     return (keyed
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(['text_hash', 'text_hash2']))
+
+
+def stream_band_collisions(docs: DataFrame, ts_col: str = 'ts',
+                           watermark: str = '10 minutes',
+                           window: str = '5 minutes',
+                           k: int = 3) -> DataFrame:
+    """Streaming NEAR-dup detection — the banding complement of
+    ``stream_exact_dedup`` (which catches exact copies only): per
+    event-time window, every MinHash band bucket that two or more
+    documents land in is reported with its population and its
+    min-doc witness.  A bucket collision is exactly the batch LSH
+    candidate signal (operators/dedup._minhash_rep_pairs), so
+    downstream either verifies the window's collisions with exact
+    Jaccard in a micro-batch job or feeds them to the committed-state
+    incremental dedup (pipeline.run_dedup_increment).
+
+    Shape: the signature is computed IN-ROW (``row_signatures`` —
+    map-only, no pre-shuffle), bands explode map-side, and the ONLY
+    stateful op is a watermark-bounded windowed count keyed on
+    (window, band, 60-bit band hash) — ~24 B of state per ACTIVE
+    bucket, and append-mode results are deterministic regardless of
+    micro-batch boundaries (an arbitrary-state keeper election would
+    not be).  (win_start, band, band_hash, n_docs, min_doc)."""
+    from ..operators.dedup import row_signatures, N_BANDS, ROWS_PER_BAND
+    sigged = (row_signatures(docs, k, extra_cols=(ts_col,))
+              .where(F.col('sig')[0].isNotNull()))
+    entries = F.array(*[
+        F.struct(
+            F.lit(b).cast('int').alias('band'),
+            md5_int(F.concat_ws('_', *[
+                F.col('sig')[b * ROWS_PER_BAND + r].cast('string')
+                for r in range(ROWS_PER_BAND)])).alias('band_hash'))
+        for b in range(N_BANDS)])
+    bands = (sigged
+             .select('doc_id', ts_col, F.explode(entries).alias('e'))
+             .select('doc_id', ts_col, 'e.band', 'e.band_hash'))
+    return (bands
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window), 'band', 'band_hash')
+            .agg(F.count('*').alias('n_docs'),
+                 F.min('doc_id').alias('min_doc'))
+            .where(F.col('n_docs') > 1)
+            .select(F.unix_timestamp(F.col('window.start'))
+                    .alias('win_start'),
+                    'band', 'band_hash', 'n_docs', 'min_doc'))
