@@ -422,24 +422,41 @@ def q_stream_dedup(spark, sf_dir) -> DataFrame:
     The emitted KEY SET is arrival-order-independent, so the query
     projects the portable text hash — fully value-hash gated against
     a batch DISTINCT oracle."""
-    import tempfile
     from yargy_spark.streaming.dedup import stream_exact_dedup
-    base = tempfile.mkdtemp(prefix='ys_sdedup_q_')
-    src = os.path.join(base, 'src')
-    (_docs(spark, sf_dir)
-     .select('doc_id', 'text',
-             F.timestamp_seconds(F.lit(1767225600)
-                                 + F.col('doc_id') % 600).alias('ts'))
-     .coalesce(4).write.mode('overwrite').json(src))
-    stream = (spark.readStream
-              .schema('doc_id long, text string, ts timestamp')
-              .json(src))
+    stream, tag = _stream_docs(spark, sf_dir, 'ys_sdedup_q_')
     deduped = stream_exact_dedup(stream, watermark='30 minutes')
-    name = 'sdedup_' + os.path.basename(base)[-8:]
+    name = 'sdedup_' + tag
     q = (deduped.writeStream.format('memory').queryName(name)
          .outputMode('append').trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).select('text_hash')
+
+
+# synthetic event-time scheme shared by BOTH streaming document
+# queries AND the stream_band_collisions oracle — one definition
+# (review finding: three verbatim copies would let the oracle gate
+# the wrong windows after a scheme change).  The epoch is 5-minute
+# aligned so window floors agree across engines.
+STREAM_EPOCH = 1767225600
+STREAM_TS_MOD = 600
+
+
+def _stream_docs(spark, sf_dir, prefix):
+    """documents replayed as a JSON file stream with deterministic
+    synthetic event times ts = STREAM_EPOCH + doc_id % STREAM_TS_MOD."""
+    import tempfile
+    base = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(base, 'src')
+    (_docs(spark, sf_dir)
+     .select('doc_id', 'text',
+             F.timestamp_seconds(F.lit(STREAM_EPOCH)
+                                 + F.col('doc_id') % STREAM_TS_MOD)
+             .alias('ts'))
+     .coalesce(4).write.mode('overwrite').json(src))
+    stream = (spark.readStream
+              .schema('doc_id long, text string, ts timestamp')
+              .json(src))
+    return stream, os.path.basename(base)[-8:]
 
 
 def q_stream_band_collisions(spark, sf_dir) -> DataFrame:
@@ -452,21 +469,11 @@ def q_stream_band_collisions(spark, sf_dir) -> DataFrame:
     one shot (production runs append and emits on watermark
     closure); results are batch-replayable, so the oracle recomputes
     the same windows/bands in DuckDB."""
-    import tempfile
     from yargy_spark.streaming.dedup import stream_band_collisions
-    base = tempfile.mkdtemp(prefix='ys_sband_q_')
-    src = os.path.join(base, 'src')
-    (_docs(spark, sf_dir)
-     .select('doc_id', 'text',
-             F.timestamp_seconds(F.lit(1767225600)
-                                 + F.col('doc_id') % 600).alias('ts'))
-     .coalesce(4).write.mode('overwrite').json(src))
-    stream = (spark.readStream
-              .schema('doc_id long, text string, ts timestamp')
-              .json(src))
+    stream, tag = _stream_docs(spark, sf_dir, 'ys_sband_q_')
     coll = stream_band_collisions(stream, watermark='30 minutes',
                                   window='5 minutes')
-    name = 'sband_' + os.path.basename(base)[-8:]
+    name = 'sband_' + tag
     q = (coll.writeStream.format('memory').queryName(name)
          .outputMode('complete').trigger(availableNow=True).start())
     q.awaitTermination()
@@ -1730,14 +1737,15 @@ WITH fam(i, a, b) AS (VALUES
   ev AS (
     SELECT b.doc_id, b.band,
            ('0x' || substr(md5(b.sig_key), 1, 15))::int64 AS band_hash,
-           (1767225600 + d.doc_id % 600) // 300 * 300 AS win_start
+           ({epoch} + d.doc_id % {mod}) // 300 * 300 AS win_start
     FROM bands b JOIN documents d ON d.doc_id = b.doc_id)
 SELECT CAST(win_start AS BIGINT) AS win_start, band, band_hash,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS min_doc
 FROM ev GROUP BY 1, 2, 3 HAVING count(*) > 1
 """.format(fam=family_rows, sh=_SHINGLES, m=MERSENNE,
-           rpb=ROWS_PER_BAND, h=_H60.format(x='shingle'))
+           rpb=ROWS_PER_BAND, h=_H60.format(x='shingle'),
+           epoch=STREAM_EPOCH, mod=STREAM_TS_MOD)
 
     # streaming dedup: whichever copy survives arrival order, the
     # emitted key set equals batch DISTINCT over normalized text

@@ -98,3 +98,19 @@ def test_svg_rendering():
     tlabels = ' '.join(t.text or ''
                        for t in troot.findall('%stext' % ns))
     assert 'Иван' in tlabels and 'Ульянов' in tlabels
+
+
+def test_svg_recursive_grammar():
+    """Review regression: a forward()-defined recursive grammar must
+    render SVG (the x-placement walk is iterative with back-edge
+    skipping — RecursionError before the fix)."""
+    import xml.etree.ElementTree as ET
+    from yargy_spark import forward, or_, rule
+    from yargy_spark.kernel.dot import rule_dot
+    R = forward()
+    R.define(or_(rule('b', R), rule('a')))
+    g = rule_dot(R)
+    svg = g.svg
+    ET.fromstring(svg)
+    assert svg == rule_dot(R).svg          # deterministic
+    assert svg.count('<rect') == len(g.nodes)

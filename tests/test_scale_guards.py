@@ -245,7 +245,10 @@ def test_round4_plan_shapes(spark):
     p = plan(query_topk(emb.where('vec_id < 4'),
                         emb.where('vec_id >= 4')))
     assert 'BroadcastNestedLoopJoin' in p
-    # the corpus side reaches the join straight from the scan — the
-    # only Exchanges serve the top-k window + broadcast, never a
-    # corpus repartition (hashpartitioning on the corpus scan output)
     assert 'WindowGroupLimit' in p
+    # the corpus side reaches the join straight from the scan: every
+    # hash repartition in the plan serves the per-query top-k window
+    # (keys on query_id) — a corpus-side Exchange would key on
+    # something else and fail here
+    hps = re.findall(r'Exchange hashpartitioning\(([^,)]+)', p)
+    assert hps and all('query_id' in h for h in hps)

@@ -81,29 +81,44 @@ def render_svg(graph) -> str:
 
     # x slots: DFS from the roots in insertion order; a leaf claims
     # the next free slot, a parent centers over its children; shared
-    # (DAG) nodes keep their first-assigned position
+    # (DAG) nodes keep their first-assigned position.  ITERATIVE with
+    # an in-progress set: recursive grammars (forward()-defined
+    # rules) put cycles in this graph — a back-edge child simply
+    # doesn't contribute to its ancestor's position — and parse
+    # trees can be deeper than Python's recursion limit.
     boxes = {nid: _node_box(lines) for nid, lines, _ in nodes}
     slot_w = max(w for w, _ in boxes.values()) + GAP_X
     xpos = {}
     next_slot = [0]
+    visiting = set()
 
-    def place(nid):
-        if nid in xpos:
-            return xpos[nid]
-        kids = [k for k in children[nid] if k != nid]
-        if not kids:
-            xpos[nid] = (next_slot[0] + 0.5) * slot_w
-            next_slot[0] += 1
-        else:
-            kx = [place(k) for k in kids]
-            xpos[nid] = sum(kx) / len(kx)
-        return xpos[nid]
+    def place(root):
+        stack = [root]
+        while stack:
+            n = stack[-1]
+            if n in xpos:
+                stack.pop()
+                continue
+            visiting.add(n)
+            pending = [k for k in children[n]
+                       if k != n and k not in xpos
+                       and k not in visiting]
+            if pending:
+                stack.extend(reversed(pending))
+                continue
+            kx = [xpos[k] for k in children[n] if k in xpos]
+            if kx:
+                xpos[n] = sum(kx) / len(kx)
+            else:
+                xpos[n] = (next_slot[0] + 0.5) * slot_w
+                next_slot[0] += 1
+            stack.pop()
 
     roots = [nid for nid in ids if indeg[nid] == 0] or [ids[0]]
     for r in roots:
         place(r)
-    for nid in ids:            # disconnected leftovers
-        place(nid)
+    for nid in ids:            # disconnected leftovers (incl. cycles
+        place(nid)             # unreachable from any root)
 
     row_h = max(h for _, h in boxes.values()) + GAP_Y
     ypos = {nid: depth[nid] * row_h + GAP_Y / 2 for nid in ids}

@@ -314,10 +314,16 @@ def _state_rows(reps: DataFrame, k: int = 3) -> DataFrame:
     return wide.select('doc_id', arr.alias('sig'), 'shs', 'sz')
 
 
-def _sig_bands(sigged: DataFrame) -> DataFrame:
-    """(doc_id, band, sig_key) from the K-wide ``sig`` array —
-    MAP-ONLY (band keys are array slices: band i joins elements
-    [i*R, (i+1)*R) in hash_idx order), no groupBy Exchange."""
+def _sig_bands(sigged: DataFrame, extra_cols: Sequence[str] = (),
+               hashed: bool = False) -> DataFrame:
+    """(doc_id, *extra_cols, band, sig_key|band_hash) from the K-wide
+    ``sig`` array — MAP-ONLY (band keys are array slices: band i
+    joins elements [i*R, (i+1)*R) in hash_idx order), no groupBy
+    Exchange.  The ONE band-layout definition: batch LSH, the
+    incremental state and the streaming collision detector all band
+    through here, so they can never desynchronize.  ``hashed``
+    replaces the string key with its 60-bit hash (compact streaming
+    state)."""
     entries = F.array(*[
         F.struct(
             F.lit(band).cast('int').alias('band'),
@@ -325,9 +331,14 @@ def _sig_bands(sigged: DataFrame) -> DataFrame:
                 F.col('sig')[band * ROWS_PER_BAND + r].cast('string')
                 for r in range(ROWS_PER_BAND)]).alias('sig_key'))
         for band in range(N_BANDS)])
-    return (sigged
-            .select('doc_id', F.explode(entries).alias('e'))
-            .select('doc_id', 'e.band', 'e.sig_key'))
+    out = (sigged
+           .select('doc_id', *extra_cols, F.explode(entries)
+                   .alias('e')))
+    if hashed:
+        return out.select('doc_id', *extra_cols, 'e.band',
+                          md5_int(F.col('e.sig_key'))
+                          .alias('band_hash'))
+    return out.select('doc_id', *extra_cols, 'e.band', 'e.sig_key')
 
 
 def row_signatures(docs: DataFrame, k: int = 3,
@@ -349,10 +360,8 @@ def row_signatures(docs: DataFrame, k: int = 3,
         "transform(sequence(1, size(words) - {k} + 1), "
         "i -> concat_ws(' ', slice(words, i, {k}))) "
         "ELSE array() END".format(k=k))
-    xs = F.transform(
-        F.array_distinct(grams),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-        .cast('long') % MERSENNE)
+    xs = F.transform(F.array_distinct(grams),
+                     lambda s: md5_int(s) % MERSENNE)
     sig = F.array(*[
         F.array_min(F.transform(
             xs, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE))

@@ -70,19 +70,12 @@ def stream_band_collisions(docs: DataFrame, ts_col: str = 'ts',
     bucket, and append-mode results are deterministic regardless of
     micro-batch boundaries (an arbitrary-state keeper election would
     not be).  (win_start, band, band_hash, n_docs, min_doc)."""
-    from ..operators.dedup import row_signatures, N_BANDS, ROWS_PER_BAND
+    from ..operators.dedup import _sig_bands, row_signatures
     sigged = (row_signatures(docs, k, extra_cols=(ts_col,))
               .where(F.col('sig')[0].isNotNull()))
-    entries = F.array(*[
-        F.struct(
-            F.lit(b).cast('int').alias('band'),
-            md5_int(F.concat_ws('_', *[
-                F.col('sig')[b * ROWS_PER_BAND + r].cast('string')
-                for r in range(ROWS_PER_BAND)])).alias('band_hash'))
-        for b in range(N_BANDS)])
-    bands = (sigged
-             .select('doc_id', ts_col, F.explode(entries).alias('e'))
-             .select('doc_id', ts_col, 'e.band', 'e.band_hash'))
+    # the SAME band layout the batch LSH and the incremental state
+    # use (operators/dedup._sig_bands) — one definition, no drift
+    bands = _sig_bands(sigged, extra_cols=(ts_col,), hashed=True)
     return (bands
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window), 'band', 'band_hash')
