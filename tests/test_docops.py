@@ -984,3 +984,92 @@ def test_corpus_vocabulary_feeds_filtered_dictionary(spark):
     # the filtered analyzer must still answer every corpus word
     for w in vocab:
         assert small(w), w
+
+
+def test_dedup_rewrites_randomized_reference(spark):
+    """150 seeded random documents (shared boilerplate lines, shared
+    8-gram spans, unique filler, empty docs) checked against
+    independent pure-Python implementations of paragraph_dedup and
+    remove_dup_spans — a third engine beside Spark and the DuckDB
+    oracle, catching bugs both could share."""
+    import random
+    from yargy_spark.operators.dedup import (paragraph_dedup,
+                                             remove_dup_spans)
+
+    rng = random.Random(20260818)
+    vocab = ['w%d' % i for i in range(120)]
+    boiler_lines = [' '.join(rng.choices(vocab, k=rng.randint(3, 7)))
+                    for _ in range(6)]
+    span8 = [' '.join(rng.choices(vocab, k=8)) for _ in range(4)]
+    rows = []
+    for i in range(150):
+        if rng.random() < 0.05:
+            rows.append((i, ''))
+            continue
+        lines = []
+        for _ in range(rng.randint(1, 5)):
+            r = rng.random()
+            if r < 0.25:
+                lines.append(rng.choice(boiler_lines))
+            elif r < 0.45:
+                lines.append(rng.choice(span8) + ' ' + ' '.join(
+                    rng.choices(vocab, k=rng.randint(0, 4))))
+            else:
+                lines.append(' '.join(
+                    rng.choices(vocab, k=rng.randint(1, 12))))
+        rows.append((i, '\n'.join(lines)))
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    # --- paragraph_dedup reference -------------------------------
+    def norm(s):
+        return ' '.join(s.lower().split())
+
+    keeper = {}
+    for doc_id, text in rows:
+        for pos, line in enumerate(text.split('\n')):
+            if not line.strip():
+                continue
+            key = norm(line)
+            slot = doc_id * 1048576 + pos
+            if key not in keeper or slot < keeper[key]:
+                keeper[key] = slot
+    expect_para = {}
+    for doc_id, text in rows:
+        kept, dropped = [], 0
+        for pos, line in enumerate(text.split('\n')):
+            if not line.strip():
+                continue
+            if keeper[norm(line)] == doc_id * 1048576 + pos:
+                kept.append(line)
+            else:
+                dropped += 1
+        expect_para[doc_id] = ('\n'.join(kept), len(kept), dropped)
+    got = {r['doc_id']: (r['clean_text'], r['n_kept'], r['n_dropped'])
+           for r in paragraph_dedup(df).collect()}
+    assert got == expect_para
+
+    # --- remove_dup_spans reference ------------------------------
+    grams = {}
+    doc_words = {}
+    for doc_id, text in rows:
+        words = norm(text).split() if norm(text) else []
+        doc_words[doc_id] = words
+        for i in range(len(words) - 7):
+            g = ' '.join(words[i:i + 8])
+            grams.setdefault(g, []).append(doc_id * 1048576 + i + 1)
+    expect_spans = {}
+    for doc_id, words in doc_words.items():
+        marked = set()
+        for i in range(len(words) - 7):
+            g = ' '.join(words[i:i + 8])
+            slots = grams[g]
+            slot = doc_id * 1048576 + i + 1
+            if len(slots) > 1 and slot != min(slots):
+                marked.update(range(i, i + 8))
+        kept = [w for j, w in enumerate(words) if j not in marked]
+        expect_spans[doc_id] = (' '.join(kept), len(words),
+                                len(words) - len(kept))
+    got2 = {r['doc_id']: (r['clean_text'], r['n_tokens'],
+                          r['n_removed'])
+            for r in remove_dup_spans(df).collect()}
+    assert got2 == expect_spans
