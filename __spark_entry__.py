@@ -440,6 +440,11 @@ def q_stream_dedup(spark, sf_dir) -> DataFrame:
 STREAM_EPOCH = 1767225600
 STREAM_TS_MOD = 600
 
+# dedup_incremental gate: batch doc_ids are shifted above the state
+# half's (dedup_increment's ids-time-order-after-state contract);
+# comfortably above any test-SF corpus, well inside int64
+DEDUP_INC_OFFSET = 1_000_000_000
+
 
 def _stream_docs(spark, sf_dir, prefix):
     """documents replayed as a JSON file stream with deterministic
@@ -506,16 +511,23 @@ def q_minhash_lsh_dups(spark, sf_dir) -> DataFrame:
 def q_dedup_incremental(spark, sf_dir) -> DataFrame:
     """Incremental near-dup dedup: the even-doc_id half of the corpus
     is the committed state (minhash_state), the odd half arrives as a
-    new batch (dedup_increment).  vs_state=1 rows pair state docs with
-    batch docs (verified on the state's STORED shingle arrays — prior
-    text never rescanned); vs_state=0 rows are the batch-internal
-    minhash_lsh_pairs semantics."""
+    new batch (dedup_increment) with its ids OFFSET above the state's
+    max — the operator's documented caller contract (batch ids are
+    disjoint and time-order AFTER the state's, exactly how
+    jobs/run_dedup_increment.py feeds it; a round-4 gate fed
+    interleaved ids, normalizing a contract-violating call shape).
+    vs_state=1 rows pair state docs with batch docs (verified on the
+    state's STORED shingle arrays — prior text never rescanned);
+    vs_state=0 rows are the batch-internal minhash_lsh_pairs
+    semantics."""
     from yargy_spark.operators.dedup import (dedup_increment,
                                              minhash_state)
     docs = _docs(spark, sf_dir)
     state = minhash_state(docs.where(F.col('doc_id') % 2 == 0))
-    pairs, _new_state = dedup_increment(
-        docs.where(F.col('doc_id') % 2 == 1), state)
+    batch = (docs.where(F.col('doc_id') % 2 == 1)
+             .withColumn('doc_id',
+                         F.col('doc_id') + F.lit(DEDUP_INC_OFFSET)))
+    pairs, _new_state = dedup_increment(batch, state)
     return pairs
 
 
@@ -527,6 +539,7 @@ def q_dedup_report(spark, sf_dir) -> DataFrame:
     paragraph occurrences, duplicated span grams."""
     from yargy_spark.operators.dedup import (dup_span_scores,
                                              exact_dedup,
+                                             lsh_hot_buckets,
                                              minhash_lsh_pairs,
                                              paragraph_dedup)
     docs = _docs(spark, sf_dir)
@@ -542,6 +555,9 @@ def q_dedup_report(spark, sf_dir) -> DataFrame:
         one('exact_surplus_docs',
             groups.agg(F.sum(F.col('group_size') - 1))),
         one('lsh_dup_pairs', minhash_lsh_pairs(docs).agg(F.count('*'))),
+        # the hot-bucket governor's loud counter: band buckets that
+        # degraded to star edges this run (0 on a healthy corpus)
+        one('lsh_hot_buckets', lsh_hot_buckets(docs).agg(F.count('*'))),
         one('dup_paragraph_occurrences',
             paragraph_dedup(docs).agg(F.sum('n_dropped'))),
         one('dup_span_grams',
@@ -1225,8 +1241,13 @@ _SHINGLES_REPS = _shingles_sql('repdocs')
 # MinHash banding over the repdocs shingle table (operators/dedup.
 # _minhash_rep_pairs): shared verbatim by the minhash_lsh_dups and
 # clean_corpus oracles so the two can never band differently.
+# Candidate generation carries the round-5 hot-bucket governor
+# (operators/dedup._band_candidates): buckets over {cap} reps emit
+# star edges to the bucket-min doc only — in SQL the star edge is
+# exactly "left side IS the bucket min" since bmin < every member.
 # Placeholders: {fam} hash-family VALUES rows, {m} Mersenne modulus,
-# {rpb} rows per band, {h} the 60-bit shingle hash expression.
+# {rpb} rows per band, {h} the 60-bit shingle hash expression,
+# {cap} the governor threshold (LSH_MAX_BUCKET).
 _MINHASH_CANDS = """
   fam(i, a, b) AS (VALUES
     {fam}),
@@ -1242,24 +1263,32 @@ _MINHASH_CANDS = """
            string_agg(CAST(minhash AS VARCHAR), '_'
                       ORDER BY hash_idx) AS sig_key
     FROM sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
+  bstats AS (
+    SELECT band, sig_key, count(*) AS bn, min(doc_id) AS bmin
+    FROM bands GROUP BY band, sig_key),
   cands AS (
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.sig_key = r.sig_key
-    WHERE l.doc_id < r.doc_id)
+    JOIN bstats s ON s.band = l.band AND s.sig_key = l.sig_key
+    WHERE l.doc_id < r.doc_id
+      AND (s.bn <= {cap} OR l.doc_id = s.bmin))
 """
 
-def _mh_split_sql(pred, p):
+def _mh_split_sql(pred, p, id_expr='doc_id'):
     """Prefixed dedup-first + shingle + minhash sig/band CTE chain
     over ``documents WHERE pred`` — the dedup_incremental oracle runs
     TWO of these (base state / new batch), so every CTE name takes
-    prefix ``p``.  Formulas mirror _dedup_first_sql / _shingles_sql /
-    _MINHASH_CANDS verbatim (same hash family ``fam`` CTE, Mersenne
-    modulus, banding arithmetic, k=3 shingles); placeholders {h60s}
-    (60-bit shingle hash) and {m} are closed by the caller's .format
-    alongside fam."""
+    prefix ``p``.  ``id_expr`` lets the batch chain remap doc_ids
+    (the gate offsets the batch half above the state half, honoring
+    dedup_increment's ids-time-order-after-state contract).  Formulas
+    mirror _dedup_first_sql / _shingles_sql / _MINHASH_CANDS verbatim
+    (same hash family ``fam`` CTE, Mersenne modulus, banding
+    arithmetic, k=3 shingles); placeholders {h60s} (60-bit shingle
+    hash) and {m} are closed by the caller's .format alongside fam."""
     return """
-  {p}src AS (SELECT doc_id, text FROM documents WHERE {pred}),
+  {p}src AS (SELECT {id_expr} AS doc_id, text
+             FROM documents WHERE {pred}),
   {p}grp AS (
     SELECT doc_id,
            min(doc_id) OVER (
@@ -1288,7 +1317,7 @@ def _mh_split_sql(pred, p):
     FROM {p}sig GROUP BY doc_id, CAST(hash_idx // {rpb} AS INT)),
   {p}sizes AS (SELECT doc_id, count(*) AS sz FROM {p}sh
                GROUP BY doc_id)""".format(
-        p=p, pred=pred, norm=_NORM, rpb='{rpb}')
+        p=p, pred=pred, id_expr=id_expr, norm=_NORM, rpb='{rpb}')
 
 
 def _expand_groups_sql(score_col='jaccard_x10000', self_score=10000,
@@ -1317,6 +1346,7 @@ _EXPAND_GROUPS = _expand_groups_sql()
 def oracle_sql() -> dict[str, str]:
     from yargy_spark.operators.dedup import (HASH_FAMILY,
                                              LSH_DEFAULT_THRESHOLD,
+                                             LSH_MAX_BUCKET,
                                              MERSENNE, ROWS_PER_BAND)
     from yargy_spark.operators.textstats import EN_STOP, TOKEN_PATTERN
 
@@ -1633,7 +1663,7 @@ WITH {df},
 
     minhash_cands = _MINHASH_CANDS.format(
         fam=family_rows, m=MERSENNE, rpb=ROWS_PER_BAND,
-        h=_H60.format(x='shingle'))
+        h=_H60.format(x='shingle'), cap=LSH_MAX_BUCKET)
 
     oracles['minhash_lsh_dups'] = """
 WITH {df},
@@ -1656,12 +1686,21 @@ WITH {df},
     oracles['dedup_incremental'] = ("""
 WITH fam(i, a, b) AS (VALUES
     {fam}),""" + _mh_split_sql('doc_id % 2 = 0', 'b_') + ','
-        + _mh_split_sql('doc_id % 2 = 1', 'i_') + ',' + """
+        + _mh_split_sql('doc_id % 2 = 1', 'i_',
+                        id_expr='doc_id + %d' % DEDUP_INC_OFFSET)
+        + ',' + """
+  i_bstats AS (
+    SELECT band, sig_key, count(*) AS bn, min(doc_id) AS bmin
+    FROM i_bands GROUP BY band, sig_key),
   w_cands AS (
+    -- hot-bucket governor (dedup._band_candidates): buckets over
+    -- {cap} reps emit star edges to the bucket-min doc only
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM i_bands l JOIN i_bands r
       ON l.band = r.band AND l.sig_key = r.sig_key
-    WHERE l.doc_id < r.doc_id),
+    JOIN i_bstats s ON s.band = l.band AND s.sig_key = l.sig_key
+    WHERE l.doc_id < r.doc_id
+      AND (s.bn <= {cap} OR l.doc_id = s.bmin)),
   w_inter AS (
     SELECT c.a, c.b, count(*) AS inter
     FROM w_cands c
@@ -1690,10 +1729,17 @@ WITH fam(i, a, b) AS (VALUES
     JOIN (SELECT rep_id AS a, doc_id AS ma FROM i_grp) ga USING (a)
     JOIN (SELECT rep_id AS b, doc_id AS mb FROM i_grp) gb USING (b)
     WHERE w_allp.a != w_allp.b OR ga.ma < gb.mb),
+  b_bstats AS (
+    SELECT band, sig_key, count(*) AS bn, min(doc_id) AS bmin
+    FROM b_bands GROUP BY band, sig_key),
   x_cands AS (
+    -- bipartite governor form: a HOT state bucket contributes only
+    -- its min-doc rep to the cross band join
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM b_bands l JOIN i_bands r
-      ON l.band = r.band AND l.sig_key = r.sig_key),
+      ON l.band = r.band AND l.sig_key = r.sig_key
+    JOIN b_bstats s ON s.band = l.band AND s.sig_key = l.sig_key
+    WHERE s.bn <= {cap} OR l.doc_id = s.bmin),
   x_inter AS (
     SELECT c.a, c.b, count(*) AS inter
     FROM x_cands c
@@ -1716,7 +1762,8 @@ SELECT a, b, jaccard_x10000, CAST(0 AS INT) AS vs_state FROM w_exp
 UNION ALL
 SELECT a, b, jaccard_x10000, CAST(1 AS INT) AS vs_state FROM x_exp
 """).format(fam=family_rows, m=MERSENNE, rpb=ROWS_PER_BAND,
-            h60s=_H60.format(x='shingle'), thr=LSH_DEFAULT_THRESHOLD)
+            h60s=_H60.format(x='shingle'), thr=LSH_DEFAULT_THRESHOLD,
+            cap=LSH_MAX_BUCKET)
 
     # streaming band collisions: the windowed bucket counts are
     # batch-replayable — per-doc signatures over the SAME shingle
@@ -2637,6 +2684,19 @@ SELECT user_id,
 FROM marked GROUP BY user_id
 """
 
+    # the governor's loud counter (dedup.lsh_hot_buckets): band
+    # buckets whose rep population exceeds the cap, recomputed
+    # through the SAME dedup-first/shingle/banding CTEs the pair
+    # oracle uses (bstats comes from _MINHASH_CANDS verbatim)
+    hot_sql = """
+WITH {df},
+  {sh},
+  {mc}
+SELECT CAST(count(*) AS BIGINT) AS value
+FROM bstats WHERE bn > {cap}
+""".format(df=_DEDUP_FIRST, sh=_SHINGLES_REPS, mc=minhash_cands,
+           cap=LSH_MAX_BUCKET)
+
     # dedup observability report: each metric recomputes through the
     # SAME oracle the family query gates on (nested as subqueries),
     # so the report can never disagree with its constituent gates
@@ -2650,6 +2710,8 @@ FROM ({exact}) WHERE group_size > 1
 UNION ALL
 SELECT 'lsh_dup_pairs', CAST(count(*) AS BIGINT) FROM ({mh})
 UNION ALL
+SELECT 'lsh_hot_buckets', value FROM ({hot})
+UNION ALL
 SELECT 'dup_paragraph_occurrences',
        CAST(coalesce(sum(n_dropped), 0) AS BIGINT) FROM ({para})
 UNION ALL
@@ -2657,6 +2719,7 @@ SELECT 'dup_span_grams',
        CAST(coalesce(sum(n_dup_grams), 0) AS BIGINT) FROM ({spans})
 """.format(exact=oracles['exact_dedup'],
            mh=oracles['minhash_lsh_dups'],
+           hot=hot_sql,
            para=oracles['paragraph_dedup'],
            spans=oracles['dup_spans'])
 

@@ -6,10 +6,18 @@ $SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS]; plus the
 training-data operator suite over the provided documents/embeddings
 tables and one relational aggregate.
 
+Every timed region runs REPS (default 3) times within this one
+invocation and the reported per-query number is the MEDIAN — a
+single host stall (scheduler preemption, page-cache eviction) can
+no longer poison the round artifact the way the round-4 degraded
+hour did; ``queries_min`` carries the per-query minima so a
+systematically loaded session is still visible as median >> min.
+
 Output:
   {"metric": "kg_pipeline_total", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>,
-   "turns": N, "turns_per_sec": X, "cpus": C}
+   "queries": {...per-query median sec...},
+   "queries_min": {...per-query min sec...}, "reps": 3,
+   "sf": <sf>, "turns": N, "turns_per_sec": X, "cpus": C}
 
 The two-cluster-size scaling evidence (local[8] vs local[32]) is a
 separate harness: tools/scaling_bench.py (results in BENCH.md).
@@ -20,10 +28,13 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPS = int(os.environ.get('SPARK_GRAFT_BENCH_REPS', '3'))
 
 
 def sf_of(sf_dir: str) -> float:
@@ -47,12 +58,19 @@ def main():
                           shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel('ERROR')
 
-    timings = {}
+    medians, minima = {}, {}
 
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        """Run ``fn`` REPS times; record median + min wall seconds.
+        Returns the LAST run's result so persisted state (the KG
+        spine's mentions frame) reflects the final execution."""
+        walls, out = [], None
+        for _ in range(REPS):
+            t0 = time.time()
+            out = fn()
+            walls.append(time.time() - t0)
+        medians[name] = round(statistics.median(walls), 3)
+        minima[name] = round(min(walls), 3)
         return out
 
     # --- headline: KG construction over transcripts at SF ------------
@@ -69,6 +87,8 @@ def main():
 
     def _extract():
         nonlocal mentions
+        if mentions is not None:
+            mentions.unpersist()     # re-run from the scan each rep
         mentions = extract_mentions(transcripts).persist()
         return mentions.count()
 
@@ -104,9 +124,9 @@ def main():
         fn = entry.queries()[q]
         timed(q, lambda fn=fn: fn(spark, sf_dir).count())
 
-    total = round(sum(timings.values()), 3)
-    kg_sec = round(timings['kg_extract']
-                   + timings['kg_link_triples'], 3)
+    total = round(sum(medians.values()), 3)
+    kg_sec = round(medians['kg_extract']
+                   + medians['kg_link_triples'], 3)
     result = {
         # value = the whole suite (KG spine + operator queries);
         # the KG spine alone is kg_sec / turns_per_sec
@@ -114,7 +134,9 @@ def main():
         'value': total,
         'kg_sec': kg_sec,
         'unit': 'sec',
-        'queries': timings,
+        'reps': REPS,
+        'queries': medians,
+        'queries_min': minima,
         'sf': sf,
         'turns': n_turns,
         'mentions': n_mentions,

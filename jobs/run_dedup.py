@@ -41,12 +41,26 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel('WARN')
 
-    from yargy_spark.operators.dedup import (exact_dedup,
+    from yargy_spark.operators.dedup import (exact_dedup, md5_int,
                                              minhash_lsh_pairs,
                                              minhash_state)
     from yargy_spark.sources import manifest as mf
 
     s_root = out_dir + '/minhash_state'
+
+    def docs_stamp(docs_df):
+        """Deterministic content stamp of the docs table — the same
+        shape as pipeline.run_dedup_increment's batch_stamp (count,
+        id sum/max, order-independent 31-bit text-hash sum), so the
+        state backfill can verify the docs parquet it reads is the
+        SAME content the committed pairs were derived from."""
+        row = docs_df.agg(F.count('*').alias('n'),
+                          F.sum('doc_id').alias('s'),
+                          F.max('doc_id').alias('m'),
+                          F.sum(md5_int(F.col('text'))
+                                % F.lit(2_147_483_647)).alias('t')
+                          ).collect()[0]
+        return '%s:%s:%s:%s' % (row['n'], row['s'], row['m'], row['t'])
 
     def commit_state(docs_df):
         """REPLACE-commit the near-dup state table the increment job
@@ -63,12 +77,37 @@ def main():
         # pre-round-4 root, or a crash between the pairs and state
         # commits, has pairs but no state — backfill it on rerun
         if mf.current_snapshot(s_root) is None:
-            snap = commit_state(spark.read.parquet(docs_path))
-            print(json.dumps({'status': 'committed',
-                              'reason': 'state backfill '
-                                        '(pairs already committed)',
-                              'snapshot': snap['snapshot_id'],
-                              'totals': snap['totals']}))
+            docs = spark.read.parquet(docs_path).persist()
+            # the backfill recomputes state from the docs parquet AS
+            # IT EXISTS NOW; refuse if that content no longer matches
+            # what the committed pairs were derived from (a silent
+            # mismatch would commit state disagreeing with the pairs)
+            snaps = mf.snapshots(out_dir)
+            recorded = next(
+                (s['counters']['docs_stamp'] for s in reversed(snaps)
+                 if s.get('counters', {}).get('docs_stamp')), None)
+            stamp = docs_stamp(docs)
+            if recorded is not None and recorded != stamp:
+                print(json.dumps({
+                    'status': 'refused',
+                    'reason': 'docs content stamp mismatch: pairs '
+                              'were committed from %s but the docs '
+                              'parquet now stamps %s — rerun the '
+                              'full job against a fresh out_dir'
+                              % (recorded, stamp)}))
+                spark.stop()
+                sys.exit(1)
+            snap = commit_state(docs)
+            out = {'status': 'committed',
+                   'reason': 'state backfill '
+                             '(pairs already committed)',
+                   'snapshot': snap['snapshot_id'],
+                   'totals': snap['totals']}
+            if recorded is None:
+                out['warning'] = ('pre-stamp pairs root: docs '
+                                  'content could not be verified '
+                                  'against the committed pairs')
+            print(json.dumps(out))
         else:
             print(json.dumps({'status': 'noop',
                               'reason': 'all buckets committed'}))
@@ -98,6 +137,9 @@ def main():
         'pairs': bucketed.count(),
         'wall_sec': round(time.time() - t0, 3),
         'buckets': pending,
+        # ties the pairs commit to the docs content so the state
+        # backfill can refuse a drifted input (see docs_stamp)
+        'docs_stamp': docs_stamp(docs),
     }
     snap = mf.commit_append(bucketed, out_dir, note='dedup-pairs',
                             counters=counters,

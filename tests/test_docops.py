@@ -285,6 +285,72 @@ def test_boilerplate_cluster_candidates_linear(spark, monkeypatch):
     assert {(r['a'], r['b']) for r in rep_out} == {(1000, 1001)}
 
 
+def test_viral_neardup_cluster_candidates_linear(spark, monkeypatch,
+                                                 tmp_path):
+    """The hot-band-bucket governor: m NEAR-identical copies (same
+    boilerplate, a differing trailing token — so exact-first CANNOT
+    collapse them) must reach the Jaccard verify stage with O(m)
+    candidate pairs (star edges to the bucket-min doc), never
+    O(m^2); the verified output must still CONNECT every member (the
+    dup_clusters CC path recovers the cluster), lsh_hot_buckets must
+    report the governed buckets loudly, and the DuckDB oracle must
+    replay the governed candidate set exactly."""
+    import duckdb
+    import __spark_entry__ as entry_mod
+    from yargy_spark.operators import dedup
+
+    m = 200
+    base = ('общий шаблонный текст страницы каталога товаров '
+            'магазина запчастей номер один два три четыре пять')
+    rows = ([(i, '%s метка %d' % (base, i)) for i in range(m)]
+            + [(1000, 'совсем другой документ про стальные диски '
+                      'и крупные заводы области')])
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+
+    seen = {}
+    orig = dedup._verify_pairs
+
+    def spy(cands, left_rows, right_rows):
+        seen['cands'] = cands.count()
+        return orig(cands, left_rows, right_rows)
+
+    monkeypatch.setattr(dedup, '_verify_pairs', spy)
+    out = dedup.minhash_lsh_pairs(docs).collect()
+
+    # O(m) candidates: ungoverned this corpus emits up to
+    # m*(m-1)/2 = 19900 pairs (every doc shares every band bucket);
+    # star edges bound it by ~N_BANDS * m before the distinct
+    assert seen['cands'] <= 8 * m
+    # ...but connectivity survives: every member appears in a
+    # verified pair, and one CC over the pairs is the whole cluster
+    from yargy_spark.operators.linking import connected_components
+    edges = spark.createDataFrame(
+        [(r['a'], r['b']) for r in out], 'src long, dst long')
+    cc = {r['node']: r['component']
+          for r in connected_components(edges).collect()}
+    cluster = {cc[i] for i in range(m)}
+    assert len(cluster) == 1
+    assert 1000 not in cc          # the unrelated doc never pairs
+
+    # the loud counter fires: every band bucket holding the cluster
+    # exceeds the cap with the full population
+    hot = dedup.lsh_hot_buckets(docs).collect()
+    assert hot and all(r['bn'] > dedup.LSH_MAX_BUCKET for r in hot)
+    # the differing suffix token perturbs a few bands' minhashes, so
+    # the hottest bucket holds MOST (not all) of the cluster
+    assert max(r['bn'] for r in hot) > m // 2
+
+    # the SQL twin replays the governed semantics exactly
+    path = str(tmp_path / 'documents.parquet')
+    docs.toPandas().to_parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM '%s'" % path)
+    oracle = {(r[0], r[1], r[2]) for r in con.execute(
+        entry_mod.oracle_sql()['minhash_lsh_dups']).fetchall()}
+    got = {(r['a'], r['b'], r['jaccard_x10000']) for r in out}
+    assert got == oracle
+
+
 def test_neardup_oracle_replays_duplicates(spark, tmp_path):
     """The DuckDB oracle must replay dedup-first semantics on a corpus
     that CONTAINS exact duplicates (the sf gate corpora have none, so

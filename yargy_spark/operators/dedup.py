@@ -52,6 +52,13 @@ N_BANDS, ROWS_PER_BAND = 8, 2
 # the pairs the operator claims; ngram_jaccard_pairs is the exact
 # (full-recall) baseline for lower thresholds.
 LSH_DEFAULT_THRESHOLD = 3500
+# hot-band-bucket governor: a band bucket with more than this many
+# representatives emits STAR edges to the bucket-min doc instead of
+# all pairs (see _band_candidates).  Exact-first collapse already
+# removes identical-text clusters; what this bounds is the
+# NEAR-identical viral cluster (10^5 copies differing by a timestamp)
+# that would otherwise produce O(cluster^2) candidate rows.
+LSH_MAX_BUCKET = 64
 
 
 def _norm_text(col):
@@ -393,23 +400,93 @@ def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 3,
                       threshold_x10000: int = LSH_DEFAULT_THRESHOLD,
-                      expand_groups: bool = True) -> DataFrame:
+                      expand_groups: bool = True,
+                      max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """MinHash+LSH near-dup pairs: banded signatures bucket candidate
     pairs, exact Jaccard verifies them (a < b).  The banded bucket join
     is the 100 TB path — no all-pairs comparison ever happens, and
     exact-duplicate texts collapse to representatives before banding
     (identical docs share every band; a boilerplate cluster would
-    otherwise blow up the bucket join — see ``_exact_groups``)."""
+    otherwise blow up the bucket join — see ``_exact_groups``).
+    Band buckets larger than ``max_bucket`` emit star edges only (see
+    ``_band_candidates``) — pass ``None`` to disable the governor."""
     reps, groups = _exact_groups(docs)
-    rep_pairs = _minhash_rep_pairs(reps, k, threshold_x10000)
+    rep_pairs = _minhash_rep_pairs(reps, k, threshold_x10000,
+                                   max_bucket)
     if not expand_groups:
         return rep_pairs
     return _expand_groups(rep_pairs, groups, reps, k,
                           'jaccard_x10000')
 
 
+def _band_candidates(bands: DataFrame,
+                     max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """(a, b) candidate pairs (a < b) from a banded-signature frame,
+    with the HOT-BUCKET GOVERNOR: buckets of ``max_bucket`` or fewer
+    docs pair all members; larger buckets emit only STAR edges to the
+    bucket-min doc — O(members) instead of O(members^2).
+
+    Why this is safe for clustering and what it trades: exact-first
+    collapse removes identical-text clusters, but a NEAR-identical
+    viral cluster (10^5 boilerplate copies differing by a timestamp)
+    lands every member in the same buckets and would emit O(m^2)
+    candidate rows.  With star edges every member is still verified
+    against the bucket-min rep, so ``connected_components`` over the
+    verified pairs (the ``dup_clusters`` path, linking.py's
+    large/small-star CC) recovers the cluster; what is lost is the
+    DIRECT pair (x, y) where neither is the bucket min AND the pair
+    shares no small bucket — acceptable for dedup (survivor pruning
+    and clustering both key off connectivity, not pair completeness).
+    Make it LOUD, not silent: ``lsh_hot_buckets`` reports the
+    governed buckets, and ``dedup_report`` carries the count.
+
+    Shape: bucket stats groupBy + two joins, all keyed on
+    (band, sig_key) — the same partitioning end-to-end, so AQE plans
+    one logical exchange family; the hot-star branch is a map-side
+    filter of the stats-joined stream.  ``max_bucket=None`` disables
+    the governor (the pre-round-5 all-pairs behavior)."""
+    left = bands.select(F.col('doc_id').alias('a'), 'band', 'sig_key')
+    right = bands.select(F.col('doc_id').alias('b'), 'band', 'sig_key')
+    if max_bucket is None:
+        return (left.join(right, ['band', 'sig_key'])
+                .where(F.col('a') < F.col('b'))
+                .select('a', 'b').distinct())
+    stats = (bands.groupBy('band', 'sig_key')
+             .agg(F.count('*').alias('bn'),
+                  F.min('doc_id').alias('bmin')))
+    sized = bands.join(stats, ['band', 'sig_key'])
+    small = (sized.where(F.col('bn') <= max_bucket)
+             .select(F.col('doc_id').alias('b'), 'band', 'sig_key'))
+    all_pairs = (left.join(small, ['band', 'sig_key'])
+                 .where(F.col('a') < F.col('b'))
+                 .select('a', 'b'))
+    star = (sized.where((F.col('bn') > max_bucket)
+                        & (F.col('doc_id') != F.col('bmin')))
+            .select(F.col('bmin').alias('a'),
+                    F.col('doc_id').alias('b')))
+    return all_pairs.unionByName(star).distinct()
+
+
+def lsh_hot_buckets(docs: DataFrame, k: int = 3,
+                    max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """The governor's observability face: every (band, sig_key)
+    bucket whose representative population exceeds ``max_bucket`` —
+    i.e. the buckets ``_band_candidates`` degrades to star edges —
+    with its population and min-doc witness.  Empty on a healthy
+    corpus; rows here mean a near-identical mega-cluster (or a
+    degenerate band) that deserves operator eyes."""
+    reps, _groups = _exact_groups(docs)
+    bands = _sig_bands(_state_rows(reps, k))
+    return (bands.groupBy('band', 'sig_key')
+            .agg(F.count('*').alias('bn'),
+                 F.min('doc_id').alias('bmin'))
+            .where(F.col('bn') > max_bucket)
+            .select('band', 'sig_key', 'bn', 'bmin'))
+
+
 def _minhash_rep_pairs(reps: DataFrame, k: int,
-                       threshold_x10000: int) -> DataFrame:
+                       threshold_x10000: int,
+                       max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Banded-signature candidates + exact-Jaccard verify over an
     already exact-dedup'd (doc_id, text) frame — shared by
     ``minhash_lsh_pairs`` and ``clean_corpus`` so a composition never
@@ -417,17 +494,14 @@ def _minhash_rep_pairs(reps: DataFrame, k: int,
 
     Everything hangs off ONE ``_state_rows`` aggregation: banding is
     map-only array slicing over its ``sig`` column (band key =
-    '_'-joined minhashes in hash_idx order) and the verify stage uses
-    its stored ``shs``/``sz`` arrays — one shingle-stream Exchange
-    total, where the pre-round-4 plan paid three (band groupBy +
-    signature agg + verify doc_sets agg)."""
+    '_'-joined minhashes in hash_idx order), candidate generation is
+    the governed bucket join (``_band_candidates``), and the verify
+    stage uses the stored ``shs``/``sz`` arrays — one shingle-stream
+    Exchange total, where the pre-round-4 plan paid three (band
+    groupBy + signature agg + verify doc_sets agg)."""
     rows = _state_rows(reps, k)
     bands = _sig_bands(rows)
-    left = bands.select(F.col('doc_id').alias('a'), 'band', 'sig_key')
-    right = bands.select(F.col('doc_id').alias('b'), 'band', 'sig_key')
-    cands = (left.join(right, ['band', 'sig_key'])
-             .where(F.col('a') < F.col('b'))
-             .select('a', 'b').distinct())
+    cands = _band_candidates(bands, max_bucket)
     pairs = _verify_pairs(cands, rows, rows)
     return (pairs
             .where(F.col('jaccard_x10000') >= threshold_x10000)
@@ -450,8 +524,8 @@ def minhash_state(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def dedup_increment(new_docs: DataFrame, state: DataFrame,
                     k: int = 3,
-                    threshold_x10000: int = LSH_DEFAULT_THRESHOLD
-                    ) -> tuple:
+                    threshold_x10000: int = LSH_DEFAULT_THRESHOLD,
+                    max_bucket: int = LSH_MAX_BUCKET) -> tuple:
     """Check a NEW batch against committed near-dup state and roll
     the state forward — near-dup dedup between monthly full
     ``minhash_lsh_pairs`` re-runs, mirroring incremental entity
@@ -483,15 +557,10 @@ def dedup_increment(new_docs: DataFrame, state: DataFrame,
     reps, groups = _exact_groups(new_docs)
     new_rows = _state_rows(reps, k)
 
-    # within-batch pairs: the batch operator's exact semantics
+    # within-batch pairs: the batch operator's exact semantics,
+    # including its hot-bucket governor (_band_candidates)
     wb_bands = _sig_bands(new_rows)
-    wb_cands = (wb_bands.select(F.col('doc_id').alias('a'),
-                                'band', 'sig_key')
-                .join(wb_bands.select(F.col('doc_id').alias('b'),
-                                      'band', 'sig_key'),
-                      ['band', 'sig_key'])
-                .where(F.col('a') < F.col('b'))
-                .select('a', 'b').distinct())
+    wb_cands = _band_candidates(wb_bands, max_bucket)
     wb_rep_pairs = (_verify_pairs(wb_cands, new_rows, new_rows)
                     .where(F.col('jaccard_x10000')
                            >= threshold_x10000))
@@ -501,10 +570,31 @@ def dedup_increment(new_docs: DataFrame, state: DataFrame,
     # cross pairs: state bands vs batch bands, verified on the
     # state's stored arrays; expand only the NEW side (state is
     # already rep-level, and its own members were paired when their
-    # batch was the increment)
-    cross_cands = (_sig_bands(state)
+    # batch was the increment).  The governor's bipartite form: when
+    # a STATE bucket holds more than max_bucket reps (a near-
+    # identical mega-cluster accreted over increments), each batch
+    # doc is checked against that bucket's min-doc rep only —
+    # any-match detection survives (the rep IS a cluster member),
+    # candidate volume drops from O(|state bucket| x |batch bucket|)
+    # to O(|batch bucket|).  The batch side is batch-sized by
+    # contract and stays ungoverned.
+    s_bands = _sig_bands(state)
+    if max_bucket is None:
+        s_side = s_bands.select(F.col('doc_id').alias('a'),
+                                'band', 'sig_key')
+    else:
+        s_stats = (s_bands.groupBy('band', 'sig_key')
+                   .agg(F.count('*').alias('bn'),
+                        F.min('doc_id').alias('bmin')))
+        s_small = (s_bands.join(s_stats, ['band', 'sig_key'])
+                   .where(F.col('bn') <= max_bucket)
                    .select(F.col('doc_id').alias('a'),
-                           'band', 'sig_key')
+                           'band', 'sig_key'))
+        s_star = (s_stats.where(F.col('bn') > max_bucket)
+                  .select(F.col('bmin').alias('a'),
+                          'band', 'sig_key'))
+        s_side = s_small.unionByName(s_star)
+    cross_cands = (s_side
                    .join(wb_bands.select(F.col('doc_id').alias('b'),
                                          'band', 'sig_key'),
                          ['band', 'sig_key'])

@@ -83,6 +83,13 @@ def _ppm_header_tokens(payload: bytes, n: int):
         if start == pos:
             raise ValueError('truncated netpbm header')
         out.append(int(payload[start:pos]))
+    # the spec mandates exactly ONE whitespace byte between the last
+    # header token and the raster; validate it instead of assuming —
+    # a truncated header would otherwise shift every raster byte
+    if not payload[pos:pos + 1].isspace():
+        raise ValueError(
+            'netpbm header must end with a single whitespace byte, '
+            'got %r at offset %d' % (payload[pos:pos + 1], pos))
     return out, pos + 1  # single whitespace separates header/raster
 
 
@@ -106,6 +113,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         if maxval > 255:
             raise NotImplementedError('16-bit netpbm not supported')
         n = width * height * channels
+        # exact-size check: a writer that ended the header with CRLF
+        # (nonstandard — '\r' counts as the separator and '\n' lands
+        # in the raster) or truncated the raster leaves a size
+        # mismatch; refuse loudly rather than decode shifted bytes
+        if len(payload) - off != n:
+            raise ValueError(
+                'netpbm raster is %d bytes, expected exactly %d '
+                '(CRLF-terminated header or truncated payload?)'
+                % (len(payload) - off, n))
         raster = np.frombuffer(payload, np.uint8, count=n, offset=off)
         return raster.reshape(height, width, channels)
     if magic == b'BM':

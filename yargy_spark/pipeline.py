@@ -442,6 +442,10 @@ def run_dedup_increment(spark: SparkSession, new_docs: DataFrame,
     s_out = f'{out_root}/minhash_state'
     p_root = f'{out_root}/dup_pairs'
     mf.check_n_buckets(s_out, n_buckets)
+    # the pairs root too: a rerun after a crash BETWEEN the two
+    # commits would otherwise pass the state-root check and append
+    # pairs bucketed at a different n_buckets into the same table
+    mf.check_n_buckets(p_root, n_buckets)
 
     # batch content stamp: one aggregation over the increment (which
     # is batch-sized by definition) — a changed batch re-derives even
