@@ -642,6 +642,22 @@ def q_ann_query_topk(spark, sf_dir) -> DataFrame:
         emb.where(F.col('vec_id') % 2 == 0))
 
 
+def q_ann_query_ivf_topk(spark, sf_dir) -> DataFrame:
+    """Probe-filtered cross-table retrieval — the 10^9-vector scale
+    path for q_ann_query_topk: the corpus (even half) is k-means
+    assigned once, the query batch (first 10 odd vec_ids) probes its
+    4 nearest cells, and the corpus stream carries a literal
+    probe-cell IN-filter BEFORE the broadcast join (plan-guarded in
+    test_scale_guards).  n_centroids pinned to 16 so the DuckDB
+    oracle replays the exact codebook."""
+    from yargy_spark.operators.similarity import query_topk
+    emb = _emb(spark, sf_dir)
+    return query_topk(
+        emb.where((F.col('vec_id') % 2 == 1) & (F.col('vec_id') < 20)),
+        emb.where(F.col('vec_id') % 2 == 0),
+        ivf=(16, 4))
+
+
 def q_dup_spans(spark, sf_dir) -> DataFrame:
     """Span-level duplication (exact-substring-dedup proxy): corpus
     frequency of positional 8-gram occurrences (dedup.dup_span_scores)."""
@@ -1016,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_incremental': q_dedup_incremental,
         'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
+        'ann_query_ivf_topk': q_ann_query_ivf_topk,
         'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
@@ -1919,15 +1936,19 @@ FROM per_bit GROUP BY doc_id
     # Deterministic k-means replay (similarity._centroids): hash-
     # sampled seeds + one Lloyd round over integer-quantized
     # components — centroid coordinates are exact int-sums divided as
-    # doubles, so both engines compute bit-identical values.
-    kmeans_ctes = """
+    # doubles, so both engines compute bit-identical values.  ``src``
+    # is the table/CTE the codebook is built over (the full
+    # embeddings table for the self-join oracles; the corpus half for
+    # the cross-table retrieval oracle, matching
+    # _centroids_rows(corpus, ...)).
+    _kmeans_sql = """
 seeds AS (
   SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS centroid_id,
          embedding AS centv
   FROM (SELECT vec_id, embedding,
                ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
                  ::int64 AS h
-        FROM embeddings)
+        FROM {src})
   ORDER BY h, vec_id LIMIT 16),
 assign0 AS (
   SELECT vec_id, embedding, centroid_id FROM (
@@ -1936,7 +1957,7 @@ assign0 AS (
              PARTITION BY e.vec_id
              ORDER BY floor(10000.0 * list_cosine_similarity(
                  e.embedding, s.centv)) DESC, s.centroid_id ASC) AS r
-    FROM embeddings e CROSS JOIN seeds s)
+    FROM {src} e CROSS JOIN seeds s)
   WHERE r = 1),
 comp AS (
   SELECT centroid_id, i AS pos,
@@ -1949,6 +1970,7 @@ cent AS (
                CAST(sum(q) AS DOUBLE) / count(*) / 10000.0 AS val
         FROM comp GROUP BY centroid_id, pos)
   GROUP BY centroid_id)"""
+    kmeans_ctes = _kmeans_sql.format(src='embeddings')
 
     oracles['simhash_dup_pairs'] = """
 WITH {df},
@@ -2215,6 +2237,52 @@ SELECT query_id, neighbor_id,
        cos_x10000
 FROM ranked WHERE rank <= 5
 """.format(km=kmeans_ctes)
+
+    # cross-table IVF retrieval: the codebook is built over the
+    # CORPUS half only (query_topk's _centroids_rows(corpus, ...));
+    # candidate pairs are (query probe cell) x (corpus cell) joins —
+    # the oracle has no separate IN-filter because the USING join is
+    # semantically identical (the Spark-side literal filter is a plan
+    # optimization, asserted in test_scale_guards, not a semantics
+    # change)
+    oracles['ann_query_ivf_topk'] = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+{km},
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY floor(10000.0 * list_cosine_similarity(
+                 e.embedding, c.centv)) DESC, c.centroid_id ASC) AS r
+    FROM corpus e CROSS JOIN cent c)
+  WHERE r = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY floor(10000.0 * list_cosine_similarity(
+                 q.embedding, c.centv)) DESC, c.centroid_id ASC) AS r
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % 2 = 1 AND q.vec_id < 20)
+  WHERE r <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(floor(10000.0 * list_cosine_similarity(
+             p.qv, a.embedding)) AS BIGINT) AS cos_x10000
+  FROM probes p JOIN assigned a USING (centroid_id)),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cos_x10000 DESC, neighbor_id ASC) AS rank
+  FROM cand)
+SELECT query_id, neighbor_id,
+       CAST(rank AS INT) AS rank,  -- Spark row_number() is INT
+       cos_x10000
+FROM ranked WHERE rank <= 5
+""".format(km=_kmeans_sql.format(src='corpus'))
 
     oracles['lang_id'] = """
 SELECT doc_id,

@@ -252,3 +252,60 @@ def test_round4_plan_shapes(spark):
     # something else and fail here
     hps = re.findall(r'Exchange hashpartitioning\(([^,)]+)', p)
     assert hps and all('query_id' in h for h in hps)
+
+
+def test_query_topk_ivf_plan_and_recall(spark):
+    """query_topk(ivf=...) — the 10^9-vector retrieval path: the
+    corpus stream must carry the literal probe-cell IN-filter BEFORE
+    the broadcast probe join (so a centroid-partitioned materialized
+    corpus prunes at the scan), the join must be a broadcast HASH
+    join on centroid_id (never a NestedLoop over the full corpus),
+    and the only hash repartition is the per-query top-k window.
+    Semantics: probing ALL cells must reproduce the exact path
+    row-for-row; probing few cells keeps rank-1 recall high (every
+    query's probe includes its own best cell unless quantization
+    splits them — bound asserted, value printed as the recall row)."""
+    import re
+
+    from yargy_spark.operators.similarity import query_topk
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 11),
+              float(i % 5) + 1.0]) for i in range(60)],
+        'vec_id long, embedding array<double>')
+    queries = emb.where('vec_id < 4')
+    corpus = emb.where('vec_id >= 4')
+
+    ivf = query_topk(queries, corpus, ivf=(8, 2))
+    p = plan(ivf)
+    assert 'BroadcastNestedLoopJoin' not in p
+    assert 'BroadcastHashJoin' in p and 'centroid_id' in p
+    # the literal probe-cell filter sits on the corpus stream
+    assert re.search(r'centroid_id#\d+ IN\b|centroid_id#\d+ INSET',
+                     p), p
+    hps = re.findall(r'Exchange hashpartitioning\(([^,)]+)', p)
+    assert hps and all('query_id' in h for h in hps)
+
+    # probe ALL cells -> exactly the exact path's output
+    exact = {(r['query_id'], r['rank'], r['neighbor_id'],
+              r['cos_x10000'])
+             for r in query_topk(queries, corpus).collect()}
+    full = {(r['query_id'], r['rank'], r['neighbor_id'],
+             r['cos_x10000'])
+            for r in query_topk(queries, corpus, ivf=(8, 8)).collect()}
+    assert full == exact
+
+    # the recall row: narrow probes vs exact top-5 neighbor sets
+    got = {}
+    for r in ivf.collect():
+        got.setdefault(r['query_id'], set()).add(r['neighbor_id'])
+    want = {}
+    for q, _rk, n, _c in exact:
+        want.setdefault(q, set()).add(n)
+    recall = (sum(len(got.get(q, set()) & ns) for q, ns in want.items())
+              / sum(len(ns) for ns in want.values()))
+    print('ann_query_ivf recall@5 (n_probe=2/8): %.3f' % recall)
+    assert recall >= 0.4

@@ -142,27 +142,64 @@ def cosine_topk(embeddings: DataFrame, k: int = 5,
 
 
 def query_topk(queries: DataFrame, corpus: DataFrame,
-               k: int = 5) -> DataFrame:
-    """Cross-table brute-force cosine top-k — the RETRIEVAL shape (a
-    query batch against an indexed corpus), vs ``cosine_topk``'s
-    self-join.  Returns (query_id, neighbor_id, rank, cos_x10000).
+               k: int = 5, ivf: tuple | None = None) -> DataFrame:
+    """Cross-table cosine top-k — the RETRIEVAL shape (a query batch
+    against an indexed corpus), vs ``cosine_topk``'s self-join.
+    Returns (query_id, neighbor_id, rank, cos_x10000).
 
-    Scale shape: the query side is batch-sized by definition, so it
-    is BROADCAST and the corpus never shuffles — the scan streams
-    through one BroadcastNestedLoopJoin + the Arrow cosine UDF; the
-    only exchange is the per-query top-k window, whose input
-    WindowGroupLimit caps map-side at k rows per (partition, query).
-    For corpus-side pre-filtering at 100 TB, assign the corpus to IVF
-    cells once (``ivf_assign``) and filter to the queries' probe
-    cells before calling this."""
+    ``ivf=None`` (exact): the query side is batch-sized by
+    definition, so it is BROADCAST and the corpus never shuffles —
+    the scan streams through one BroadcastNestedLoopJoin + the Arrow
+    cosine UDF; the only exchange is the per-query top-k window,
+    whose input WindowGroupLimit caps map-side at k rows per
+    (partition, query).  Exact, but a FULL corpus scan per batch —
+    wrong at 10^9 vectors.
+
+    ``ivf=(n_centroids, n_probe)`` (the scale path): k-means the
+    CORPUS (``_centroids_rows`` — deterministic, quantized sums),
+    assign each corpus vector to its nearest cell and each query to
+    its ``n_probe`` nearest cells (both map-only over one broadcast
+    codebook), then cosine only (query, corpus-in-probe-cell) pairs.
+    The distinct probe-cell set (≤ |batch| x n_probe ids, collected
+    driver-side — O(batch) metadata, not data) is pushed as a
+    LITERAL ``centroid_id IN (...)`` filter on the corpus stream
+    BEFORE the broadcast probe join, so each batch touches
+    ~n_probe/n_centroids of the corpus; against a materialized
+    ``ivf_assign`` table partitioned by centroid_id the same literal
+    becomes partition pruning at the scan.  Approximate: recall is
+    bounded by probe coverage (see test_scale_guards'
+    recall-vs-exact row)."""
     q = queries.select(F.col('vec_id').alias('query_id'),
                        F.col('embedding').alias('qv'))
-    c = corpus.select(F.col('vec_id').alias('neighbor_id'),
-                      F.col('embedding').alias('cv'))
-    scored = (F.broadcast(q).crossJoin(c)
-              .select('query_id', 'neighbor_id',
-                      cosine_x10000_np(F.col('qv'), F.col('cv'))
-                      .alias('cos_x10000')))
+    if ivf is None:
+        c = corpus.select(F.col('vec_id').alias('neighbor_id'),
+                          F.col('embedding').alias('cv'))
+        scored = (F.broadcast(q).crossJoin(c)
+                  .select('query_id', 'neighbor_id',
+                          cosine_x10000_np(F.col('qv'), F.col('cv'))
+                          .alias('cos_x10000')))
+    else:
+        n_centroids, n_probe = ivf
+        spark = corpus.sparkSession
+        cent_rows = _centroids_rows(corpus, n_centroids)
+        bc = codebook_broadcast(spark, cent_rows)
+        assigned = _nearest(corpus, cent_rows, 1, bc=bc)
+        probe_udf = nearest_centroid_udf(spark, cent_rows,
+                                         n_probe, bc=bc)
+        probes = q.select('query_id', 'qv',
+                          F.explode(probe_udf(F.col('qv')))
+                          .alias('centroid_id'))
+        cells = sorted({r['centroid_id']
+                        for r in probes.select('centroid_id')
+                        .distinct().collect()})
+        scored = (assigned
+                  .where(F.col('centroid_id').isin(cells))
+                  .join(F.broadcast(probes), 'centroid_id')
+                  .select('query_id',
+                          F.col('vec_id').alias('neighbor_id'),
+                          cosine_x10000_np(F.col('qv'),
+                                           F.col('embedding'))
+                          .alias('cos_x10000')))
     w = Window.partitionBy('query_id').orderBy(
         F.desc('cos_x10000'), F.asc('neighbor_id'))
     return (scored.withColumn('rank', F.row_number().over(w))
