@@ -642,6 +642,53 @@ def q_ann_query_topk(spark, sf_dir) -> DataFrame:
         emb.where(F.col('vec_id') % 2 == 0))
 
 
+def q_kg_extract_report(spark, sf_dir) -> DataFrame:
+    """CappedParser observability at corpus level (extract_audit):
+    the golden corpus plus one pathological 'a 'x40 turn (the
+    cookbook cells 5-7 ambiguous grammar at cap=50 — combinatorial
+    parse count, budget trips mid-chart) plus one never-triggered
+    turn.  The report proves the poison turn's abort FIRES and is
+    COUNTED per-turn (not silently swallowed), kernel errors stay
+    zero, and trigger coverage is visible — the extraction analog of
+    dedup_report."""
+    from yargy_spark import or_, rule
+    from yargy_spark.extractors import (EXTRACTORS, CompiledBank,
+                                        Extractor)
+    from yargy_spark.operators.extract import extract_audit
+    from yargy_spark.sources.transcripts import golden_only_transcripts
+
+    def _amb():
+        return or_(rule('a'), rule('a', 'a')).repeatable().named('AMB')
+
+    pool = dict(EXTRACTORS)
+    pool['amb'] = Extractor('amb', 'Amb', _amb, trigger='a', cap=50)
+    bank = CompiledBank(names=list(pool), extractors=pool)
+
+    extra = spark.createDataFrame(
+        [('poison0', 0, 'user', 'a ' * 40, None),   # trips the budget
+         ('quiet0', 0, 'user', 'zz zz zz', None)],  # never triggers
+        'conv_id string, turn_idx int, role string, text string, '
+        'tool string').withColumn(
+            'ts', F.timestamp_seconds(F.lit(1_700_000_000)))
+    audit = extract_audit(
+        golden_only_transcripts(spark).unionByName(extra), bank=bank)
+    agg = audit.agg(
+        F.count('*').cast('long').alias('turns_total'),
+        F.sum('triggered').cast('long').alias('turns_triggered'),
+        F.sum((F.col('n_budget_aborts') > 0).cast('int'))
+        .cast('long').alias('turns_budget_aborted'),
+        F.sum('n_budget_aborts').cast('long').alias('budget_aborts'),
+        F.sum('n_mentions').cast('long').alias('mentions'),
+        F.sum('n_errors').cast('long').alias('kernel_errors'))
+    return agg.selectExpr(
+        "stack(6, 'turns_total', turns_total, "
+        "'turns_triggered', turns_triggered, "
+        "'turns_budget_aborted', turns_budget_aborted, "
+        "'budget_aborts', budget_aborts, "
+        "'mentions', mentions, "
+        "'kernel_errors', kernel_errors) AS (metric, value)")
+
+
 def q_ann_query_ivf_topk(spark, sf_dir) -> DataFrame:
     """Probe-filtered cross-table retrieval — the 10^9-vector scale
     path for q_ann_query_topk: the corpus (even half) is k-means
@@ -1033,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
         'ann_query_ivf_topk': q_ann_query_ivf_topk,
+        'kg_extract_report': q_kg_extract_report,
         'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
@@ -1377,6 +1425,22 @@ def oracle_sql() -> dict[str, str]:
 
     oracles['kg_facts_golden'] = _values_rows(
         kg, ['conv_id', 'rule_id', 'fact_json'])
+
+    # CappedParser observability (q_kg_extract_report): fixture =
+    # golden corpus + 1 poison turn ('a 'x40, ambiguous grammar at
+    # cap=50 -> exactly one (turn, rule) budget abort) + 1 turn no
+    # trigger matches; mentions = the golden fact count (the same
+    # EXPECTED_FACTS the kg_facts_golden oracle pins — the poison and
+    # quiet turns contribute zero)
+    from yargy_spark.sources.transcripts import GOLDEN_SENTENCES
+    oracles['kg_extract_report'] = _values_rows([
+        ('turns_total', len(GOLDEN_SENTENCES) + 2),
+        ('turns_triggered', len(GOLDEN_SENTENCES) + 1),
+        ('turns_budget_aborted', 1),
+        ('budget_aborts', 1),
+        ('mentions', len(kg)),
+        ('kernel_errors', 0),
+    ], ['metric', 'value'], casts={'value': 'BIGINT'})
 
     oracles['kg_triples_date'] = _values_rows([
         ('g000003', 'day', '8'), ('g000003', 'month', '6'),

@@ -61,6 +61,45 @@ def test_poison_turn_budget(spark):
     assert metrics['turns'].value == 2  # stage completed both turns
 
 
+def test_extract_audit_per_turn(spark):
+    """extract_audit: every input turn keeps a row (non-triggered
+    included), the poison turn's budget abort is attributed to ITS
+    row, and a kernel fault lands in n_errors — never in
+    n_budget_aborts."""
+    from yargy_spark.extractors import (EXTRACTORS, CompiledBank,
+                                        Extractor)
+    from yargy_spark.operators.extract import extract_audit
+    from yargy_spark.testing import FaultyParser
+
+    pool = dict(EXTRACTORS)
+    pool['amb'] = Extractor('amb', 'Amb', _ambiguous_rule,
+                            trigger='a', cap=50)
+    bank = CompiledBank(names=['name', 'amb'], extractors=pool)
+    bank.parsers.append(
+        ('faulty', 'Faulty', FaultyParser(), None, None, False))
+
+    turns = spark.createDataFrame(
+        [('p0', 0, 'a ' * 40),            # amb budget abort + fault
+         ('p1', 0, 'пришла Маша Иванова'),  # clean name match + fault
+         ('p2', 0, 'zz zz'),   # no DECLARED trigger fires (the post-
+                               # hoc FaultyParser doesn't widen the
+                               # bank's trigger union) -> untriggered
+                               # row kept with zero counts
+         ('p3', 0, '')],       # empty: untriggered, zero counts
+        'conv_id string, turn_idx int, text string')
+    rows = {r['conv_id']: r for r in extract_audit(
+        turns, bank=bank).collect()}
+    assert set(rows) == {'p0', 'p1', 'p2', 'p3'}
+    assert rows['p0']['triggered'] == 1
+    assert rows['p0']['n_budget_aborts'] == 1
+    assert rows['p0']['n_errors'] == 1          # FaultyParser raises
+    assert rows['p1']['n_budget_aborts'] == 0
+    assert rows['p1']['n_mentions'] > 0
+    assert rows['p1']['n_errors'] == 1
+    assert rows['p2']['triggered'] == 0 and rows['p2']['n_mentions'] == 0
+    assert rows['p3']['triggered'] == 0 and rows['p3']['n_errors'] == 0
+
+
 def test_kernel_fault_is_not_a_budget_abort(spark):
     """A non-budget kernel exception must surface in the ``errors``
     metric — never as ``budget_aborts`` — and must not disturb other

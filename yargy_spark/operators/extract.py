@@ -129,6 +129,72 @@ def _run_bank(bank: CompiledBank, batches: Iterator[pd.DataFrame],
         # cannot be Arrow-converted to list<struct> columns
 
 
+AUDIT_SCHEMA = StructType([
+    StructField('conv_id', StringType()),
+    StructField('turn_idx', IntegerType()),
+    StructField('triggered', IntegerType()),
+    StructField('n_mentions', IntegerType()),
+    StructField('n_budget_aborts', IntegerType()),
+    StructField('n_errors', IntegerType()),
+])
+
+
+def extract_audit(transcripts: DataFrame,
+                  extractor_names=None,
+                  bank: Optional[CompiledBank] = None,
+                  use_trigger: bool = True) -> DataFrame:
+    """Per-turn extraction OBSERVABILITY table — the corpus-level face
+    of the CappedParser budget (the accumulators in
+    ``make_extract_metrics`` are driver-side job telemetry; this is
+    the queryable per-turn record): one row per input turn with
+    (triggered, n_mentions, n_budget_aborts, n_errors).
+
+    Unlike ``extract_mentions``, NON-triggered turns are kept
+    (triggered=0, zero counts) so trigger coverage is visible; the
+    bank runs only on triggered turns, mirroring the production
+    pushdown.  A poison turn that trips the parse budget shows up as
+    n_budget_aborts > 0 (one count per aborted (turn, rule)) instead
+    of vanishing silently; a kernel fault shows as n_errors > 0.
+    Scale shape: the trigger is a JVM-side projection (no filter —
+    every turn keeps its row), the kernel runs in the same
+    mapInPandas shape as extraction, output is one skinny row per
+    turn — at 100 TB you run this on a sampled or suspect slice, or
+    aggregate it (see __spark_entry__.q_kg_extract_report)."""
+    spark = transcripts.sparkSession
+    if bank is None:
+        bank = CompiledBank(extractor_names)
+    trigger = bank.trigger_regex if use_trigger else None
+    src = transcripts.select(
+        'conv_id', 'turn_idx', 'text',
+        (F.col('text').isNotNull()
+         & (F.col('text').rlike(trigger) if trigger is not None
+            else F.length('text') > 0))
+        .cast('int').alias('triggered'))
+
+    payload = spark.sparkContext.broadcast(bank)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bank_ = payload.value
+        for pdf in batches:
+            out = []
+            for conv_id, turn_idx, text, trig in zip(
+                    pdf['conv_id'].values, pdf['turn_idx'].values,
+                    pdf['text'].values, pdf['triggered'].values):
+                n_m = n_a = n_e = 0
+                if trig and text:
+                    stats: dict = {}
+                    n_m = sum(1 for _ in bank_.run(text, stats))
+                    n_a = stats.get('budget_aborts', 0)
+                    n_e = stats.get('errors', 0)
+                out.append((conv_id, int(turn_idx), int(trig),
+                            n_m, n_a, n_e))
+            if out:   # empty object-typed frames can't Arrow-convert
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in AUDIT_SCHEMA.fields])
+
+    return src.mapInPandas(fn, AUDIT_SCHEMA)
+
+
 def extract_mentions(transcripts: DataFrame,
                      extractor_names=None,
                      use_trigger: bool = True,
