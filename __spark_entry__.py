@@ -846,6 +846,19 @@ def q_multimodal_decode(spark, sf_dir) -> DataFrame:
     return decode_stats(synth_ppm_media(_docs(spark, sf_dir)))
 
 
+def q_multimodal_png(spark, sf_dir) -> DataFrame:
+    """PNG decode path: deterministic REAL 8-bit PNG payloads
+    (synth_png_media — channels doc_id%4+1 covering gray/gray+alpha/
+    RGB/RGBA, row filter (doc_id+y)%5 covering every unfilter branch)
+    -> binary column -> decode_image (stdlib-zlib DEFLATE + scanline
+    unfilter) -> per-image stats.  The oracle recomputes the stats
+    from the generating doc_id arithmetic, so a filter-arithmetic,
+    chunk-walk, or raster-order bug breaks the hash."""
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_png_media)
+    return decode_stats(synth_png_media(_docs(spark, sf_dir)))
+
+
 def q_doc_splits(spark, sf_dir) -> DataFrame:
     """Leakage-safe deterministic train/val/test split by hashed
     doc_id (operators/sampling.py::hash_split) — 98/1/1 in basis
@@ -1076,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'materialize_sequences': q_materialize_sequences,
         'mixture_re_tokens': q_mixture_re_tokens,
         'multimodal_decode': q_multimodal_decode,
+        'multimodal_png': q_multimodal_png,
         'dedup_incremental': q_dedup_incremental,
         'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
@@ -2543,6 +2557,28 @@ SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
        CAST(sum(((doc_id % 256) * 7 + j * 13) % 256) * 100
             // (3 * width * height) AS BIGINT) AS byte_mean_x100
 FROM bytes GROUP BY doc_id, width, height
+"""
+
+    # PNG variant: same generating arithmetic with channels =
+    # doc_id%4+1 — the oracle never runs a codec; if the Spark side's
+    # zlib/unfilter path misreads one byte, byte_sum diverges
+    oracles['multimodal_png'] = """
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 8 + 4 AS INT) AS width,
+         CAST(doc_id % 6 + 4 AS INT) AS height,
+         CAST(doc_id % 4 + 1 AS INT) AS channels
+  FROM documents),
+bytes AS (
+  SELECT doc_id, width, height, channels,
+         unnest(generate_series(0, channels * width * height - 1)) AS j
+  FROM dims)
+SELECT doc_id, width, height, channels,
+       CAST(channels * width * height AS INT) AS n_bytes,
+       CAST(sum(((doc_id % 256) * 7 + j * 13) % 256)
+            AS BIGINT) AS byte_sum,
+       CAST(sum(((doc_id % 256) * 7 + j * 13) % 256) * 100
+            // (channels * width * height) AS BIGINT) AS byte_mean_x100
+FROM bytes GROUP BY doc_id, width, height, channels
 """
 
     oracles['multimodal_meta'] = """

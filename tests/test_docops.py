@@ -637,6 +637,80 @@ def test_decode_image_bmp():
         decode_image(bytes(bad))
 
 
+def test_decode_image_png():
+    """8-bit PNG: encode -> decode is the identity for every channel
+    layout (gray / gray+alpha / RGB / RGBA) under every filter type
+    0-4 and mixed per-row filters; multi-chunk IDAT concatenates;
+    palette / 16-bit / interlaced refuse with NotImplementedError;
+    a truncated image stream refuses with ValueError."""
+    import zlib
+
+    import numpy as np
+    from yargy_spark.operators.multimodal import (_png_chunk, _PNG_SIG,
+                                                  decode_image,
+                                                  encode_png)
+    rng = np.random.RandomState(42)
+    for c in (1, 2, 3, 4):
+        arr = rng.randint(0, 256, (7, 9, c), dtype=np.uint8)
+        for ft in range(5):
+            p = encode_png(arr, row_filter=lambda y, f=ft: f)
+            out = decode_image(p)
+            assert out.shape == (7, 9, c) and (out == arr).all(), (c, ft)
+        # mixed filters, including the w=1 edge (left neighbor absent)
+        p = encode_png(arr[:, :1], row_filter=lambda y: (y + 1) % 5)
+        assert (decode_image(p) == arr[:, :1]).all()
+
+    # IDAT split across chunks is ONE zlib stream (PNG spec §10)
+    arr = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    whole = encode_png(arr, row_filter=lambda y: 4)
+    # rebuild: signature + IHDR + IDAT split in two + IEND
+    ihdr_len = int.from_bytes(whole[8:12], 'big')
+    ihdr = whole[8:8 + 12 + ihdr_len]
+    idat_off = 8 + 12 + ihdr_len
+    idat_len = int.from_bytes(whole[idat_off:idat_off + 4], 'big')
+    z = whole[idat_off + 8:idat_off + 8 + idat_len]
+    split = (_PNG_SIG + ihdr + _png_chunk(b'IDAT', z[:3])
+             + _png_chunk(b'IDAT', z[3:]) + _png_chunk(b'IEND', b''))
+    assert (decode_image(split) == arr).all()
+
+    def png_with_ihdr(depth=8, color=2, interlace=0):
+        ihdr = ((4).to_bytes(4, 'big') + (2).to_bytes(4, 'big')
+                + bytes([depth, color, 0, 0, interlace]))
+        raw = zlib.compress(bytes(2 * (1 + 4 * 3)))
+        return (_PNG_SIG + _png_chunk(b'IHDR', ihdr)
+                + _png_chunk(b'IDAT', raw) + _png_chunk(b'IEND', b''))
+
+    for bad in (dict(depth=16), dict(color=3), dict(interlace=1)):
+        with pytest.raises(NotImplementedError):
+            decode_image(png_with_ihdr(**bad))
+    with pytest.raises(ValueError):  # truncated image stream
+        decode_image(_PNG_SIG + ihdr
+                     + _png_chunk(b'IDAT', zlib.compress(b'\x00' * 5))
+                     + _png_chunk(b'IEND', b''))
+
+
+def test_decode_stats_png(spark):
+    """synth_png_media -> decode_stats matches the generating doc_id
+    arithmetic (the DuckDB oracle's formula) across all four channel
+    layouts and all five row filters."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_png_media)
+    ids = (0, 1, 2, 3, 7, 255, 256, 1001)
+    df = spark.createDataFrame([(i,) for i in ids], 'doc_id long')
+    got = {r['doc_id']: r for r in
+           decode_stats(synth_png_media(df)).collect()}
+    for doc_id in ids:
+        w, h, c = doc_id % 8 + 4, doc_id % 6 + 4, doc_id % 4 + 1
+        j = np.arange(w * h * c, dtype=np.int64)
+        expect = ((doc_id % 256) * 7 + j * 13) % 256
+        r = got[doc_id]
+        assert (r['width'], r['height'], r['channels']) == (w, h, c)
+        assert r['n_bytes'] == w * h * c
+        assert r['byte_sum'] == int(expect.sum())
+        assert r['byte_mean_x100'] == int(expect.sum()) * 100 // (w * h * c)
+
+
 def test_decode_stats(spark):
     """synth_ppm_media -> decode_stats matches the doc_id arithmetic
     the DuckDB oracle recomputes (full encode->decode round trip)."""

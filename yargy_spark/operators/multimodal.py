@@ -4,10 +4,10 @@ Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / resize / frame-sample are Pandas-UDF stages over
 ``mapInPandas``.  The codec boundary is explicit and PARTLY real:
 
-  * ``decode_image`` is a pure-Python decoder for the public
-    uncompressed raster formats — binary PPM (P6) / PGM (P5) and
-    24-bit BI_RGB BMP — returning an ``(h, w, c)`` uint8 array.
-    Compressed formats (JPEG/PNG/video) still raise
+  * ``decode_image`` is a pure-Python decoder for the public raster
+    formats — binary PPM (P6) / PGM (P5), 24-bit BI_RGB BMP, and
+    8-bit PNG (stdlib-zlib DEFLATE + scanline unfilter) — returning
+    an ``(h, w, c)`` uint8 array.  JPEG/video still raise
     NotImplementedError: those need codec libraries (PIL/ffmpeg)
     that plug in at deploy time behind the same signature.
   * ``fake_decode`` is the byte-histogram stand-in kept for the
@@ -102,10 +102,16 @@ def decode_image(payload: bytes) -> np.ndarray:
       * ``BM`` 24-bit uncompressed (BI_RGB) BMP: bottom-up or
         top-down (negative height), 4-byte row padding, BGR -> RGB.
 
-    Compressed formats remain the deploy-time codec boundary
-    (reference parity note: the reference's external-tool boundary is
+      * 8-bit PNG (gray / gray+alpha / RGB / RGBA, non-interlaced) —
+        DEFLATE via stdlib zlib + per-scanline unfilter
+        (``decode_png``).
+
+    JPEG/video remain the deploy-time codec boundary (reference
+    parity note: the reference's external-tool boundary is
     dot.py:18-26 shelling to graphviz; same pattern — pure fallback
     in-tree, rich codec pluggable)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     magic = payload[:2]
     if magic in (b'P6', b'P5'):
         channels = 3 if magic == b'P6' else 1
@@ -140,9 +146,172 @@ def decode_image(payload: bytes) -> np.ndarray:
         img = rows[:, :width * 3].reshape(height, width, 3)[..., ::-1]
         return img if top_down else img[::-1]
     raise NotImplementedError(
-        'compressed image formats (JPEG/PNG/...) require a codec '
-        'library not present in this environment; P6/P5/24-bit BMP '
-        'decode natively, use fake_decode for other plumbing tests')
+        'unsupported image format: P6/P5, 24-bit BMP and 8-bit PNG '
+        'decode natively; JPEG/video require a codec library not '
+        'present in this environment (use fake_decode for other '
+        'plumbing tests)')
+
+
+_PNG_SIG = b'\x89PNG\r\n\x1a\n'
+# 8-bit color types <-> channel counts (palette type 3 excluded: it
+# needs a PLTE lookup — an explicit boundary, not a decode bug)
+_PNG_CTYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS_CTYPE = {v: k for k, v in _PNG_CTYPE_CHANNELS.items()}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, height: int, width: int,
+                  channels: int) -> np.ndarray:
+    """Reverse the per-scanline filters (types 0-4) of a decompressed
+    PNG image stream: each scanline is 1 filter-type byte + w*c
+    sample bytes (8-bit depth).  Filters 0/2 are row-vectorized;
+    1/3/4 have a left-neighbor dependency and run per byte — fine for
+    thumbnail-scale payloads; a SIMD codec plugs in at deploy time
+    behind the same ``decode_image`` signature."""
+    stride = width * channels
+    need = height * (stride + 1)
+    if len(raw) != need:
+        raise ValueError(
+            'PNG image stream is %d bytes, expected exactly %d '
+            '(truncated IDAT or dimension mismatch)' % (len(raw), need))
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int64)
+        pos += stride
+        if ftype == 0:                        # None
+            cur = row
+        elif ftype == 2:                      # Up
+            cur = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):              # Sub / Average / Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, int(prev[x]), c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError('unknown PNG filter type %d (row %d)'
+                             % (ftype, y))
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-Python PNG decode via stdlib zlib (DEFLATE) + per-scanline
+    unfiltering: 8-bit grayscale / gray+alpha / RGB / RGBA,
+    non-interlaced.  Chunk walk validates lengths and stops at IEND;
+    IDAT chunks concatenate into ONE zlib stream (spec §10 — chunk
+    boundaries carry no meaning).  Explicit boundaries raise
+    NotImplementedError: palette (needs PLTE), 16-bit depth, Adam7
+    interlace."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError('not a PNG payload')
+    pos, width, height, channels = 8, None, None, None
+    idat = []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos:pos + 4], 'big')
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError('truncated PNG chunk %r' % ctype)
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b'IHDR':
+            width = int.from_bytes(data[0:4], 'big')
+            height = int.from_bytes(data[4:8], 'big')
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8:
+                raise NotImplementedError(
+                    'PNG bit depth %d not supported (8 only)' % depth)
+            if color not in _PNG_CTYPE_CHANNELS:
+                raise NotImplementedError(
+                    'PNG color type %d not supported (palette needs '
+                    'a PLTE lookup)' % color)
+            if interlace != 0:
+                raise NotImplementedError(
+                    'Adam7 interlaced PNG not supported')
+            channels = _PNG_CTYPE_CHANNELS[color]
+        elif ctype == b'IDAT':
+            idat.append(data)
+        elif ctype == b'IEND':
+            break
+    if width is None or not idat:
+        raise ValueError('PNG missing IHDR or IDAT')
+    raw = zlib.decompress(b''.join(idat))
+    return _png_unfilter(raw, height, width, channels)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+    return (len(data).to_bytes(4, 'big') + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, 'big'))
+
+
+def encode_png(arr: np.ndarray, row_filter=None) -> bytes:
+    """Encode an (h, w[, c]) uint8 array as 8-bit PNG.  ``row_filter``
+    maps row index -> filter type 0-4 (default: all 0) so round-trip
+    tests can exercise every unfilter branch deterministically."""
+    import zlib
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = _PNG_CHANNELS_CTYPE[c]
+    bpp = c
+    flat = arr.reshape(h, w * c).astype(np.int64)
+    lines = bytearray()
+    prev = np.zeros(w * c, np.int64)
+    for y in range(h):
+        ftype = int(row_filter(y)) if row_filter else 0
+        cur = flat[y]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            enc = cur.copy()
+            for x in range(w * c):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(prev[x])) >> 1
+                else:
+                    cc = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(a, int(prev[x]), cc)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        else:
+            raise ValueError('unknown PNG filter type %d' % ftype)
+        lines.append(ftype)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (w.to_bytes(4, 'big') + h.to_bytes(4, 'big')
+            + bytes([8, color, 0, 0, 0]))
+    return (_PNG_SIG + _png_chunk(b'IHDR', ihdr)
+            + _png_chunk(b'IDAT', zlib.compress(bytes(lines)))
+            + _png_chunk(b'IEND', b''))
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -191,6 +360,33 @@ def synth_ppm_media(docs: DataFrame) -> DataFrame:
                     raster.astype(np.uint8).reshape(h, w, 3))})
             yield pd.DataFrame(
                 rows, columns=['doc_id', 'payload'])
+
+    return docs.select('doc_id').mapInPandas(fn, PPM_MEDIA_SCHEMA)
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payload per document: same raster
+    arithmetic as ``synth_ppm_media`` (byte j = ((doc_id%256)*7 +
+    j*13) % 256, w = doc_id%8+4, h = doc_id%6+4) but with channels =
+    doc_id%4+1 (grayscale / gray+alpha / RGB / RGBA) and row filter
+    type (doc_id + y) % 5 — every PNG color layout AND every filter
+    branch is exercised corpus-wide, while an independent engine can
+    still recompute the decoded stats from doc_id arithmetic alone."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf['doc_id'].values:
+                doc_id = int(doc_id)
+                w, h = doc_id % 8 + 4, doc_id % 6 + 4
+                c = doc_id % 4 + 1
+                j = np.arange(w * h * c, dtype=np.int64)
+                raster = (((doc_id % 256) * 7 + j * 13) % 256)
+                rows.append({'doc_id': doc_id, 'payload': encode_png(
+                    raster.astype(np.uint8).reshape(h, w, c),
+                    row_filter=lambda y, d=doc_id: (d + y) % 5)})
+            if rows:
+                yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
 
     return docs.select('doc_id').mapInPandas(fn, PPM_MEDIA_SCHEMA)
 
