@@ -210,3 +210,93 @@ def test_stream_band_collisions(spark, tmp_path):
     # bucket contains doc 3's near-dup signature too
     assert len(out) == 8
     assert any(r['n_docs'] == 3 for r in out)
+
+
+def test_stream_dedup_bridge(spark, tmp_path):
+    """Stream -> committed-state bridge (pipeline.run_stream_dedup_
+    bridge): a collision observed in-stream lands in the committed
+    dup_pairs after the bridge runs; quiet windows still roll the
+    state forward; reruns noop end-to-end; and a restart with newer
+    data commits the previously-open tail window."""
+    import json as _json
+    from yargy_spark.operators.dedup import minhash_state
+    from yargy_spark.pipeline import run_stream_dedup_bridge
+    from yargy_spark.sources import manifest as mf
+
+    base_text = ('the quick brown fox jumps over the lazy dog near '
+                 'the river bank today')
+    near = base_text.replace('today', 'tonight')
+    other = ('completely unrelated words about spark clusters '
+             'shuffling partitions everywhere')
+
+    base = str(tmp_path / 'base')
+    out = str(tmp_path / 'bridge')
+    docs0 = spark.createDataFrame([(0, base_text)],
+                                  'doc_id long, text string')
+    mf.commit_replace(
+        mf.with_bucket(minhash_state(docs0), 4, key='doc_id'),
+        base + '/minhash_state', note='minhash_state', n_buckets=4)
+
+    src = tmp_path / 'docs_in'
+    src.mkdir()
+    mk = lambda i, text, h, m: {'doc_id': i, 'text': text,  # noqa: E731
+                                'ts': '2026-01-01T%02d:%02d:00.000Z'
+                                      % (h, m)}
+    rows = [mk(1, base_text, 0, 0), mk(2, other, 0, 1),   # w0: quiet
+            mk(10, near, 0, 5), mk(11, base_text, 0, 6),  # w1: collide
+            mk(100, 'fresh prose on morphology grammars parsers and '
+                    'knowledge graph triples', 0, 40)]     # sentinel
+    with open(src / 'b1.json', 'w') as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + '\n')
+
+    res = run_stream_dedup_bridge(spark, str(src), base, out,
+                                  n_buckets=4)
+    w0, w1 = 1767225600, 1767225600 + 300
+    # the sentinel's window is still open: only w0/w1 closed+committed
+    assert res['windows'] == [w0, w1]
+    assert res['committed'] == [w0, w1] and res['nooped'] == []
+
+    # the in-stream collision signal exists for w1 (docs 10/11 share
+    # band buckets) and for nothing else
+    coll = spark.read.parquet(out + '/collisions').collect()
+    assert coll and {r['win_start'] for r in coll} == {w1}
+    assert all(r['min_doc'] == 10 for r in coll)
+
+    # ...and that collision LANDS IN THE COMMITTED dup_pairs of w1's
+    # root: the within-batch verified pair plus both vs-state pairs
+    # against the chained state's doc 0
+    p1 = {(r['a'], r['b'], r['vs_state']) for r in mf.read_table(
+        spark, out + '/win=%d/dup_pairs' % w1).collect()}
+    assert (10, 11, 0) in p1
+    assert (0, 10, 1) in p1 and (0, 11, 1) in p1
+
+    # the QUIET window w0 still rolled forward: its exact copy of the
+    # state doc paired vs_state, its fresh doc joined the state
+    p0 = {(r['a'], r['b'], r['vs_state']) for r in mf.read_table(
+        spark, out + '/win=%d/dup_pairs' % w0).collect()}
+    assert p0 == {(0, 1, 1)}
+    s1 = {r['doc_id'] for r in mf.read_table(
+        spark, out + '/win=%d/minhash_state' % w1).collect()}
+    assert s1 == {0, 2}           # dups pruned, survivors chained
+
+    # rerun: stream drains nothing new, every increment noops
+    res2 = run_stream_dedup_bridge(spark, str(src), base, out,
+                                   n_buckets=4)
+    assert res2['committed'] == [] and res2['nooped'] == [w0, w1]
+
+    # restart with newer data: the watermark passes the sentinel's
+    # window -> it closes and commits on the NEXT bridge run, chained
+    # off w1's root
+    with open(src / 'b2.json', 'w') as fh:
+        fh.write(_json.dumps(
+            mk(101, 'another unique document about entirely distinct '
+                    'subject matter and vocabulary', 1, 20)) + '\n')
+    res3 = run_stream_dedup_bridge(spark, str(src), base, out,
+                                   n_buckets=4)
+    w40 = 1767225600 + 2400
+    assert res3['committed'] == [w40]
+    assert res3['nooped'] == [w0, w1]
+    s40 = {r['doc_id'] for r in mf.read_table(
+        spark, out + '/win=%d/minhash_state' % w40).collect()}
+    assert s40 == {0, 2, 100}

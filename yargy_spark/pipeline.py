@@ -492,3 +492,105 @@ def run_dedup_increment(spark: SparkSession, new_docs: DataFrame,
     finally:
         pairs.unpersist()
     return snap
+
+
+def run_stream_dedup_bridge(spark: SparkSession, src_dir: str,
+                            base_root: str, out_root: str,
+                            n_buckets: int = 8,
+                            watermark: str = '10 minutes',
+                            window: str = '5 minutes') -> dict:
+    """Bridge the STREAMING near-dup signal into the COMMITTED dedup
+    state: drain the docs stream, then roll every CLOSED event-time
+    window into the ``minhash_state``/``dup_pairs`` chain the batch
+    and increment jobs maintain — window-close -> exact-verify ->
+    state roll-forward.
+
+    Stage A (stream, exactly-once via checkpoints under ``out_root``):
+      * ``<out>/windows`` — per-window doc counts in APPEND mode:
+        a watermarked aggregation emits a window only once the
+        watermark passes it, so presence in this sink IS the
+        window-close signal.  EVERY closed window lands here
+        (collision or not: quiet windows must still roll into state,
+        or later collisions against their docs are lost).
+      * ``<out>/collisions`` — ``stream_band_collisions`` in append
+        mode: the in-stream candidate signal (band bucket with >= 2
+        docs).  Observability + the restart test's assertion surface;
+        the exact-verify below re-derives candidates from the SAME
+        band layout, so a collision here is by construction a
+        candidate there.
+      (Two drains of the source; at scale fan both out of one
+      foreachBatch instead.)
+
+    Stage B (batch): for each closed window, ascending, feed the
+    window's docs to ``run_dedup_increment`` against the CHAINED root
+    (base -> win1 -> win2 ...), committing that window's verified
+    ``dup_pairs`` and rolled ``minhash_state``.  Reruns: the stream
+    drains nothing new and every increment noops on its (state
+    snapshot, batch stamp); a crash mid-chain noops the committed
+    prefix and re-derives the suffix.  The still-open tail window(s)
+    of a drained static source commit on a LATER bridge run, once
+    newer data advances the watermark past them.
+
+    Contract guard: window docs must carry doc_ids above every id
+    already in the chained state (the increment operator's
+    ids-time-ordered contract) — violated input raises rather than
+    committing misoriented pairs."""
+    from .streaming.dedup import stream_band_collisions
+
+    src_schema = 'doc_id long, text string, ts timestamp'
+
+    def drain(df, sub):
+        (df.writeStream.format('parquet')
+         .option('path', f'{out_root}/{sub}')
+         .option('checkpointLocation', f'{out_root}/_chk_{sub}')
+         .outputMode('append')
+         .trigger(availableNow=True)
+         .start().awaitTermination())
+
+    stream = spark.readStream.schema(src_schema).json(src_dir)
+    drain(stream
+          .withWatermark('ts', watermark)
+          .groupBy(F.window('ts', window))
+          .agg(F.count('*').alias('n_docs'),
+               F.min('doc_id').alias('min_doc'),
+               F.max('doc_id').alias('max_doc'))
+          .select(F.unix_timestamp('window.start').alias('win_start'),
+                  F.unix_timestamp('window.end').alias('win_end'),
+                  'n_docs', 'min_doc', 'max_doc'),
+          'windows')
+    stream2 = spark.readStream.schema(src_schema).json(src_dir)
+    drain(stream_band_collisions(stream2, watermark=watermark,
+                                 window=window),
+          'collisions')
+
+    closed = sorted(
+        (int(r['win_start']), int(r['win_end']))
+        for r in spark.read.parquet(f'{out_root}/windows')
+        .select('win_start', 'win_end').distinct().collect())
+
+    docs = spark.read.schema(src_schema).json(src_dir)
+    prev, committed, nooped = base_root, [], []
+    for win_start, win_end in closed:
+        win_root = f'{out_root}/win={win_start}'
+        batch = (docs.where(
+            (F.col('ts').cast('long') >= win_start)
+            & (F.col('ts').cast('long') < win_end))
+            .select('doc_id', 'text'))
+        state_max = mf.read_table(
+            spark, f'{prev}/minhash_state').agg(
+            F.max('doc_id')).collect()[0][0]
+        batch_min = batch.agg(F.min('doc_id')).collect()[0][0]
+        if batch_min is not None and state_max is not None \
+                and batch_min <= state_max:
+            raise ValueError(
+                'window %d docs start at id %d but the chained state '
+                'already holds id %d — the stream source violates '
+                'the ids-time-ordered increment contract'
+                % (win_start, batch_min, state_max))
+        snap = run_dedup_increment(spark, batch, prev, win_root,
+                                   n_buckets=n_buckets)
+        (committed if snap is not None else nooped).append(win_start)
+        prev = win_root
+    return {'windows': [w for w, _ in closed],
+            'committed': committed, 'nooped': nooped,
+            'head_root': prev}
