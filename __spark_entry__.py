@@ -1054,13 +1054,17 @@ def q_event_sessions(spark, sf_dir) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the external driver's CORRECTNESS artifact
     # reports only the FIRST 50 entries (round-3 VERDICT finding).
-    # Priority inside the window: (a) queries never driver-confirmed
-    # (the relational family, failed r1-r2 and cut from the r3 window),
-    # (b) queries NEW or semantically changed this round, (c) the rest.
-    # The tail past 50 holds only entries driver-gated green in prior
-    # rounds with unchanged semantics (oracle baselines, streaming
-    # replicas) — see BASELINE.md "driver reporting window".
+    # ROTATION POLICY (round-4 VERDICT #2, documented in BASELINE.md
+    # "driver reporting window"): the window holds, in priority
+    # order, (a) queries NEW or semantically changed this round —
+    # including queries whose ORACLES nest a changed fragment, (b)
+    # every entry that fell past the cap LAST round (so the union of
+    # two consecutive CORRECTNESS artifacts re-gates all queries with
+    # a <= 1-round-old green row), (c) fillers gated in the fewest
+    # prior rounds.  Entries confirmed green last round with unchanged
+    # semantics rotate to the tail.
     return {
+        # -- the KG headline family (cheap, the north-rule spine)
         'kg_facts_golden': q_kg_facts_golden,
         'kg_triples_date': q_kg_triples_date,
         'kg_entities': q_kg_entities,
@@ -1076,54 +1080,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_lemma_tokens': q_kg_lemma_tokens,
         'kg_entity_cooccurrence': q_kg_entity_cooccurrence,
         'kg_entity_degree': q_kg_entity_degree,
-        # -- relational family: keep inside the driver window (r3 #1)
-        'pricing_summary': q_pricing_summary,
-        'top_customers': q_top_customers,
-        'idle_customers': q_idle_customers,
-        'orders_rollup': q_orders_rollup,
-        'event_sessions': q_event_sessions,
-        # -- round-4 additions / changed semantics go here
-        'kg_merge_apply': q_kg_merge_apply,
-        'pii_scrub': q_pii_scrub,
-        'filter_corpus': q_filter_corpus,
-        'materialize_sequences': q_materialize_sequences,
-        'mixture_re_tokens': q_mixture_re_tokens,
-        'multimodal_decode': q_multimodal_decode,
-        'multimodal_png': q_multimodal_png,
-        'dedup_incremental': q_dedup_incremental,
-        'paragraph_dedup': q_paragraph_dedup,
-        'ann_query_topk': q_ann_query_topk,
+        # -- NEW this round (never gated)
         'ann_query_ivf_topk': q_ann_query_ivf_topk,
         'kg_extract_report': q_kg_extract_report,
-        'dup_spans': q_dup_spans,
-        'rare_tokens': q_rare_tokens,
-        'remove_dup_spans': q_remove_dup_spans,
-        'dedup_report': q_dedup_report,
-        'stream_band_collisions': q_stream_band_collisions,
-        # simhash re-oracled at 60 bits this round -> stays in-window
-        'simhash_docs': q_simhash_docs,
-        # -- previously-gated, unchanged
-        'events_asof_bucketed': q_events_asof_bucketed,
-        'transcripts_tool_stats': q_transcripts_tool_stats,
-        'context_windows': q_context_windows,
-        'ngram_jaccard_dups': q_ngram_jaccard_dups,
+        'multimodal_png': q_multimodal_png,
+        # -- CHANGED this round: the LSH hot-bucket governor rewrites
+        # the candidate stage of the whole minhash family (and
+        # dup_clusters' oracle nests the pair oracle); the
+        # dedup_incremental gate now offsets batch ids per the
+        # operator contract; dedup_report gained the hot-bucket row;
+        # multimodal_decode's netpbm parser gained strict validation
         'minhash_lsh_dups': q_minhash_lsh_dups,
         'clean_corpus': q_clean_corpus,
         'dup_clusters': q_dup_clusters,
-        'simhash_dup_pairs': q_simhash_dup_pairs,
-        'embedding_dup_pairs': q_embedding_dup_pairs,
-        'ann_ivf_topk': q_ann_ivf_topk,
-        'repetition_scores': q_repetition_scores,
-        'corpus_vocabulary': q_corpus_vocabulary,
-        'top_ngrams': q_top_ngrams,
-        'lang_balanced_sample': q_lang_balanced_sample,
-        'source_reservoir': q_source_reservoir,
-        # ---- entries below may fall past the driver's 50-query cap;
-        # ---- all were driver-gated hash-green in rounds 2-3 with
-        # ---- byte-identical default plans (the mixture/packing trio
-        # ---- gained an OPTIONAL token_expr whose default is
-        # ---- unchanged; the changed variant mixture_re_tokens is
-        # ---- in-window).  See BASELINE.md "driver reporting window".
+        'dedup_incremental': q_dedup_incremental,
+        'dedup_report': q_dedup_report,
+        'multimodal_decode': q_multimodal_decode,
+        # -- rotated IN: past the cap in round 4 (last gated r2/r3)
         'decontam_pairs': q_decontam_pairs,
         'mixture_sample': q_mixture_sample,
         'mixture_epochs': q_mixture_epochs,
@@ -1141,6 +1114,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'quality_scores': q_quality_scores,
         'token_counts': q_token_counts,
         'doc_fingerprints': q_doc_fingerprints,
+        # -- fillers: gated only once so far (new in round 4)
+        'kg_merge_apply': q_kg_merge_apply,
+        'pii_scrub': q_pii_scrub,
+        'filter_corpus': q_filter_corpus,
+        'materialize_sequences': q_materialize_sequences,
+        'mixture_re_tokens': q_mixture_re_tokens,
+        'paragraph_dedup': q_paragraph_dedup,
+        'ann_query_topk': q_ann_query_topk,
+        'dup_spans': q_dup_spans,
+        'rare_tokens': q_rare_tokens,
+        # ---- entries below fall past the driver's 50-query cap;
+        # ---- every one was driver-gated hash-green in ROUND 4
+        # ---- (CORRECTNESS_r04.json) with unchanged semantics and
+        # ---- oracles, so each keeps a <= 1-round-old green row.
+        'remove_dup_spans': q_remove_dup_spans,
+        'pricing_summary': q_pricing_summary,
+        'top_customers': q_top_customers,
+        'idle_customers': q_idle_customers,
+        'orders_rollup': q_orders_rollup,
+        'event_sessions': q_event_sessions,
+        'stream_band_collisions': q_stream_band_collisions,
+        'simhash_docs': q_simhash_docs,
+        'events_asof_bucketed': q_events_asof_bucketed,
+        'transcripts_tool_stats': q_transcripts_tool_stats,
+        'context_windows': q_context_windows,
+        'ngram_jaccard_dups': q_ngram_jaccard_dups,
+        'simhash_dup_pairs': q_simhash_dup_pairs,
+        'embedding_dup_pairs': q_embedding_dup_pairs,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'repetition_scores': q_repetition_scores,
+        'corpus_vocabulary': q_corpus_vocabulary,
+        'top_ngrams': q_top_ngrams,
+        'lang_balanced_sample': q_lang_balanced_sample,
+        'source_reservoir': q_source_reservoir,
     }
 
 

@@ -573,11 +573,18 @@ def dedup_increment(new_docs: DataFrame, state: DataFrame,
     # batch was the increment).  The governor's bipartite form: when
     # a STATE bucket holds more than max_bucket reps (a near-
     # identical mega-cluster accreted over increments), each batch
-    # doc is checked against that bucket's min-doc rep only —
-    # any-match detection survives (the rep IS a cluster member),
-    # candidate volume drops from O(|state bucket| x |batch bucket|)
-    # to O(|batch bucket|).  The batch side is batch-sized by
-    # contract and stays ungoverned.
+    # doc is checked against that bucket's min-doc rep only: when the
+    # hot bucket IS one mega-cluster, any-match detection survives
+    # (the rep is a cluster member); if it is a heterogeneous band
+    # hash collision instead, a batch doc similar only to a NON-min
+    # member is missed in THAT band — but such a pair still surfaces
+    # through any of its other N_BANDS-1 buckets (hot buckets are
+    # per-(band, key), and an unrelated-doc pile-up in several bands
+    # at once is vanishingly unlikely), and lsh_hot_buckets /
+    # dedup_report count every governed bucket loudly.  Candidate
+    # volume drops from O(|state bucket| x |batch bucket|) to
+    # O(|batch bucket|).  The batch side is batch-sized by contract
+    # and stays ungoverned.
     s_bands = _sig_bands(state)
     if max_bucket is None:
         s_side = s_bands.select(F.col('doc_id').alias('a'),
