@@ -705,6 +705,34 @@ def q_ann_query_ivf_topk(spark, sf_dir) -> DataFrame:
         ivf=(16, 4))
 
 
+def q_ann_query_indexed(spark, sf_dir) -> DataFrame:
+    """Retrieval against a MATERIALIZED IVF index (build once, query
+    many — similarity.write_ivf_index + query_topk_indexed): the
+    cells parquet is hive-partitioned by centroid_id so the query
+    batch's probe-cell filter prunes whole partitions at the scan
+    (PartitionFilters, plan-guarded in test_scale_guards).  Same
+    deterministic codebook and therefore the same rows as the inline
+    ``ivf=(16, 4)`` path, so the oracle is shared with
+    ann_query_ivf_topk.  The index root is a deterministic
+    per-sf_dir temp path; write_ivf_index overwrites, so rebuilds
+    are idempotent."""
+    import hashlib
+    import os
+    import tempfile
+    from yargy_spark.operators.similarity import (query_topk_indexed,
+                                                  write_ivf_index)
+    emb = _emb(spark, sf_dir)
+    tag = hashlib.sha1(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(),
+                        'yargy_spark_ivf_gate_' + tag)
+    write_ivf_index(emb.where(F.col('vec_id') % 2 == 0), root,
+                    n_centroids=16)
+    return query_topk_indexed(
+        emb.where((F.col('vec_id') % 2 == 1) & (F.col('vec_id') < 20)),
+        root, k=5, n_probe=4)
+
+
 def q_dup_spans(spark, sf_dir) -> DataFrame:
     """Span-level duplication (exact-substring-dedup proxy): corpus
     frequency of positional 8-gram occurrences (dedup.dup_span_scores)."""
@@ -1082,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_entity_degree': q_kg_entity_degree,
         # -- NEW this round (never gated)
         'ann_query_ivf_topk': q_ann_query_ivf_topk,
+        'ann_query_indexed': q_ann_query_indexed,
         'kg_extract_report': q_kg_extract_report,
         'multimodal_png': q_multimodal_png,
         # -- CHANGED this round: the LSH hot-bucket governor rewrites
@@ -1123,11 +1152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
         'dup_spans': q_dup_spans,
-        'rare_tokens': q_rare_tokens,
         # ---- entries below fall past the driver's 50-query cap;
         # ---- every one was driver-gated hash-green in ROUND 4
         # ---- (CORRECTNESS_r04.json) with unchanged semantics and
         # ---- oracles, so each keeps a <= 1-round-old green row.
+        # ---- (rare_tokens yielded its slot to the new
+        # ---- ann_query_indexed per priority (a) of the policy.)
+        'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
         'pricing_summary': q_pricing_summary,
         'top_customers': q_top_customers,
@@ -2368,6 +2399,11 @@ SELECT query_id, neighbor_id,
        cos_x10000
 FROM ranked WHERE rank <= 5
 """.format(km=_kmeans_sql.format(src='corpus'))
+
+    # materialized-index retrieval is row-identical to the inline
+    # probe-filtered path by construction (same deterministic
+    # codebook; asserted in test_scale_guards) — shared oracle
+    oracles['ann_query_indexed'] = oracles['ann_query_ivf_topk']
 
     oracles['lang_id'] = """
 SELECT doc_id,

@@ -348,3 +348,41 @@ def test_query_topk_ivf_plan_and_recall(spark):
               / sum(len(ns) for ns in want.values()))
     print('ann_query_ivf recall@5 (n_probe=2/8): %.3f' % recall)
     assert recall >= 0.4
+
+
+def test_query_topk_materialized_index(spark, tmp_path):
+    """write_ivf_index + query_topk_indexed — the build-once
+    query-many production shape: identical rows to the inline
+    query_topk(ivf=...) path (same deterministic codebook), and the
+    cells scan PARTITION-PRUNES on the probe cells (the IN-filter
+    lands in PartitionFilters, not post-scan)."""
+    from yargy_spark.operators.similarity import (query_topk,
+                                                  query_topk_indexed,
+                                                  write_ivf_index)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 13), float((i * 3) % 11),
+              float(i % 5) + 1.0]) for i in range(60)],
+        'vec_id long, embedding array<double>')
+    queries = emb.where('vec_id < 4')
+    corpus = emb.where('vec_id >= 4')
+
+    root = str(tmp_path / 'ivf')
+    write_ivf_index(corpus, root, n_centroids=8)
+
+    out = query_topk_indexed(queries, root, k=5, n_probe=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r'PartitionFilters: \[([^\]]*)\]', p)
+    assert m and 'centroid_id' in m.group(1), p
+
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in
+            query_topk(queries, corpus, ivf=(8, 2)).collect()}
+    assert got == want
+
+    # a half-written index (no codebook marker) refuses
+    import shutil
+    shutil.rmtree(root + '/codebook.json')
+    with pytest.raises(Exception):
+        query_topk_indexed(queries, root).collect()

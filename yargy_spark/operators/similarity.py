@@ -189,22 +189,96 @@ def query_topk(queries: DataFrame, corpus: DataFrame,
         probes = q.select('query_id', 'qv',
                           F.explode(probe_udf(F.col('qv')))
                           .alias('centroid_id'))
-        cells = sorted({r['centroid_id']
-                        for r in probes.select('centroid_id')
-                        .distinct().collect()})
-        scored = (assigned
-                  .where(F.col('centroid_id').isin(cells))
-                  .join(F.broadcast(probes), 'centroid_id')
-                  .select('query_id',
-                          F.col('vec_id').alias('neighbor_id'),
-                          cosine_x10000_np(F.col('qv'),
-                                           F.col('embedding'))
-                          .alias('cos_x10000')))
+        scored = _probe_scored(assigned, probes)
+    return _topk(scored, k)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy('query_id').orderBy(
         F.desc('cos_x10000'), F.asc('neighbor_id'))
     return (scored.withColumn('rank', F.row_number().over(w))
             .where(F.col('rank') <= k)
             .select('query_id', 'neighbor_id', 'rank', 'cos_x10000'))
+
+
+def _probe_scored(assigned: DataFrame, probes: DataFrame) -> DataFrame:
+    """Score (query, corpus-in-probe-cell) pairs: the batch's
+    distinct probe cells (collected driver-side — O(batch x n_probe)
+    metadata, not data) become a LITERAL IN-filter on the assigned
+    corpus stream BEFORE the broadcast probe join, so the filter can
+    push to the scan (partition pruning on a materialized index)."""
+    cells = sorted({r['centroid_id']
+                    for r in probes.select('centroid_id')
+                    .distinct().collect()})
+    return (assigned
+            .where(F.col('centroid_id').isin(cells))
+            .join(F.broadcast(probes), 'centroid_id')
+            .select('query_id',
+                    F.col('vec_id').alias('neighbor_id'),
+                    cosine_x10000_np(F.col('qv'), F.col('embedding'))
+                    .alias('cos_x10000')))
+
+
+def write_ivf_index(embeddings: DataFrame, root: str,
+                    n_centroids: int = 16) -> dict:
+    """Materialize the IVF index — build once, query many times:
+
+      * ``<root>/cells`` — the corpus with its nearest-centroid
+        assignment, written PARTITIONED BY centroid_id (hive layout),
+        so a query batch's probe-cell IN-filter prunes whole
+        partitions at the scan;
+      * ``<root>/codebook.json`` — the deterministic quantized-sum
+        codebook (exact float round-trip via JSON repr), written
+        LAST as the commit marker: readers refuse a half-written
+        index.
+
+    Deterministic: same corpus -> same codebook -> same layout, so an
+    overwrite rebuild is idempotent.  At 10^9 vectors this is the
+    production shape the inline ``query_topk(ivf=...)`` path
+    approximates by computing the assignment per batch."""
+    import json
+    cent_rows = _centroids_rows(embeddings, n_centroids)
+    assigned = _nearest(embeddings, cent_rows, 1)
+    (assigned.write.mode('overwrite')
+     .partitionBy('centroid_id').parquet(root + '/cells'))
+    spark = embeddings.sparkSession
+    payload = json.dumps({'n_centroids': n_centroids,
+                          'centroids': [{'centroid_id': c, 'centv': v}
+                                        for c, v in cent_rows]})
+    # one-row text write through the JVM so the path semantics (local,
+    # HDFS, s3a) match the parquet write above
+    spark.createDataFrame([(payload,)], 'v string').coalesce(1) \
+        .write.mode('overwrite').text(root + '/codebook.json')
+    return {'n_centroids': n_centroids, 'cells': root + '/cells'}
+
+
+def query_topk_indexed(queries: DataFrame, root: str, k: int = 5,
+                       n_probe: int = 4) -> DataFrame:
+    """Retrieval against a MATERIALIZED ``write_ivf_index`` root: the
+    codebook loads driver-side (O(n_centroids)), the query batch
+    probes its ``n_probe`` nearest cells map-only, and the cells scan
+    carries the probe-cell filter as PARTITION PRUNING (plan-guarded
+    in test_scale_guards) — a batch reads ~n_probe/n_centroids of the
+    corpus.  Same semantics as ``query_topk(ivf=...)`` with the same
+    codebook (asserted row-for-row in tests)."""
+    import json
+    spark = queries.sparkSession
+    rows = spark.read.text(root + '/codebook.json').collect()
+    if not rows:
+        raise ValueError('no codebook at %s — write_ivf_index did '
+                         'not complete' % root)
+    cb = json.loads(rows[0]['value'])
+    cent_rows = [(c['centroid_id'], c['centv'])
+                 for c in cb['centroids']]
+    bc = codebook_broadcast(spark, cent_rows)
+    probe_udf = nearest_centroid_udf(spark, cent_rows, n_probe, bc=bc)
+    q = queries.select(F.col('vec_id').alias('query_id'),
+                       F.col('embedding').alias('qv'))
+    probes = q.select('query_id', 'qv',
+                      F.explode(probe_udf(F.col('qv')))
+                      .alias('centroid_id'))
+    assigned = spark.read.parquet(root + '/cells')
+    return _topk(_probe_scored(assigned, probes), k)
 
 
 def _seed_centroids(embeddings: DataFrame,
