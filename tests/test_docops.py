@@ -680,13 +680,70 @@ def test_decode_image_png():
         return (_PNG_SIG + _png_chunk(b'IHDR', ihdr)
                 + _png_chunk(b'IDAT', raw) + _png_chunk(b'IEND', b''))
 
-    for bad in (dict(depth=16), dict(color=3), dict(interlace=1)):
+    for bad in (dict(depth=16), dict(color=7), dict(interlace=1)):
         with pytest.raises(NotImplementedError):
             decode_image(png_with_ihdr(**bad))
     with pytest.raises(ValueError):  # truncated image stream
         decode_image(_PNG_SIG + ihdr
                      + _png_chunk(b'IDAT', zlib.compress(b'\x00' * 5))
                      + _png_chunk(b'IEND', b''))
+
+
+def test_decode_image_png_palette():
+    """Palette (color type 3) PNG: encode_png_palette -> decode is
+    the PLTE lookup under every filter type; tRNS appends per-entry
+    alpha with short-tRNS entries defaulting opaque; out-of-range
+    indices, bad PLTE lengths and a missing PLTE refuse with
+    ValueError."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (_png_chunk,
+                                                  decode_image,
+                                                  encode_png_palette)
+    rng = np.random.RandomState(7)
+    pal = rng.randint(0, 256, (11, 3), dtype=np.uint8)
+    idx = rng.randint(0, 11, (6, 9), dtype=np.uint8)
+    for ft in range(5):
+        p = encode_png_palette(idx, pal, row_filter=lambda y, f=ft: f)
+        out = decode_image(p)
+        assert out.shape == (6, 9, 3) and (out == pal[idx]).all(), ft
+
+    # tRNS shorter than the palette: listed entries take their
+    # alpha, the rest default to 255 (spec 11.3.2)
+    trns = np.array([0, 128, 200], dtype=np.uint8)
+    out = decode_image(encode_png_palette(idx, pal, trns=trns))
+    alpha = np.full(11, 255, np.uint8)
+    alpha[:3] = trns
+    want = np.concatenate([pal, alpha[:, None]], axis=1)[idx]
+    assert out.shape == (6, 9, 4) and (out == want).all()
+
+    # index beyond the palette refuses (not a silent wraparound)
+    with pytest.raises(ValueError, match='out of range'):
+        decode_image(encode_png_palette(
+            np.full((2, 2), 11, np.uint8), pal))
+    # tRNS longer than the palette refuses
+    with pytest.raises(ValueError, match='tRNS'):
+        decode_image(encode_png_palette(
+            idx, pal, trns=np.zeros(12, np.uint8)))
+
+    # PLTE length not a multiple of 3 / missing PLTE refuse
+    whole = encode_png_palette(idx, pal)
+    chunks = []
+    pos = 8
+    while pos + 8 <= len(whole):
+        ln = int.from_bytes(whole[pos:pos + 4], 'big')
+        chunks.append((whole[pos + 4:pos + 8],
+                       whole[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    sig = whole[:8]
+    no_plte = sig + b''.join(_png_chunk(t, d) for t, d in chunks
+                             if t != b'PLTE')
+    with pytest.raises(ValueError, match='PLTE'):
+        decode_image(no_plte)
+    bad_plte = sig + b''.join(
+        _png_chunk(t, d[:-1] if t == b'PLTE' else d)
+        for t, d in chunks)
+    with pytest.raises(ValueError, match='PLTE'):
+        decode_image(bad_plte)
 
 
 def test_decode_stats_png(spark):

@@ -386,3 +386,29 @@ def test_query_topk_materialized_index(spark, tmp_path):
     shutil.rmtree(root + '/codebook.json')
     with pytest.raises(Exception):
         query_topk_indexed(queries, root).collect()
+
+    # rebuild over the damaged root recovers (overwrite idempotence)
+    write_ivf_index(corpus, root, n_centroids=8)
+    assert {tuple(r) for r in
+            query_topk_indexed(queries, root, k=5, n_probe=2)
+            .collect()} == want
+
+    # rebuild UN-commits first: a crash mid-rebuild must leave NO
+    # stale marker behind (old codebook + new cells would silently
+    # mismatch if the corpus changed between builds)
+    import os
+    import yargy_spark.operators.similarity as sim
+
+    def _boom(*a, **k):
+        raise RuntimeError('simulated mid-rebuild crash')
+
+    orig = sim._centroids_rows
+    sim._centroids_rows = _boom
+    try:
+        with pytest.raises(RuntimeError, match='mid-rebuild'):
+            write_ivf_index(corpus, root, n_centroids=8)
+    finally:
+        sim._centroids_rows = orig
+    assert not os.path.exists(root + '/codebook.json')
+    with pytest.raises(Exception):
+        query_topk_indexed(queries, root).collect()

@@ -102,9 +102,9 @@ def decode_image(payload: bytes) -> np.ndarray:
       * ``BM`` 24-bit uncompressed (BI_RGB) BMP: bottom-up or
         top-down (negative height), 4-byte row padding, BGR -> RGB.
 
-      * 8-bit PNG (gray / gray+alpha / RGB / RGBA, non-interlaced) —
-        DEFLATE via stdlib zlib + per-scanline unfilter
-        (``decode_png``).
+      * 8-bit PNG (gray / gray+alpha / RGB / RGBA / palette with
+        optional tRNS alpha, non-interlaced) — DEFLATE via stdlib
+        zlib + per-scanline unfilter (``decode_png``).
 
     JPEG/video remain the deploy-time codec boundary (reference
     parity note: the reference's external-tool boundary is
@@ -153,8 +153,8 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b'\x89PNG\r\n\x1a\n'
-# 8-bit color types <-> channel counts (palette type 3 excluded: it
-# needs a PLTE lookup — an explicit boundary, not a decode bug)
+# 8-bit color types <-> channel counts (palette type 3 handled
+# separately in decode_png: one index byte/pixel + PLTE lookup)
 _PNG_CTYPE_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_CHANNELS_CTYPE = {v: k for k, v in _PNG_CTYPE_CHANNELS.items()}
 
@@ -220,16 +220,17 @@ def _png_unfilter(raw: bytes, height: int, width: int,
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-Python PNG decode via stdlib zlib (DEFLATE) + per-scanline
-    unfiltering: 8-bit grayscale / gray+alpha / RGB / RGBA,
+    unfiltering: 8-bit grayscale / gray+alpha / RGB / RGBA /
+    palette (color type 3, PLTE lookup + optional tRNS alpha),
     non-interlaced.  Chunk walk validates lengths and stops at IEND;
     IDAT chunks concatenate into ONE zlib stream (spec §10 — chunk
     boundaries carry no meaning).  Explicit boundaries raise
-    NotImplementedError: palette (needs PLTE), 16-bit depth, Adam7
-    interlace."""
+    NotImplementedError: sub-byte/16-bit depths, Adam7 interlace."""
     import zlib
     if payload[:8] != _PNG_SIG:
         raise ValueError('not a PNG payload')
     pos, width, height, channels = 8, None, None, None
+    color, plte, trns = None, None, None
     idat = []
     while pos + 8 <= len(payload):
         length = int.from_bytes(payload[pos:pos + 4], 'big')
@@ -245,14 +246,22 @@ def decode_png(payload: bytes) -> np.ndarray:
             if depth != 8:
                 raise NotImplementedError(
                     'PNG bit depth %d not supported (8 only)' % depth)
-            if color not in _PNG_CTYPE_CHANNELS:
+            if color != 3 and color not in _PNG_CTYPE_CHANNELS:
                 raise NotImplementedError(
-                    'PNG color type %d not supported (palette needs '
-                    'a PLTE lookup)' % color)
+                    'PNG color type %d not supported' % color)
             if interlace != 0:
                 raise NotImplementedError(
                     'Adam7 interlaced PNG not supported')
-            channels = _PNG_CTYPE_CHANNELS[color]
+            # palette scanlines carry one index byte per pixel
+            channels = 1 if color == 3 else _PNG_CTYPE_CHANNELS[color]
+        elif ctype == b'PLTE':
+            if not data or len(data) % 3:
+                raise ValueError(
+                    'PLTE length %d is not a positive multiple of 3'
+                    % len(data))
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b'tRNS' and color == 3:
+            trns = np.frombuffer(data, np.uint8)
         elif ctype == b'IDAT':
             idat.append(data)
         elif ctype == b'IEND':
@@ -260,7 +269,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError('PNG missing IHDR or IDAT')
     raw = zlib.decompress(b''.join(idat))
-    return _png_unfilter(raw, height, width, channels)
+    arr = _png_unfilter(raw, height, width, channels)
+    if color != 3:
+        return arr
+    # palette: indices -> RGB rows; tRNS appends per-entry alpha
+    # (may be shorter than the palette — the rest default opaque)
+    if plte is None:
+        raise ValueError('palette PNG missing PLTE chunk')
+    lut = plte
+    if trns is not None:
+        if len(trns) > len(plte):
+            raise ValueError(
+                'tRNS has %d entries for a %d-entry palette'
+                % (len(trns), len(plte)))
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[:len(trns)] = trns
+        lut = np.concatenate([plte, alpha[:, None]], axis=1)
+    idx = arr[:, :, 0]
+    top = int(idx.max())
+    if top >= len(lut):
+        raise ValueError('palette index %d out of range '
+                         '(%d PLTE entries)' % (top, len(lut)))
+    return lut[idx]
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -269,20 +299,15 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             + zlib.crc32(ctype + data).to_bytes(4, 'big'))
 
 
-def encode_png(arr: np.ndarray, row_filter=None) -> bytes:
-    """Encode an (h, w[, c]) uint8 array as 8-bit PNG.  ``row_filter``
+def _png_filter_stream(flat: np.ndarray, bpp: int,
+                       row_filter=None) -> bytes:
+    """Apply per-scanline PNG filters to an (h, stride) int64 sample
+    matrix, producing the pre-DEFLATE image stream.  ``row_filter``
     maps row index -> filter type 0-4 (default: all 0) so round-trip
     tests can exercise every unfilter branch deterministically."""
-    import zlib
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, c = arr.shape
-    color = _PNG_CHANNELS_CTYPE[c]
-    bpp = c
-    flat = arr.reshape(h, w * c).astype(np.int64)
+    h, stride = flat.shape
     lines = bytearray()
-    prev = np.zeros(w * c, np.int64)
+    prev = np.zeros(stride, np.int64)
     for y in range(h):
         ftype = int(row_filter(y)) if row_filter else 0
         cur = flat[y]
@@ -292,7 +317,7 @@ def encode_png(arr: np.ndarray, row_filter=None) -> bytes:
             enc = (cur - prev) & 0xFF
         elif ftype in (1, 3, 4):
             enc = cur.copy()
-            for x in range(w * c):
+            for x in range(stride):
                 a = int(cur[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = a
@@ -307,10 +332,47 @@ def encode_png(arr: np.ndarray, row_filter=None) -> bytes:
         lines.append(ftype)
         lines.extend(enc.astype(np.uint8).tobytes())
         prev = cur
+    return bytes(lines)
+
+
+def encode_png(arr: np.ndarray, row_filter=None) -> bytes:
+    """Encode an (h, w[, c]) uint8 array as 8-bit PNG (gray /
+    gray+alpha / RGB / RGBA by channel count)."""
+    import zlib
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = _PNG_CHANNELS_CTYPE[c]
+    lines = _png_filter_stream(
+        arr.reshape(h, w * c).astype(np.int64), c, row_filter)
     ihdr = (w.to_bytes(4, 'big') + h.to_bytes(4, 'big')
             + bytes([8, color, 0, 0, 0]))
     return (_PNG_SIG + _png_chunk(b'IHDR', ihdr)
-            + _png_chunk(b'IDAT', zlib.compress(bytes(lines)))
+            + _png_chunk(b'IDAT', zlib.compress(lines))
+            + _png_chunk(b'IEND', b''))
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       trns=None, row_filter=None) -> bytes:
+    """Encode an (h, w) uint8 index matrix + (n, 3) uint8 palette as
+    an 8-bit color-type-3 PNG; optional ``trns`` gives per-entry
+    alpha (spec §11.3.2 — may be shorter than the palette, the rest
+    default opaque).  Round-trip twin of ``decode_png``'s palette
+    path."""
+    import zlib
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    lines = _png_filter_stream(idx.astype(np.int64), 1, row_filter)
+    ihdr = (w.to_bytes(4, 'big') + h.to_bytes(4, 'big')
+            + bytes([8, 3, 0, 0, 0]))
+    out = (_PNG_SIG + _png_chunk(b'IHDR', ihdr)
+           + _png_chunk(b'PLTE', pal.tobytes()))
+    if trns is not None:
+        out += _png_chunk(
+            b'tRNS', np.ascontiguousarray(trns, np.uint8).tobytes())
+    return (out + _png_chunk(b'IDAT', zlib.compress(lines))
             + _png_chunk(b'IEND', b''))
 
 

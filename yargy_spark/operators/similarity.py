@@ -237,11 +237,20 @@ def write_ivf_index(embeddings: DataFrame, root: str,
     production shape the inline ``query_topk(ivf=...)`` path
     approximates by computing the assignment per batch."""
     import json
+    spark = embeddings.sparkSession
+    # UN-commit first: drop any existing marker BEFORE touching the
+    # cells, so a crash mid-rebuild can never leave an old codebook
+    # paired with new cells — the marker is absent for the whole
+    # rebuild window and readers refuse.  Hadoop FS so the path
+    # semantics (local, HDFS, s3a) match the writes below.
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(root + '/codebook.json')
+    marker.getFileSystem(spark._jsc.hadoopConfiguration()) \
+        .delete(marker, True)
     cent_rows = _centroids_rows(embeddings, n_centroids)
     assigned = _nearest(embeddings, cent_rows, 1)
     (assigned.write.mode('overwrite')
      .partitionBy('centroid_id').parquet(root + '/cells'))
-    spark = embeddings.sparkSession
     payload = json.dumps({'n_centroids': n_centroids,
                           'centroids': [{'centroid_id': c, 'centv': v}
                                         for c, v in cent_rows]})
