@@ -877,11 +877,14 @@ def q_multimodal_decode(spark, sf_dir) -> DataFrame:
 def q_multimodal_png(spark, sf_dir) -> DataFrame:
     """PNG decode path: deterministic REAL 8-bit PNG payloads
     (synth_png_media — channels doc_id%4+1 covering gray/gray+alpha/
-    RGB/RGBA, row filter (doc_id+y)%5 covering every unfilter branch)
-    -> binary column -> decode_image (stdlib-zlib DEFLATE + scanline
-    unfilter) -> per-image stats.  The oracle recomputes the stats
-    from the generating doc_id arithmetic, so a filter-arithmetic,
-    chunk-walk, or raster-order bug breaks the hash."""
+    RGB/RGBA, row filter (doc_id+y)%5 covering every unfilter branch;
+    doc_id%7==3 docs are palette PNGs with an arithmetic PLTE and,
+    on odd ids, a short tRNS) -> binary column -> decode_image
+    (stdlib-zlib DEFLATE + scanline unfilter + PLTE/tRNS lookup) ->
+    per-image stats.  The oracle recomputes the stats from the
+    generating doc_id arithmetic (replaying the palette lookup in
+    SQL), so a filter-arithmetic, chunk-walk, raster-order, or
+    palette-lookup bug breaks the hash."""
     from yargy_spark.operators.multimodal import (decode_stats,
                                                   synth_png_media)
     return decode_stats(synth_png_media(_docs(spark, sf_dir)))
@@ -2604,24 +2607,44 @@ FROM bytes GROUP BY doc_id, width, height
 
     # PNG variant: same generating arithmetic with channels =
     # doc_id%4+1 — the oracle never runs a codec; if the Spark side's
-    # zlib/unfilter path misreads one byte, byte_sum diverges
+    # zlib/unfilter path misreads one byte, byte_sum diverges.
+    # doc_id%7==3 docs are PALETTE (color type 3) PNGs: the stream is
+    # 256-range indices into palette entry i = ((i*3+1)%256,
+    # (i*5+2)%256, (i*7+3)%256); odd ids carry a 128-entry tRNS
+    # (alpha i = (i*11+4)%256, the rest opaque 255) so decoded
+    # channels = 4 — the oracle replays the PLTE lookup in SQL
     oracles['multimodal_png'] = """
 WITH dims AS (
   SELECT doc_id, CAST(doc_id % 8 + 4 AS INT) AS width,
          CAST(doc_id % 6 + 4 AS INT) AS height,
-         CAST(doc_id % 4 + 1 AS INT) AS channels
+         CAST(CASE WHEN doc_id % 7 = 3 THEN
+                CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
+              ELSE doc_id % 4 + 1 END AS INT) AS channels,
+         (doc_id % 7 = 3) AS pal
   FROM documents),
-bytes AS (
+px AS (
+  SELECT doc_id, width, height, channels, pal,
+         unnest(generate_series(0, CASE WHEN pal
+                  THEN width * height
+                  ELSE channels * width * height END - 1)) AS j
+  FROM dims),
+vals AS (
   SELECT doc_id, width, height, channels,
-         unnest(generate_series(0, channels * width * height - 1)) AS j
-  FROM dims)
+         CASE WHEN pal THEN
+              (idx * 3 + 1) % 256 + (idx * 5 + 2) % 256
+              + (idx * 7 + 3) % 256
+              + CASE WHEN channels = 4 THEN
+                  CASE WHEN idx < 128 THEN (idx * 11 + 4) % 256
+                       ELSE 255 END
+                ELSE 0 END
+         ELSE idx END AS v
+  FROM (SELECT *, ((doc_id % 256) * 7 + j * 13) % 256 AS idx FROM px))
 SELECT doc_id, width, height, channels,
        CAST(channels * width * height AS INT) AS n_bytes,
-       CAST(sum(((doc_id % 256) * 7 + j * 13) % 256)
-            AS BIGINT) AS byte_sum,
-       CAST(sum(((doc_id % 256) * 7 + j * 13) % 256) * 100
-            // (channels * width * height) AS BIGINT) AS byte_mean_x100
-FROM bytes GROUP BY doc_id, width, height, channels
+       CAST(sum(v) AS BIGINT) AS byte_sum,
+       CAST(sum(v) * 100 // (channels * width * height)
+            AS BIGINT) AS byte_mean_x100
+FROM vals GROUP BY doc_id, width, height, channels
 """
 
     oracles['multimodal_meta'] = """

@@ -749,23 +749,37 @@ def test_decode_image_png_palette():
 def test_decode_stats_png(spark):
     """synth_png_media -> decode_stats matches the generating doc_id
     arithmetic (the DuckDB oracle's formula) across all four channel
-    layouts and all five row filters."""
+    layouts, all five row filters, and the palette subset (doc_id%7
+    ==3: PLTE lookup; odd ids add a short tRNS -> 4 channels)."""
     import numpy as np
     from yargy_spark.operators.multimodal import (decode_stats,
                                                   synth_png_media)
-    ids = (0, 1, 2, 3, 7, 255, 256, 1001)
+    # 3 and 17 are palette docs (odd -> tRNS); 10 palette, no tRNS
+    ids = (0, 1, 2, 3, 7, 10, 17, 255, 256, 1001)
     df = spark.createDataFrame([(i,) for i in ids], 'doc_id long')
     got = {r['doc_id']: r for r in
            decode_stats(synth_png_media(df)).collect()}
     for doc_id in ids:
-        w, h, c = doc_id % 8 + 4, doc_id % 6 + 4, doc_id % 4 + 1
-        j = np.arange(w * h * c, dtype=np.int64)
-        expect = ((doc_id % 256) * 7 + j * 13) % 256
+        w, h = doc_id % 8 + 4, doc_id % 6 + 4
+        if doc_id % 7 == 3:
+            c = 4 if doc_id % 2 else 3
+            j = np.arange(w * h, dtype=np.int64)
+            idx = ((doc_id % 256) * 7 + j * 13) % 256
+            total = int(((idx * 3 + 1) % 256).sum()
+                        + ((idx * 5 + 2) % 256).sum()
+                        + ((idx * 7 + 3) % 256).sum())
+            if c == 4:
+                total += int(np.where(idx < 128, (idx * 11 + 4) % 256,
+                                      255).sum())
+        else:
+            c = doc_id % 4 + 1
+            j = np.arange(w * h * c, dtype=np.int64)
+            total = int((((doc_id % 256) * 7 + j * 13) % 256).sum())
         r = got[doc_id]
         assert (r['width'], r['height'], r['channels']) == (w, h, c)
         assert r['n_bytes'] == w * h * c
-        assert r['byte_sum'] == int(expect.sum())
-        assert r['byte_mean_x100'] == int(expect.sum()) * 100 // (w * h * c)
+        assert r['byte_sum'] == total
+        assert r['byte_mean_x100'] == total * 100 // (w * h * c)
 
 
 def test_decode_stats(spark):

@@ -433,20 +433,42 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     doc_id%4+1 (grayscale / gray+alpha / RGB / RGBA) and row filter
     type (doc_id + y) % 5 — every PNG color layout AND every filter
     branch is exercised corpus-wide, while an independent engine can
-    still recompute the decoded stats from doc_id arithmetic alone."""
+    still recompute the decoded stats from doc_id arithmetic alone.
+
+    Docs with ``doc_id % 7 == 3`` instead emit a PALETTE (color type
+    3) PNG: the same byte stream becomes 256-range indices into a
+    fixed arithmetic palette entry i = ((i*3+1)%256, (i*5+2)%256,
+    (i*7+3)%256); odd doc_ids add a 128-entry tRNS chunk (alpha i =
+    (i*11+4)%256, entries 128..255 default opaque per spec 11.3.2),
+    so the PLTE lookup AND the short-tRNS path are driver-gated, and
+    the decoded bytes stay pure doc_id arithmetic for the oracle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal_i = np.arange(256, dtype=np.int64)
+        pal = np.stack([(pal_i * 3 + 1) % 256, (pal_i * 5 + 2) % 256,
+                        (pal_i * 7 + 3) % 256], axis=1).astype(np.uint8)
+        trns = ((pal_i[:128] * 11 + 4) % 256).astype(np.uint8)
         for pdf in batches:
             rows = []
             for doc_id in pdf['doc_id'].values:
                 doc_id = int(doc_id)
                 w, h = doc_id % 8 + 4, doc_id % 6 + 4
-                c = doc_id % 4 + 1
-                j = np.arange(w * h * c, dtype=np.int64)
-                raster = (((doc_id % 256) * 7 + j * 13) % 256)
-                rows.append({'doc_id': doc_id, 'payload': encode_png(
-                    raster.astype(np.uint8).reshape(h, w, c),
-                    row_filter=lambda y, d=doc_id: (d + y) % 5)})
+                rf = lambda y, d=doc_id: (d + y) % 5
+                if doc_id % 7 == 3:
+                    j = np.arange(w * h, dtype=np.int64)
+                    idx = (((doc_id % 256) * 7 + j * 13) % 256)
+                    payload = encode_png_palette(
+                        idx.astype(np.uint8).reshape(h, w), pal,
+                        trns=trns if doc_id % 2 else None,
+                        row_filter=rf)
+                else:
+                    c = doc_id % 4 + 1
+                    j = np.arange(w * h * c, dtype=np.int64)
+                    raster = (((doc_id % 256) * 7 + j * 13) % 256)
+                    payload = encode_png(
+                        raster.astype(np.uint8).reshape(h, w, c),
+                        row_filter=rf)
+                rows.append({'doc_id': doc_id, 'payload': payload})
             if rows:
                 yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
 
