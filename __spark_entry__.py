@@ -890,6 +890,22 @@ def q_multimodal_png(spark, sf_dir) -> DataFrame:
     return decode_stats(synth_png_media(_docs(spark, sf_dir)))
 
 
+def q_multimodal_jpeg(spark, sf_dir) -> DataFrame:
+    """Baseline-JPEG decode path: deterministic REAL SOF0 payloads
+    (synth_jpeg_media — block-constant grayscale built on the
+    codec's lossless witness: even block values make DC quantization
+    exact, so the lossy format round-trips bit-exactly while every
+    block runs the full Huffman/DC-prediction entropy path) ->
+    binary column -> decode_image (jpeg.decode_jpeg: marker walk,
+    DQT/DHT from the file, bit-level Huffman, numpy IDCT) ->
+    per-image stats.  The oracle replays the block-value arithmetic
+    in SQL — an entropy-decode, dequantize, IDCT, or marker-parse
+    bug breaks the hash."""
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_jpeg_media)
+    return decode_stats(synth_jpeg_media(_docs(spark, sf_dir)))
+
+
 def q_doc_splits(spark, sf_dir) -> DataFrame:
     """Leakage-safe deterministic train/val/test split by hashed
     doc_id (operators/sampling.py::hash_split) — 98/1/1 in basis
@@ -1116,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ann_query_indexed': q_ann_query_indexed,
         'kg_extract_report': q_kg_extract_report,
         'multimodal_png': q_multimodal_png,
+        'multimodal_jpeg': q_multimodal_jpeg,
         # -- CHANGED this round: the LSH hot-bucket governor rewrites
         # the candidate stage of the whole minhash family (and
         # dup_clusters' oracle nests the pair oracle); the
@@ -1154,13 +1171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mixture_re_tokens': q_mixture_re_tokens,
         'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
-        'dup_spans': q_dup_spans,
         # ---- entries below fall past the driver's 50-query cap;
         # ---- every one was driver-gated hash-green in ROUND 4
         # ---- (CORRECTNESS_r04.json) with unchanged semantics and
         # ---- oracles, so each keeps a <= 1-round-old green row.
-        # ---- (rare_tokens yielded its slot to the new
-        # ---- ann_query_indexed per priority (a) of the policy.)
+        # ---- (rare_tokens and dup_spans yielded their slots to the
+        # ---- new ann_query_indexed and multimodal_jpeg per
+        # ---- priority (a) of the policy.)
+        'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
         'pricing_summary': q_pricing_summary,
@@ -2645,6 +2663,35 @@ SELECT doc_id, width, height, channels,
        CAST(sum(v) * 100 // (channels * width * height)
             AS BIGINT) AS byte_mean_x100
 FROM vals GROUP BY doc_id, width, height, channels
+"""
+
+    # JPEG variant (lossless witness): each image is bw x bh
+    # 8x8-constant blocks, block j's value v = 32 + 2*(((doc_id%256)
+    # *7 + j*13) % 96) — even, so DC quantization (step 16) is exact
+    # and the decoded raster is bit-identical to the generator.  The
+    # oracle sums 64*v per block in SQL; the Spark side round-trips
+    # real Huffman-coded SOF0 bytes through jpeg.decode_jpeg
+    oracles['multimodal_jpeg'] = """
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS bw,
+         CAST(doc_id % 2 + 1 AS INT) AS bh
+  FROM documents),
+blocks AS (
+  SELECT doc_id, bw, bh,
+         unnest(generate_series(0, bw * bh - 1)) AS j
+  FROM dims),
+vals AS (
+  SELECT doc_id, bw, bh,
+         32 + 2 * (((doc_id % 256) * 7 + j * 13) % 96) AS v
+  FROM blocks)
+SELECT doc_id, CAST(8 * bw AS INT) AS width,
+       CAST(8 * bh AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(64 * bw * bh AS INT) AS n_bytes,
+       CAST(64 * sum(v) AS BIGINT) AS byte_sum,
+       CAST(64 * sum(v) * 100 // (64 * bw * bh)
+            AS BIGINT) AS byte_mean_x100
+FROM vals GROUP BY doc_id, bw, bh
 """
 
     oracles['multimodal_meta'] = """

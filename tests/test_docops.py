@@ -746,6 +746,85 @@ def test_decode_image_png_palette():
         decode_image(bad_plte)
 
 
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG codec (operators/jpeg.py): bit-exact round trip
+    on the lossless witness (block-constant, even values -> DC
+    quantization exact); bounded error on arbitrary gray/color
+    images incl. non-multiple-of-8 dims; high-frequency content
+    exercises the ZRL/EOB entropy paths; loud boundaries for
+    progressive frames, truncation, and non-JPEG bytes."""
+    import numpy as np
+    from yargy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    rng = np.random.RandomState(11)
+
+    # exact: block-constant grayscale, even values
+    for _ in range(8):
+        bh, bw = rng.randint(1, 4), rng.randint(1, 5)
+        blocks = 2 * rng.randint(16, 112, (bh, bw))
+        img = np.kron(blocks, np.ones((8, 8), np.int64)) \
+            .astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    # lossy, bounded: random grayscale with padding-crop dims
+    for _ in range(4):
+        h, w = rng.randint(5, 40), rng.randint(5, 40)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert out.shape == (h, w) and err.max() <= 40 \
+            and err.mean() <= 8
+
+    # color 4:4:4 round trip (YCbCr matrix + interleaved MCUs)
+    img = rng.randint(0, 256, (19, 26, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == (19, 26, 3) and err.max() <= 40
+
+    # high-frequency checkerboard: energy at the zigzag tail (ZRL
+    # runs, blocks without EOB)
+    board = ((np.indices((16, 16)).sum(0) % 2) * 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(board))
+    assert np.abs(out.astype(int) - board.astype(int)).max() <= 40
+
+    # boundaries
+    p = encode_jpeg(img)
+    with pytest.raises(ValueError, match='SOI'):
+        decode_jpeg(b'\x00' + p)
+    i = p.find(b'\xff\xc0')
+    with pytest.raises(NotImplementedError, match='non-baseline'):
+        decode_jpeg(p[:i + 1] + b'\xc2' + p[i + 2:])  # SOF2
+    with pytest.raises(ValueError):
+        decode_jpeg(p[:len(p) // 2])
+    # dispatch through decode_image
+    from yargy_spark.operators.multimodal import decode_image
+    assert (decode_image(p) == decode_jpeg(p)).all()
+
+
+def test_decode_stats_jpeg(spark):
+    """synth_jpeg_media -> decode_stats matches the block-value
+    arithmetic the DuckDB oracle recomputes (real SOF0 bytes through
+    the full entropy decode, bit-exact by the lossless witness)."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_stats,
+                                                  synth_jpeg_media)
+    ids = (0, 1, 2, 3, 5, 255, 256, 1001)
+    df = spark.createDataFrame([(i,) for i in ids], 'doc_id long')
+    got = {r['doc_id']: r for r in
+           decode_stats(synth_jpeg_media(df)).collect()}
+    for doc_id in ids:
+        bw, bh = doc_id % 3 + 1, doc_id % 2 + 1
+        j = np.arange(bh * bw, dtype=np.int64)
+        v = 32 + 2 * (((doc_id % 256) * 7 + j * 13) % 96)
+        total = 64 * int(v.sum())
+        r = got[doc_id]
+        assert (r['width'], r['height'], r['channels']) == \
+            (8 * bw, 8 * bh, 1)
+        assert r['n_bytes'] == 64 * bw * bh
+        assert r['byte_sum'] == total
+        assert r['byte_mean_x100'] == total * 100 // (64 * bw * bh)
+
+
 def test_decode_stats_png(spark):
     """synth_png_media -> decode_stats matches the generating doc_id
     arithmetic (the DuckDB oracle's formula) across all four channel

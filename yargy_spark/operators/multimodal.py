@@ -104,14 +104,20 @@ def decode_image(payload: bytes) -> np.ndarray:
 
       * 8-bit PNG (gray / gray+alpha / RGB / RGBA / palette with
         optional tRNS alpha, non-interlaced) — DEFLATE via stdlib
-        zlib + per-scanline unfilter (``decode_png``).
+        zlib + per-scanline unfilter (``decode_png``);
+      * baseline JPEG (SOF0, grayscale / 4:4:4) — real Huffman
+        entropy decode + numpy IDCT (``jpeg.decode_jpeg``; tables
+        read from the file's own DQT/DHT segments).
 
-    JPEG/video remain the deploy-time codec boundary (reference
-    parity note: the reference's external-tool boundary is
-    dot.py:18-26 shelling to graphviz; same pattern — pure fallback
-    in-tree, rich codec pluggable)."""
+    Progressive/subsampled JPEG and video remain the deploy-time
+    codec boundary (reference parity note: the reference's
+    external-tool boundary is dot.py:18-26 shelling to graphviz;
+    same pattern — pure fallback in-tree, rich codec pluggable)."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b'\xff\xd8':
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     magic = payload[:2]
     if magic in (b'P6', b'P5'):
         channels = 3 if magic == b'P6' else 1
@@ -146,10 +152,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         img = rows[:, :width * 3].reshape(height, width, 3)[..., ::-1]
         return img if top_down else img[::-1]
     raise NotImplementedError(
-        'unsupported image format: P6/P5, 24-bit BMP and 8-bit PNG '
-        'decode natively; JPEG/video require a codec library not '
-        'present in this environment (use fake_decode for other '
-        'plumbing tests)')
+        'unsupported image format: P6/P5, 24-bit BMP, 8-bit PNG and '
+        'baseline JPEG decode natively; progressive/subsampled JPEG '
+        'and video require a codec library not present in this '
+        'environment (use fake_decode for other plumbing tests)')
 
 
 _PNG_SIG = b'\x89PNG\r\n\x1a\n'
@@ -469,6 +475,36 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                         raster.astype(np.uint8).reshape(h, w, c),
                         row_filter=rf)
                 rows.append({'doc_id': doc_id, 'payload': payload})
+            if rows:
+                yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
+
+    return docs.select('doc_id').mapInPandas(fn, PPM_MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payload per document, built
+    on the codec's lossless witness (jpeg.py module docstring): each
+    image is bw x bh 8x8-constant blocks (bw = doc_id%3+1, bh =
+    doc_id%2+1) with block j's value v = 32 + 2*(((doc_id%256)*7 +
+    j*13) % 96) — EVEN, so the DC quantizer 16 divides 8*(v-128) and
+    the lossy pipeline round-trips bit-exactly.  Every block still
+    flows through the full entropy path (DC prediction + Huffman +
+    EOB), so a SQL oracle replaying the v-arithmetic gates the real
+    decoder, not a shortcut."""
+    from .jpeg import encode_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf['doc_id'].values:
+                doc_id = int(doc_id)
+                bw, bh = doc_id % 3 + 1, doc_id % 2 + 1
+                j = np.arange(bh * bw, dtype=np.int64)
+                v = 32 + 2 * (((doc_id % 256) * 7 + j * 13) % 96)
+                img = np.kron(v.reshape(bh, bw),
+                              np.ones((8, 8), np.int64))
+                rows.append({'doc_id': doc_id, 'payload':
+                             encode_jpeg(img.astype(np.uint8))})
             if rows:
                 yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
 
