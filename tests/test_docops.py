@@ -787,6 +787,22 @@ def test_jpeg_codec_roundtrip():
     out = decode_jpeg(encode_jpeg(board))
     assert np.abs(out.astype(int) - board.astype(int)).max() <= 40
 
+    # 4:2:0 — the common camera/web layout: color constant per 2x2
+    # quad makes the chroma box-average lossless, so error stays in
+    # the quantizer band; odd dims exercise chroma pad + crop
+    quads = rng.randint(0, 256, (9, 13, 3))
+    img420 = np.repeat(np.repeat(quads, 2, axis=0), 2, axis=1) \
+        .astype(np.uint8)
+    for crop in ((18, 26), (17, 25)):
+        part = img420[:crop[0], :crop[1]]
+        out = decode_jpeg(encode_jpeg(part, subsampling='420'))
+        err = np.abs(out.astype(int) - part.astype(int))
+        assert out.shape == part.shape and err.max() <= 40
+    # grayscale content stays sharp under 420 (luma is full-res)
+    gray3 = np.stack([img[..., 0]] * 3, axis=-1)
+    out = decode_jpeg(encode_jpeg(gray3, subsampling='420'))
+    assert np.abs(out.astype(int) - gray3.astype(int)).max() <= 40
+
     # boundaries
     p = encode_jpeg(img)
     with pytest.raises(ValueError, match='SOI'):

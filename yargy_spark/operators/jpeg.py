@@ -17,12 +17,13 @@ it:
   * 8x8 dequantize -> de-zigzag -> orthonormal IDCT (numpy matmul)
     -> level shift -> clamp; right/bottom padding cropped to the
     SOF0 dims;
-  * grayscale (1 component) and interleaved 4:4:4 YCbCr (3
-    components, JFIF full-range matrix).
+  * grayscale (1 component) and interleaved YCbCr (3 components,
+    JFIF full-range matrix) at ANY integer sampling ratio — 4:4:4,
+    4:2:0, 4:2:2 — subsampled chroma upsampled nearest-neighbor.
 
 Explicit NotImplementedError boundaries (loud, never silent):
 progressive (SOF2) and every non-SOF0 frame type, 16-bit DQT,
-subsampled chroma (4:2:0 / 4:2:2), restart intervals (DRI), and
+non-integer sampling ratios, restart intervals (DRI), and
 arithmetic coding.
 
 The encoder twin (``encode_jpeg``) emits spec-valid baseline JPEG:
@@ -247,16 +248,36 @@ def _encode_block(writer, coefq, pred_dc, dc_enc, ac_enc):
     return dc
 
 
-def _component_blocks(plane: np.ndarray):
-    """Pad (edge-replicate) to 8-multiples and yield per-MCU 8x8
-    blocks in raster MCU order."""
-    h, w = plane.shape
-    ph, pw = -h % 8, -w % 8
+def _mcu_block_list(plane: np.ndarray, hc: int, vc: int,
+                    mcux: int, mcuy: int):
+    """Pad (edge-replicate) a component plane to the MCU grid and
+    return its 8x8 blocks in interleaved scan order: raster over
+    MCUs, then the component's vc x hc blocks raster-order within
+    each MCU (T.81 A.2.3)."""
+    ph = 8 * vc * mcuy - plane.shape[0]
+    pw = 8 * hc * mcux - plane.shape[1]
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode='edge')
-    for by in range(plane.shape[0] // 8):
-        for bx in range(plane.shape[1] // 8):
-            yield plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+    blocks = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(vc):
+                for u in range(hc):
+                    by, bx = my * vc + v, mx * hc + u
+                    blocks.append(plane[by * 8:by * 8 + 8,
+                                        bx * 8:bx * 8 + 8])
+    return blocks
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box average (the conventional 4:2:0 chroma reduction);
+    odd dims edge-pad first so every output sample averages a full
+    quad."""
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode='edge')
+    return plane.reshape(plane.shape[0] // 2, 2,
+                         plane.shape[1] // 2, 2).mean(axis=(1, 3))
 
 
 def _seg(marker: int, payload: bytes) -> bytes:
@@ -285,9 +306,12 @@ def ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
+def encode_jpeg(arr: np.ndarray, subsampling: str = '444') -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as
-    baseline JFIF: SOF0, 4:4:4, tables in DQT/DHT."""
+    baseline JFIF (SOF0), tables in DQT/DHT.  ``subsampling``:
+    ``'444'`` (every plane full-resolution, the lossless-witness
+    path) or ``'420'`` (chroma 2x2 box-averaged, Y sampling 2x2 —
+    the common camera/web layout)."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -295,15 +319,24 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     h, w = arr.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError('JPEG dims out of range: %dx%d' % (w, h))
+    if subsampling not in ('444', '420'):
+        raise ValueError('subsampling must be 444 or 420')
     if gray:
         planes = [arr.astype(np.float64)]
         quants = [Q_LUMA]
         comp_q = [0]
+        comp_hv = [(1, 1)]
     else:
         ycc = rgb_to_ycbcr(arr.astype(np.uint8))
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         quants = [Q_LUMA, Q_CHROMA, Q_CHROMA]
         comp_q = [0, 1, 1]
+        if subsampling == '420':
+            planes = [planes[0], _downsample2(planes[1]),
+                      _downsample2(planes[2])]
+            comp_hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            comp_hv = [(1, 1)] * 3
 
     out = bytearray(b'\xff\xd8')                     # SOI
     out += _seg(0xE0, b'JFIF\x00\x01\x01\x00'        # APP0
@@ -319,7 +352,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     sof = bytes([8]) + h.to_bytes(2, 'big') + w.to_bytes(2, 'big') \
         + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, comp_q[ci]])     # 4:4:4
+        hc, vc = comp_hv[ci]
+        sof += bytes([ci + 1, (hc << 4) | vc, comp_q[ci]])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0, 0, _DC_SPEC))
     out += _seg(0xC4, _dht_payload(1, 0, _AC_SPEC))
@@ -329,18 +363,25 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
+    hmax = max(hc for hc, _ in comp_hv)
+    vmax = max(vc for _, vc in comp_hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     writer = _BitWriter()
-    block_iters = [list(_component_blocks(p)) for p in planes]
+    block_lists = [_mcu_block_list(p, hc, vc, mcux, mcuy)
+                   for p, (hc, vc) in zip(planes, comp_hv)]
     preds = [0] * ncomp
-    for m in range(len(block_iters[0])):             # interleaved MCUs
+    for m in range(mcux * mcuy):                     # interleaved MCUs
         for ci in range(ncomp):
-            block = block_iters[ci][m] - 128.0
-            coef = _dct2(block)
-            q = quants[comp_q[ci]].astype(np.float64)
-            coefq = np.rint(coef / q).astype(np.int64) \
-                .reshape(64)[_ZIG_IDX]
-            preds[ci] = _encode_block(writer, coefq, preds[ci],
-                                      _DC_ENC, _AC_ENC)
+            hc, vc = comp_hv[ci]
+            for k in range(hc * vc):
+                block = block_lists[ci][m * hc * vc + k] - 128.0
+                coef = _dct2(block)
+                q = quants[comp_q[ci]].astype(np.float64)
+                coefq = np.rint(coef / q).astype(np.int64) \
+                    .reshape(64)[_ZIG_IDX]
+                preds[ci] = _encode_block(writer, coefq, preds[ci],
+                                          _DC_ENC, _AC_ENC)
     out += writer.flush()
     out += b'\xff\xd9'                               # EOI
     return bytes(out)
@@ -350,8 +391,10 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) JFIF payload to (h, w) uint8 for
-    grayscale, (h, w, 3) for 4:4:4 YCbCr.  Tables come from the
-    file's own DQT/DHT segments."""
+    grayscale, (h, w, 3) for YCbCr color — any integer sampling
+    ratio (4:4:4, 4:2:0, 4:2:2, ...); subsampled chroma is
+    upsampled nearest-neighbor.  Tables come from the file's own
+    DQT/DHT segments."""
     if payload[:2] != b'\xff\xd8':
         raise ValueError('not a JPEG payload (no SOI)')
     pos = 2
@@ -408,11 +451,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = data[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        'subsampled JPEG (sampling 0x%02X) not '
-                        'supported — 4:4:4/grayscale only' % hv)
-                comps.append({'id': cid, 'tq': tq})
+                hc, vc = hv >> 4, hv & 0x0F
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    raise ValueError(
+                        'JPEG sampling factor 0x%02X out of range'
+                        % hv)
+                comps.append({'id': cid, 'tq': tq,
+                              'hc': hc, 'vc': vc})
+            if ncomp == 1:
+                # single-component scans are non-interleaved: data
+                # units cover the image block grid regardless of the
+                # declared sampling factors (T.81 A.2.2)
+                comps[0]['hc'] = comps[0]['vc'] = 1
             frame = {'h': h, 'w': w, 'comps': comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -439,43 +489,64 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # APPn / COM / other: skipped
 
     h, w, comps = frame['h'], frame['w'], frame['comps']
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
+    hmax = max(c['hc'] for c in comps)
+    vmax = max(c['vc'] for c in comps)
+    for c in comps:
+        if hmax % c['hc'] or vmax % c['vc']:
+            raise NotImplementedError(
+                'non-integer JPEG sampling ratio %dx%d vs max %dx%d'
+                % (c['hc'], c['vc'], hmax, vmax))
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((8 * c['vc'] * mcuy, 8 * c['hc'] * mcux),
+                       np.float64) for c in comps]
     reader = _BitReader(payload, pos)
     preds = [0] * len(comps)
-    for m in range(bw * bh):
-        by, bx = divmod(m, bw)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
         for ci, comp in enumerate(comps):
-            size = reader.read_symbol(comp['dc'])
-            preds[ci] += _extend(reader.read_bits(size), size)
-            zz = np.zeros(64, np.int64)
-            zz[0] = preds[ci]
-            i = 1
-            while i < 64:
-                rs = reader.read_symbol(comp['ac'])
-                if rs == 0x00:                       # EOB
-                    break
-                if rs == 0xF0:                       # ZRL
-                    i += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError(
-                        'JPEG AC index overrun (corrupt stream)')
-                zz[i] = _extend(reader.read_bits(size), size)
-                i += 1
-            coef = np.zeros(64, np.float64)
-            coef[_ZIG_IDX] = zz * quants[comp['tq']].reshape(64)[
-                _ZIG_IDX]
-            block = _idct2(coef.reshape(8, 8)) + 128.0
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+            hc, vc = comp['hc'], comp['vc']
+            for k in range(vc * hc):
+                v, u = divmod(k, hc)
+                size = reader.read_symbol(comp['dc'])
+                preds[ci] += _extend(reader.read_bits(size), size)
+                zz = np.zeros(64, np.int64)
+                zz[0] = preds[ci]
+                i = 1
+                while i < 64:
+                    rs = reader.read_symbol(comp['ac'])
+                    if rs == 0x00:                   # EOB
+                        break
+                    if rs == 0xF0:                   # ZRL
+                        i += 16
+                        continue
+                    run, size = rs >> 4, rs & 0x0F
+                    i += run
+                    if i > 63:
+                        raise ValueError(
+                            'JPEG AC index overrun (corrupt stream)')
+                    zz[i] = _extend(reader.read_bits(size), size)
+                    i += 1
+                coef = np.zeros(64, np.float64)
+                coef[_ZIG_IDX] = zz * quants[comp['tq']].reshape(
+                    64)[_ZIG_IDX]
+                block = _idct2(coef.reshape(8, 8)) + 128.0
+                by, bx = my * vc + v, mx * hc + u
+                planes[ci][by * 8:by * 8 + 8,
+                           bx * 8:bx * 8 + 8] = block
 
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c['vc'], hmax // c['hc']
+        if ry > 1:                   # nearest-neighbor chroma upsample
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
     if len(comps) == 1:
-        out = planes[0][:h, :w]
+        out = full[0]
     elif len(comps) == 3:
-        out = ycbcr_to_rgb(np.stack(
-            [p[:h, :w] for p in planes], axis=-1))
+        out = ycbcr_to_rgb(np.stack(full, axis=-1))
     else:
         raise NotImplementedError(
             '%d-component JPEG not supported' % len(comps))
