@@ -906,6 +906,19 @@ def q_multimodal_jpeg(spark, sf_dir) -> DataFrame:
     return decode_stats(synth_jpeg_media(_docs(spark, sf_dir)))
 
 
+def q_multimodal_wav(spark, sf_dir) -> DataFrame:
+    """Audio decode path: deterministic REAL RIFF/WAVE PCM payloads
+    (synth_wav_media — mono/stereo 16-bit frames from doc_id
+    arithmetic) -> binary column -> decode_wav (chunk walk with word
+    alignment, PCM only, loud boundaries) -> per-clip amplitude
+    stats.  PCM is lossless, so the oracle replays every decoded
+    sample in SQL — a chunk-parse, interleave, or sign bug breaks
+    the hash."""
+    from yargy_spark.operators.multimodal import (audio_stats,
+                                                  synth_wav_media)
+    return audio_stats(synth_wav_media(_docs(spark, sf_dir)))
+
+
 def q_doc_splits(spark, sf_dir) -> DataFrame:
     """Leakage-safe deterministic train/val/test split by hashed
     doc_id (operators/sampling.py::hash_split) — 98/1/1 in basis
@@ -1133,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kg_extract_report': q_kg_extract_report,
         'multimodal_png': q_multimodal_png,
         'multimodal_jpeg': q_multimodal_jpeg,
+        'multimodal_wav': q_multimodal_wav,
         # -- CHANGED this round: the LSH hot-bucket governor rewrites
         # the candidate stage of the whole minhash family (and
         # dup_clusters' oracle nests the pair oracle); the
@@ -1170,14 +1184,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'materialize_sequences': q_materialize_sequences,
         'mixture_re_tokens': q_mixture_re_tokens,
         'paragraph_dedup': q_paragraph_dedup,
-        'ann_query_topk': q_ann_query_topk,
         # ---- entries below fall past the driver's 50-query cap;
         # ---- every one was driver-gated hash-green in ROUND 4
         # ---- (CORRECTNESS_r04.json) with unchanged semantics and
         # ---- oracles, so each keeps a <= 1-round-old green row.
-        # ---- (rare_tokens and dup_spans yielded their slots to the
-        # ---- new ann_query_indexed and multimodal_jpeg per
-        # ---- priority (a) of the policy.)
+        # ---- (rare_tokens, dup_spans and ann_query_topk yielded
+        # ---- their slots to the new ann_query_indexed,
+        # ---- multimodal_jpeg and multimodal_wav per priority (a)
+        # ---- of the policy.)
+        'ann_query_topk': q_ann_query_topk,
         'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
         'remove_dup_spans': q_remove_dup_spans,
@@ -2692,6 +2707,29 @@ SELECT doc_id, CAST(8 * bw AS INT) AS width,
        CAST(64 * sum(v) * 100 // (64 * bw * bh)
             AS BIGINT) AS byte_mean_x100
 FROM vals GROUP BY doc_id, bw, bh
+"""
+
+    # WAV variant (PCM is lossless): interleaved sample k =
+    # ((doc_id%256)*31 + k*17) % 4096 - 2048 over n_frames*channels;
+    # the oracle sums |sample| in SQL, the Spark side round-trips
+    # real RIFF/WAVE bytes through decode_wav
+    oracles['multimodal_wav'] = """
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 50 + 20 AS INT) AS n_frames,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate
+  FROM documents),
+samples AS (
+  SELECT doc_id, n_frames, channels, sample_rate,
+         unnest(generate_series(0, n_frames * channels - 1)) AS k
+  FROM dims)
+SELECT doc_id, n_frames, channels, sample_rate,
+       CAST(sum(abs(((doc_id % 256) * 31 + k * 17) % 4096 - 2048))
+            AS BIGINT) AS amp_sum,
+       CAST(sum(abs(((doc_id % 256) * 31 + k * 17) % 4096 - 2048))
+            * 100 // (n_frames * channels)
+            AS BIGINT) AS amp_mean_x100
+FROM samples GROUP BY doc_id, n_frames, channels, sample_rate
 """
 
     oracles['multimodal_meta'] = """

@@ -817,6 +817,88 @@ def test_jpeg_codec_roundtrip():
     assert (decode_image(p) == decode_jpeg(p)).all()
 
 
+def test_wav_codec_roundtrip():
+    """RIFF/WAVE PCM codec: bit-exact 16-bit mono/stereo round trip
+    (PCM is lossless); 8-bit unsigned promoted to centered int16;
+    unknown chunks (LIST) and odd-size word padding skipped; loud
+    boundaries for non-RIFF bytes, compressed fmt tags, truncated
+    chunks, and unsupported bit depths."""
+    import struct
+
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_wav,
+                                                  encode_wav)
+    rng = np.random.RandomState(13)
+    for _ in range(6):
+        n, c = rng.randint(1, 200), rng.randint(1, 3)
+        s = rng.randint(-32768, 32768, (n, c)).astype(np.int16)
+        rate = int(rng.choice([8000, 16000, 44100]))
+        arr, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and arr.shape == (n, c) and (arr == s).all()
+
+    fmt = struct.pack('<HHIIHH', 1, 1, 8000, 8000, 1, 8)
+    data = bytes(range(64))
+
+    def wav(chunks):
+        body = b'WAVE' + b''.join(chunks)
+        return b'RIFF' + len(body).to_bytes(4, 'little') + body
+
+    def chunk(cid, payload):
+        return (cid + len(payload).to_bytes(4, 'little') + payload
+                + (b'\x00' if len(payload) % 2 else b''))
+
+    arr, _ = decode_wav(wav([chunk(b'fmt ', fmt),
+                             chunk(b'data', data)]))
+    assert arr[0, 0] == -128 << 8 and arr[63, 0] == (63 - 128) << 8
+
+    # LIST chunk (odd size -> padding byte) between fmt and data
+    arr2, _ = decode_wav(wav([chunk(b'fmt ', fmt),
+                              chunk(b'LIST', b'INFOx'),
+                              chunk(b'data', data)]))
+    assert (arr2 == arr).all()
+
+    with pytest.raises(ValueError, match='RIFF'):
+        decode_wav(b'RIFX' + wav([chunk(b'fmt ', fmt)])[4:])
+    mp3 = struct.pack('<HHIIHH', 85, 1, 8000, 8000, 1, 16)
+    with pytest.raises(NotImplementedError, match='PCM only'):
+        decode_wav(wav([chunk(b'fmt ', mp3), chunk(b'data', b'')]))
+    bad_bits = struct.pack('<HHIIHH', 1, 1, 8000, 8000, 1, 24)
+    with pytest.raises(NotImplementedError, match='24-bit'):
+        decode_wav(wav([chunk(b'fmt ', bad_bits),
+                        chunk(b'data', b'')]))
+    trunc = wav([chunk(b'fmt ', fmt), chunk(b'data', data)])
+    with pytest.raises(ValueError, match='truncated'):
+        decode_wav(trunc[:-10])
+    # stereo data not a whole number of frames
+    st = struct.pack('<HHIIHH', 1, 2, 8000, 32000, 4, 16)
+    with pytest.raises(ValueError, match='frames'):
+        decode_wav(wav([chunk(b'fmt ', st),
+                        chunk(b'data', b'\x00' * 6)]))
+
+
+def test_audio_stats_wav(spark):
+    """synth_wav_media -> audio_stats matches the sample arithmetic
+    the DuckDB oracle recomputes (lossless PCM round trip through
+    real RIFF bytes)."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (audio_stats,
+                                                  synth_wav_media)
+    ids = (0, 1, 2, 3, 7, 255, 256, 1001)
+    df = spark.createDataFrame([(i,) for i in ids], 'doc_id long')
+    got = {r['doc_id']: r for r in
+           audio_stats(synth_wav_media(df)).collect()}
+    for doc_id in ids:
+        n, c = doc_id % 50 + 20, doc_id % 2 + 1
+        k = np.arange(n * c, dtype=np.int64)
+        total = int(np.abs(((doc_id % 256) * 31 + k * 17) % 4096
+                           - 2048).sum())
+        r = got[doc_id]
+        assert (r['n_frames'], r['channels'], r['sample_rate']) == \
+            (n, c, 8000 + (doc_id % 4) * 4000)
+        assert r['amp_sum'] == total
+        assert r['amp_mean_x100'] == total * 100 // (n * c)
+
+
 def test_decode_stats_jpeg(spark):
     """synth_jpeg_media -> decode_stats matches the block-value
     arithmetic the DuckDB oracle recomputes (real SOF0 bytes through

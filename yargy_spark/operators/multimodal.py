@@ -392,6 +392,140 @@ def encode_ppm(arr: np.ndarray) -> bytes:
             + np.ascontiguousarray(arr, dtype=np.uint8).tobytes())
 
 
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode an (n_frames,) or (n_frames, channels) int16 array as
+    a canonical RIFF/WAVE PCM payload (fmt tag 1, 16-bit LE,
+    interleaved frames)."""
+    s = np.asarray(samples, dtype='<i2')
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = np.ascontiguousarray(s).tobytes()
+    fmt = (int(1).to_bytes(2, 'little')          # PCM
+           + channels.to_bytes(2, 'little')
+           + int(rate).to_bytes(4, 'little')
+           + int(rate * channels * 2).to_bytes(4, 'little')
+           + int(channels * 2).to_bytes(2, 'little')
+           + int(16).to_bytes(2, 'little'))
+    body = (b'WAVE'
+            + b'fmt ' + len(fmt).to_bytes(4, 'little') + fmt
+            + b'data' + len(data).to_bytes(4, 'little') + data
+            + (b'\x00' if len(data) % 2 else b''))  # word padding
+    return b'RIFF' + len(body).to_bytes(4, 'little') + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE PCM payload -> ((n_frames, channels) int16
+    array, sample_rate).  Pure Python/numpy: chunk walk with word
+    alignment, unknown chunks (LIST, fact, ...) skipped; 16-bit
+    signed LE native, 8-bit unsigned promoted to centered int16
+    ((v - 128) << 8, the canonical widening).  Compressed WAVE
+    (fmt tag != 1) raises NotImplementedError — the same loud
+    boundary discipline as decode_image."""
+    if payload[:4] != b'RIFF' or payload[8:12] != b'WAVE':
+        raise ValueError('not a RIFF/WAVE payload')
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], 'little')
+        chunk = payload[pos + 8:pos + 8 + size]
+        if len(chunk) != size:
+            raise ValueError('WAVE chunk %r truncated' % cid)
+        pos += 8 + size + (size % 2)             # word alignment
+        if cid == b'fmt ':
+            tag = int.from_bytes(chunk[0:2], 'little')
+            if tag != 1:
+                raise NotImplementedError(
+                    'compressed WAVE (fmt tag %d) not supported — '
+                    'PCM only' % tag)
+            fmt = {'channels': int.from_bytes(chunk[2:4], 'little'),
+                   'rate': int.from_bytes(chunk[4:8], 'little'),
+                   'bits': int.from_bytes(chunk[14:16], 'little')}
+        elif cid == b'data':
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError('WAVE missing fmt or data chunk')
+    c, bits = fmt['channels'], fmt['bits']
+    if bits == 16:
+        arr = np.frombuffer(data, '<i2')
+    elif bits == 8:
+        arr = (np.frombuffer(data, np.uint8).astype(np.int16)
+               - 128) << 8
+    else:
+        raise NotImplementedError(
+            '%d-bit WAVE not supported (8/16 only)' % bits)
+    if c < 1 or len(arr) % c:
+        raise ValueError('WAVE data is not a whole number of '
+                         '%d-channel frames' % c)
+    return arr.reshape(-1, c), fmt['rate']
+
+
+AUDIO_STATS_SCHEMA = StructType([
+    StructField('doc_id', LongType()),
+    StructField('n_frames', IntegerType()),
+    StructField('channels', IntegerType()),
+    StructField('sample_rate', IntegerType()),
+    StructField('amp_sum', LongType()),
+    StructField('amp_mean_x100', LongType()),
+])
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE PCM payload per document:
+    n_frames = doc_id%50+20, channels = doc_id%2+1, rate =
+    8000 + (doc_id%4)*4000, interleaved sample k = ((doc_id%256)*31
+    + k*17) % 4096 - 2048.  PCM is lossless, so a SQL oracle replays
+    the decoded amplitude stats exactly while the Spark side
+    round-trips real RIFF bytes through decode_wav."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf['doc_id'].values:
+                doc_id = int(doc_id)
+                n = doc_id % 50 + 20
+                c = doc_id % 2 + 1
+                rate = 8000 + (doc_id % 4) * 4000
+                k = np.arange(n * c, dtype=np.int64)
+                s = ((doc_id % 256) * 31 + k * 17) % 4096 - 2048
+                rows.append({'doc_id': doc_id, 'payload': encode_wav(
+                    s.astype(np.int16).reshape(n, c), rate)})
+            if rows:
+                yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
+
+    return docs.select('doc_id').mapInPandas(fn, PPM_MEDIA_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Run the REAL ``decode_wav`` codec over a binary payload column
+    and emit per-clip amplitude stats (same contract as
+    ``decode_stats``: map-only mapInPandas, NULL payloads skipped,
+    undecodable non-NULL payloads raise loudly)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf['doc_id'].values,
+                                       pdf['payload'].values):
+                if payload is None:
+                    continue
+                arr, rate = decode_wav(bytes(payload))
+                n, c = arr.shape
+                total = int(np.abs(arr.astype(np.int64)).sum())
+                rows.append({
+                    'doc_id': int(doc_id), 'n_frames': n,
+                    'channels': c, 'sample_rate': int(rate),
+                    'amp_sum': total,
+                    'amp_mean_x100': total * 100 // max(n * c, 1),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in
+                               AUDIO_STATS_SCHEMA.fields])
+
+    return media.select('doc_id', 'payload').mapInPandas(
+        fn, AUDIO_STATS_SCHEMA)
+
+
 PPM_MEDIA_SCHEMA = StructType([
     StructField('doc_id', LongType()),
     StructField('payload', BinaryType()),
