@@ -919,6 +919,20 @@ def q_multimodal_wav(spark, sf_dir) -> DataFrame:
     return audio_stats(synth_wav_media(_docs(spark, sf_dir)))
 
 
+def q_multimodal_frames(spark, sf_dir) -> DataFrame:
+    """Video frame-sampling path: deterministic REAL YUV4MPEG2
+    payloads (synth_y4m_media — the public uncompressed video
+    container, Cmono frames from doc_id arithmetic) -> binary
+    column -> decode_y4m + sample_frames(every_k=2) -> per-sampled-
+    frame stats.  Raw planar video is lossless, so the oracle
+    replays every sampled frame's bytes in SQL — a header-parse,
+    frame-walk, or sampling-stride bug breaks the hash."""
+    from yargy_spark.operators.multimodal import (sample_frames,
+                                                  synth_y4m_media)
+    return sample_frames(synth_y4m_media(_docs(spark, sf_dir)),
+                         every_k=2)
+
+
 def q_doc_splits(spark, sf_dir) -> DataFrame:
     """Leakage-safe deterministic train/val/test split by hashed
     doc_id (operators/sampling.py::hash_split) — 98/1/1 in basis
@@ -1147,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_png': q_multimodal_png,
         'multimodal_jpeg': q_multimodal_jpeg,
         'multimodal_wav': q_multimodal_wav,
+        'multimodal_frames': q_multimodal_frames,
         # -- CHANGED this round: the LSH hot-bucket governor rewrites
         # the candidate stage of the whole minhash family (and
         # dup_clusters' oracle nests the pair oracle); the
@@ -1183,15 +1198,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'filter_corpus': q_filter_corpus,
         'materialize_sequences': q_materialize_sequences,
         'mixture_re_tokens': q_mixture_re_tokens,
-        'paragraph_dedup': q_paragraph_dedup,
         # ---- entries below fall past the driver's 50-query cap;
         # ---- every one was driver-gated hash-green in ROUND 4
         # ---- (CORRECTNESS_r04.json) with unchanged semantics and
         # ---- oracles, so each keeps a <= 1-round-old green row.
-        # ---- (rare_tokens, dup_spans and ann_query_topk yielded
-        # ---- their slots to the new ann_query_indexed,
-        # ---- multimodal_jpeg and multimodal_wav per priority (a)
-        # ---- of the policy.)
+        # ---- (rare_tokens, dup_spans, ann_query_topk and
+        # ---- paragraph_dedup yielded their slots to the new
+        # ---- ann_query_indexed, multimodal_jpeg, multimodal_wav
+        # ---- and multimodal_frames per priority (a) of the
+        # ---- policy.)
+        'paragraph_dedup': q_paragraph_dedup,
         'ann_query_topk': q_ann_query_topk,
         'dup_spans': q_dup_spans,
         'rare_tokens': q_rare_tokens,
@@ -2730,6 +2746,32 @@ SELECT doc_id, n_frames, channels, sample_rate,
             * 100 // (n_frames * channels)
             AS BIGINT) AS amp_mean_x100
 FROM samples GROUP BY doc_id, n_frames, channels, sample_rate
+"""
+
+    # y4m variant (raw planar video is lossless): frame f byte j =
+    # ((doc_id%256)*7 + f*29 + j*13) % 256; the gate samples every
+    # 2nd frame, so the oracle filters f % 2 = 0 and replays each
+    # sampled frame's byte sum in SQL
+    oracles['multimodal_frames'] = """
+WITH dims AS (
+  SELECT doc_id, CAST(doc_id % 8 + 4 AS INT) AS width,
+         CAST(doc_id % 6 + 4 AS INT) AS height,
+         CAST(doc_id % 6 + 2 AS INT) AS n_frames
+  FROM documents),
+sampled AS (
+  SELECT doc_id, width, height, n_frames,
+         unnest(generate_series(0, n_frames - 1)) AS f
+  FROM dims),
+px AS (
+  SELECT doc_id, width, height, n_frames, f,
+         unnest(generate_series(0, width * height - 1)) AS j
+  FROM sampled WHERE f % 2 = 0)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, width, height, n_frames,
+       CAST(sum(((doc_id % 256) * 7 + f * 29 + j * 13) % 256)
+            AS BIGINT) AS byte_sum,
+       CAST(sum(((doc_id % 256) * 7 + f * 29 + j * 13) % 256) * 100
+            // (width * height) AS BIGINT) AS byte_mean_x100
+FROM px GROUP BY doc_id, f, width, height, n_frames
 """
 
     oracles['multimodal_meta'] = """

@@ -899,6 +899,70 @@ def test_audio_stats_wav(spark):
         assert r['amp_mean_x100'] == total * 100 // (n * c)
 
 
+def test_y4m_codec_roundtrip():
+    """YUV4MPEG2 codec: lossless mono/444 round trips; C420 with
+    quad-constant chroma restores exactly (box-average down,
+    nearest up); loud boundaries for non-y4m bytes, truncated
+    frames, and unsupported colorspaces."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_y4m,
+                                                  encode_y4m)
+    rng = np.random.RandomState(17)
+    fr = rng.randint(0, 256, (5, 12, 16)).astype(np.uint8)
+    out, meta = decode_y4m(encode_y4m(fr, rate=(30, 1)))
+    assert (out == fr).all() and meta['rate'] == (30, 1) \
+        and meta['colorspace'] == 'mono'
+
+    fc = rng.randint(0, 256, (3, 10, 14, 3)).astype(np.uint8)
+    out, meta = decode_y4m(encode_y4m(fc, colorspace='444'))
+    assert (out == fc).all() and meta['colorspace'] == '444'
+
+    quads = rng.randint(0, 256, (2, 6, 8, 3))
+    fq = np.repeat(np.repeat(quads, 2, axis=1), 2, axis=2) \
+        .astype(np.uint8)
+    out, meta = decode_y4m(encode_y4m(fq, colorspace='420'))
+    assert (out == fq).all()          # luma full-res, chroma exact
+                                      # on quad-constant content
+
+    with pytest.raises(ValueError, match='YUV4MPEG2'):
+        decode_y4m(b'JUNK')
+    p = encode_y4m(fr)
+    with pytest.raises(ValueError, match='truncated'):
+        decode_y4m(p[:-5])
+    with pytest.raises(NotImplementedError, match='C422'):
+        decode_y4m(p.replace(b'Cmono', b'C422', 1))
+    out, _ = decode_y4m(p[:p.index(b'\n') + 1])   # header only
+    assert out.shape == (0, 12, 16)
+
+
+def test_sample_frames(spark):
+    """synth_y4m_media -> sample_frames(every_k=2) matches the
+    frame-byte arithmetic the DuckDB oracle recomputes: only even
+    frame indices appear, each with its exact byte sum."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (sample_frames,
+                                                  synth_y4m_media)
+    ids = (0, 1, 2, 3, 7, 255, 256, 1001)
+    df = spark.createDataFrame([(i,) for i in ids], 'doc_id long')
+    rows = sample_frames(synth_y4m_media(df), every_k=2).collect()
+    got = {(r['doc_id'], r['frame_idx']): r for r in rows}
+    expect_keys = set()
+    for doc_id in ids:
+        n = doc_id % 6 + 2
+        w, h = doc_id % 8 + 4, doc_id % 6 + 4
+        for f in range(0, n, 2):
+            expect_keys.add((doc_id, f))
+            j = np.arange(h * w, dtype=np.int64)
+            total = int((((doc_id % 256) * 7 + f * 29 + j * 13)
+                         % 256).sum())
+            r = got[(doc_id, f)]
+            assert (r['width'], r['height'], r['n_frames']) == \
+                (w, h, n)
+            assert r['byte_sum'] == total
+            assert r['byte_mean_x100'] == total * 100 // (h * w)
+    assert set(got) == expect_keys    # odd frames NOT sampled
+
+
 def test_decode_stats_jpeg(spark):
     """synth_jpeg_media -> decode_stats matches the block-value
     arithmetic the DuckDB oracle recomputes (real SOF0 bytes through

@@ -526,6 +526,184 @@ def audio_stats(media: DataFrame) -> DataFrame:
         fn, AUDIO_STATS_SCHEMA)
 
 
+def encode_y4m(frames: np.ndarray, rate=(25, 1),
+               colorspace: str = 'mono') -> bytes:
+    """Encode video frames as YUV4MPEG2 (y4m) — the public
+    UNCOMPRESSED video container (raw planar frames behind a text
+    header; what ffmpeg/mjpegtools pipe between stages).
+    ``frames``: (n, h, w) uint8 for mono, (n, h, w, 3) YCbCr for
+    C444; C420 takes full-res YCbCr and 2x2 box-averages the chroma
+    planes."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[:3]
+    header = b'YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n' % (
+        w, h, rate[0], rate[1], colorspace.encode())
+    out = bytearray(header)
+    for f in range(n):
+        out += b'FRAME\n'
+        if colorspace == 'mono':
+            out += frames[f].tobytes()
+        elif colorspace == '444':
+            for p in range(3):
+                out += frames[f, :, :, p].tobytes()
+        elif colorspace == '420':
+            out += frames[f, :, :, 0].tobytes()
+            for p in (1, 2):
+                out += _downsample2_u8(frames[f, :, :, p]).tobytes()
+        else:
+            raise ValueError('colorspace must be mono/444/420')
+    return bytes(out)
+
+
+def _downsample2_u8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    if h % 2 or w % 2:
+        plane = np.pad(plane, ((0, h % 2), (0, w % 2)), mode='edge')
+    return plane.reshape(plane.shape[0] // 2, 2, plane.shape[1] // 2,
+                         2).mean(axis=(1, 3)).astype(np.uint8)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 payload -> (frames, meta).  Pure Python:
+    header tag parse (W/H/F required, C defaults to 420 per the
+    format's convention), then raw planar frames after each FRAME
+    line.  Cmono -> (n, h, w); C444/C420 -> (n, h, w, 3) YCbCr with
+    subsampled chroma upsampled nearest (mirrors decode_jpeg).
+    C422 and the other colorspaces raise NotImplementedError;
+    truncated frame data raises ValueError."""
+    if not payload.startswith(b'YUV4MPEG2'):
+        raise ValueError('not a YUV4MPEG2 payload')
+    nl = payload.index(b'\n')
+    tags = payload[10:nl].split()
+    meta = {'colorspace': '420'}
+    for tag in tags:
+        key, val = tag[:1], tag[1:]
+        if key == b'W':
+            meta['width'] = int(val)
+        elif key == b'H':
+            meta['height'] = int(val)
+        elif key == b'F':
+            num, den = val.split(b':')
+            meta['rate'] = (int(num), int(den))
+        elif key == b'C':
+            meta['colorspace'] = val.decode().rstrip()
+    if 'width' not in meta or 'height' not in meta:
+        raise ValueError('y4m header missing W or H')
+    h, w = meta['height'], meta['width']
+    cs = meta['colorspace']
+    if cs.startswith('420'):        # 420 / 420jpeg / 420paldv siting
+        plane_sizes = [h * w, (h // 2) * (w // 2), (h // 2) * (w // 2)]
+        if h % 2 or w % 2:
+            raise ValueError('C420 y4m requires even dims')
+    elif cs == '444':
+        plane_sizes = [h * w] * 3
+    elif cs == 'mono':
+        plane_sizes = [h * w]
+    else:
+        raise NotImplementedError(
+            'y4m colorspace C%s not supported (mono/444/420*)' % cs)
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b'\n', pos)
+        if payload[pos:pos + 5] != b'FRAME':
+            raise ValueError('y4m FRAME marker missing at %d' % pos)
+        pos = fnl + 1
+        planes = []
+        for size in plane_sizes:
+            if pos + size > len(payload):
+                raise ValueError('y4m frame data truncated')
+            planes.append(np.frombuffer(payload, np.uint8,
+                                        count=size, offset=pos))
+            pos += size
+        if cs == 'mono':
+            frames.append(planes[0].reshape(h, w))
+        else:
+            y = planes[0].reshape(h, w)
+            if cs == '444':
+                cb, cr = (p.reshape(h, w) for p in planes[1:])
+            else:
+                cb, cr = (np.repeat(np.repeat(
+                    p.reshape(h // 2, w // 2), 2, axis=0), 2, axis=1)
+                    for p in planes[1:])
+            frames.append(np.stack([y, cb, cr], axis=-1))
+    return np.stack(frames) if frames else np.zeros(
+        (0, h, w) if cs == 'mono' else (0, h, w, 3), np.uint8), meta
+
+
+FRAME_STATS_SCHEMA = StructType([
+    StructField('doc_id', LongType()),
+    StructField('frame_idx', IntegerType()),
+    StructField('width', IntegerType()),
+    StructField('height', IntegerType()),
+    StructField('n_frames', IntegerType()),
+    StructField('byte_sum', LongType()),
+    StructField('byte_mean_x100', LongType()),
+])
+
+
+def synth_y4m_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL y4m payload per document: Cmono,
+    n_frames = doc_id%6+2, w = doc_id%8+4, h = doc_id%6+4, frame f
+    byte j = ((doc_id%256)*7 + f*29 + j*13) % 256 — raw planar
+    video is lossless, so a SQL oracle replays sampled-frame stats
+    exactly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf['doc_id'].values:
+                doc_id = int(doc_id)
+                n = doc_id % 6 + 2
+                w, h = doc_id % 8 + 4, doc_id % 6 + 4
+                f = np.arange(n, dtype=np.int64)[:, None]
+                j = np.arange(h * w, dtype=np.int64)[None, :]
+                frames = (((doc_id % 256) * 7 + f * 29 + j * 13)
+                          % 256).astype(np.uint8).reshape(n, h, w)
+                rows.append({'doc_id': doc_id, 'payload':
+                             encode_y4m(frames, colorspace='mono')})
+            if rows:
+                yield pd.DataFrame(rows, columns=['doc_id', 'payload'])
+
+    return docs.select('doc_id').mapInPandas(fn, PPM_MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling over a binary video column: decode_y4m each
+    payload, keep every ``every_k``-th frame, emit per-frame stats.
+    Map-only mapInPandas like the other codec operators — at scale
+    the sampled-frame RASTERS would be emitted as a binary column
+    for downstream feature extraction; the stats row is the gated
+    witness that sampling touched the right frames.  NULL payloads
+    skipped (same contract as decode_stats)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf['doc_id'].values,
+                                       pdf['payload'].values):
+                if payload is None:
+                    continue
+                frames, meta = decode_y4m(bytes(payload))
+                n = frames.shape[0]
+                for idx in range(0, n, every_k):
+                    fr = frames[idx]
+                    total = int(fr.astype(np.int64).sum())
+                    rows.append({
+                        'doc_id': int(doc_id), 'frame_idx': idx,
+                        'width': meta['width'],
+                        'height': meta['height'], 'n_frames': n,
+                        'byte_sum': total,
+                        'byte_mean_x100':
+                            total * 100 // max(fr.size, 1),
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in
+                               FRAME_STATS_SCHEMA.fields])
+
+    return media.select('doc_id', 'payload').mapInPandas(
+        fn, FRAME_STATS_SCHEMA)
+
+
 PPM_MEDIA_SCHEMA = StructType([
     StructField('doc_id', LongType()),
     StructField('payload', BinaryType()),
