@@ -33,6 +33,11 @@ from .textstats import (corpus_vocabulary,       # noqa: F401
                         rare_token_scores,
                         repetition_scores, token_counts, top_ngrams,
                         ws_token_count)
-from .multimodal import (decode_image,           # noqa: F401
-                         decode_stats, encode_ppm, extract_features,
-                         media_metadata, synth_media, synth_ppm_media)
+from .multimodal import (audio_stats,            # noqa: F401
+                         decode_image, decode_png, decode_stats,
+                         decode_wav, decode_y4m, encode_png,
+                         encode_png_palette, encode_ppm, encode_wav,
+                         encode_y4m, extract_features,
+                         media_metadata, sample_frames, synth_media,
+                         synth_ppm_media)
+from .jpeg import decode_jpeg, encode_jpeg       # noqa: F401
