@@ -142,6 +142,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:          # byte stuffing
                 self.out.append(0x00)
+        # drop the emitted high bits — otherwise acc grows with the
+        # whole stream and every shift turns O(stream length)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:               # pad with 1-bits per F.1.2.3
@@ -175,7 +178,10 @@ class _BitReader:
                 raise ValueError(
                     'unexpected marker FF%02X inside entropy data'
                     % nxt)
-        self.acc = (self.acc << 8) | byte
+        # keep only the unread low bits before appending — the read
+        # side of the same unbounded-int growth trap as _BitWriter
+        self.acc = (((self.acc & ((1 << self.nbits) - 1)) << 8)
+                    | byte)
         self.nbits += 8
 
     def read_bit(self) -> int:
