@@ -1525,3 +1525,100 @@ def test_dedup_rewrites_randomized_reference(spark):
                           r['n_removed'])
             for r in remove_dup_spans(df).collect()}
     assert got2 == expect_spans
+
+
+# ---------------- hypothesis round-trip properties for the codecs
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_DIMS = hst.tuples(hst.integers(1, 24), hst.integers(1, 24))
+
+
+@settings(deadline=None, max_examples=30)
+@given(_DIMS, hst.integers(1, 4), hst.integers(0, 2**31 - 1),
+       hst.integers(0, 4))
+def test_property_png_lossless(dims, c, seed, ftype):
+    """PNG is lossless: ANY uint8 array round-trips bit-exactly
+    through encode_png -> decode_image under every filter type."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_image,
+                                                  encode_png)
+    h, w = dims
+    arr = np.random.RandomState(seed).randint(
+        0, 256, (h, w, c)).astype(np.uint8)
+    out = decode_image(encode_png(arr, row_filter=lambda y: ftype))
+    assert out.shape == (h, w, c) and (out == arr).all()
+
+
+@settings(deadline=None, max_examples=30)
+@given(_DIMS, hst.integers(2, 256), hst.integers(0, 2**31 - 1),
+       hst.booleans())
+def test_property_png_palette_lossless(dims, npal, seed, with_trns):
+    """Palette PNG round-trips to exactly lut[idx] for ANY palette
+    and index matrix (tRNS appends alpha when present)."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_image,
+                                                  encode_png_palette)
+    h, w = dims
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, (h, w)).astype(np.uint8)
+    trns = (rng.randint(0, 256, max(npal // 2, 1)).astype(np.uint8)
+            if with_trns else None)
+    out = decode_image(encode_png_palette(idx, pal, trns=trns))
+    if with_trns:
+        alpha = np.full(npal, 255, np.uint8)
+        alpha[:len(trns)] = trns
+        want = np.concatenate([pal, alpha[:, None]], axis=1)[idx]
+    else:
+        want = pal[idx]
+    assert (out == want).all()
+
+
+@settings(deadline=None, max_examples=30)
+@given(hst.integers(1, 300), hst.integers(1, 2),
+       hst.integers(0, 2**31 - 1))
+def test_property_wav_lossless(n, c, seed):
+    """PCM WAVE is lossless: ANY int16 frame matrix round-trips
+    bit-exactly."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_wav,
+                                                  encode_wav)
+    s = np.random.RandomState(seed).randint(
+        -32768, 32768, (n, c)).astype(np.int16)
+    arr, rate = decode_wav(encode_wav(s, 16000))
+    assert rate == 16000 and (arr == s).all()
+
+
+@settings(deadline=None, max_examples=20)
+@given(hst.integers(1, 6), _DIMS, hst.integers(0, 2**31 - 1),
+       hst.booleans())
+def test_property_y4m_lossless(n, dims, seed, color):
+    """Raw y4m is lossless for mono and C444 frames."""
+    import numpy as np
+    from yargy_spark.operators.multimodal import (decode_y4m,
+                                                  encode_y4m)
+    h, w = dims
+    shape = (n, h, w, 3) if color else (n, h, w)
+    fr = np.random.RandomState(seed).randint(
+        0, 256, shape).astype(np.uint8)
+    out, _ = decode_y4m(encode_y4m(
+        fr, colorspace='444' if color else 'mono'))
+    assert (out == fr).all()
+
+
+@settings(deadline=None, max_examples=25)
+@given(hst.integers(1, 3), hst.integers(1, 4),
+       hst.integers(0, 2**31 - 1))
+def test_property_jpeg_witness_exact(bh, bw, seed):
+    """The JPEG lossless witness holds for ANY block-constant
+    grayscale image with even values: decode(encode(img)) == img
+    bit-exactly (DC step 16 divides 8*(v-128))."""
+    import numpy as np
+    from yargy_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    blocks = 2 * np.random.RandomState(seed).randint(
+        0, 128, (bh, bw))
+    img = np.kron(blocks, np.ones((8, 8), np.int64)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert (out == img).all()

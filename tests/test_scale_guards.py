@@ -264,6 +264,19 @@ def test_round4_plan_shapes(spark):
     p = plan(decode_stats(synth_ppm_media(docs)))
     assert exchanges(p) == 0 and 'CartesianProduct' not in p
 
+    # the whole media-codec family keeps the same zero-Exchange
+    # map-only shape (PLANS.md §16): jpeg, wav, y4m frame sampling
+    from yargy_spark.operators.multimodal import (audio_stats,
+                                                  sample_frames,
+                                                  synth_jpeg_media,
+                                                  synth_wav_media,
+                                                  synth_y4m_media)
+    for q in (decode_stats(synth_jpeg_media(docs)),
+              audio_stats(synth_wav_media(docs)),
+              sample_frames(synth_y4m_media(docs))):
+        p = plan(q)
+        assert exchanges(p) == 0 and 'CartesianProduct' not in p
+
     reps, _ = _exact_groups(docs)
     p = plan(_sig_bands(_state_rows(reps)))
     # exact-group window + ONE state agg; banding itself adds none
